@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named bundle of oracle-checked queries contributed by one module.
+  *
+  * `queries` maps name → (spark, sfDir) → result frame; `oracleSql` maps the
+  * same name → equivalent DuckDB ANSI SQL over the fixture tables. Names
+  * without oracle SQL get the driver's weaker rows-only check (used for
+  * non-SQL-expressible ops: EWM, interpolation, LSH, …).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+}

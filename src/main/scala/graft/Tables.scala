@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture-table loaders.
+  *
+  * All engine queries read the driver-generated parquet tables under a
+  * scale-factor directory (see TESTDATA.md). The reference lake layout is
+  * Hive-partitioned parquet (`raw/ano=/mes=/dia=`, cf.
+  * /root/reference/src/etl/s3.py:78, glue.py:78); here the fixtures are one
+  * parquet file per table and Spark's vectorized parquet reader + Catalyst
+  * pushdown provide scan pruning (SURVEY §2.1 S1).
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw long nanos
+    * (`legacy.parquet.nanosAsLong`) and truncate to microsecond timestamps —
+    * exactly what DuckDB 1.x does at scan time, so oracle values align. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}
+
+/** Oracle-parity numeric helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * same ANSI SQL. Floating-point aggregation order differs between engines,
+  * so every aggregate that sums doubles in engine-dependent order goes
+  * through one of these:
+  *
+  *  - `decSum`: cast the 2-decimal source doubles to DECIMAL(18,2), sum
+  *    exactly (associative), cast the final sum back to double. Both
+  *    engines produce the bit-identical double.
+  *  - `r6`/`r2`: round window/frame results where both engines see the same
+  *    ordered frame but may differ in the last ulp (segment-tree vs
+  *    sequential summation).
+  */
+object Num {
+  def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 6)
+  def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 4)
+  def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 2)
+
+  /** Exact sum of a 2-decimal double column via decimal, returned as double. */
+  def decSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean: exact decimal sum as double, divided by count (deterministic). */
+  def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c)
+
+  /** Spark stddev/variance return NaN where DuckDB returns NULL (n=1 frames);
+    * normalize NaN to NULL for oracle parity. */
+  def nanToNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isnan(c), lit(null)).otherwise(c)
+}
