@@ -10,7 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    graft.queries.FlagshipPack
+    graft.queries.FlagshipPack,
+    graft.queries.SourcesPack,
+    graft.queries.ProjectionPack,
+    graft.queries.JoinsPack,
+    graft.queries.AggPack,
+    graft.queries.WindowPack,
+    graft.queries.SortSetPack,
+    graft.queries.FunctionsPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

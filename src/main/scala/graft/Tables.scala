@@ -14,8 +14,13 @@ import org.apache.spark.sql.types._
   * pushdown provide scan pruning (SURVEY §2.1 S1).
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Spark 4 defaults to ANSI semantics (errors on div-by-zero, strict
+    // casts). The oracle (DuckDB) follows IEEE float semantics for double
+    // math (x/0 → inf, 0/0 → NaN), so pin classic semantics per session.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")

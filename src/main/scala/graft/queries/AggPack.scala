@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Num, QueryPack, Tables}
+
+/** Aggregations (SURVEY §2.4 A1–A9 + rollup consolidation).
+  *
+  * Oracle-parity rules: sums of 2-decimal doubles go through exact decimal
+  * accumulation (`Num.decSum`) so both engines produce the bit-identical
+  * double regardless of partition/summation order; quantities are
+  * integer-valued doubles whose sums are exact in IEEE double directly.
+  */
+object AggPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: generic group-by agg — the TPC-H-Q1-shaped flagship aggregate
+    // (preprocessing.py:33-46 passthrough; hash agg partial+final).
+    "a1_groupby_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2002-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Num.decSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          Num.decAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    // A2: distinct count per group at two grains
+    // (preprocessing.py:85-99, eda cells 18-20).
+    "a2_distinct_count" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))),
+
+    // A2 at scale: approximate distinct via HLL — engine-specific sketch,
+    // so rows-only check (no oracle); correctness pinned by unit test.
+    "a2_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
+
+    // A3: validation counts — the reference's 9 uncached count()
+    // CHECKPOINTs (glue.py:93-229) folded into ONE cached aggregate pass.
+    "a3_validation_counts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+        count(when(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"), 1))
+          .as("n_recent"))
+    }),
+
+    // A4: frequency table / value_counts (eda cell 8).
+    "a4_value_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
+
+    // A5: duplicate count (eda cell 25): rows minus distinct rows on the
+    // dedup key.
+    "a5_duplicate_count" -> ((s, dir) => {
+      val keyed = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val total = keyed.agg(count(lit(1)).as("n")).select(col("n"))
+      val dedup = keyed.distinct().agg(count(lit(1)).as("n_distinct"))
+      total.crossJoin(dedup)
+        .select((col("n") - col("n_distinct")).as("n_duplicates"))
+    }),
+
+    // A6: null count per column (eda cell 21) over a frame with
+    // deterministically injected nulls.
+    "a6_null_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+        .withColumn("t", when(pmod(col("event_id"), lit(11)) === 0, lit(null))
+          .otherwise(col("event_type")))
+        .agg(
+          sum(col("v").isNull.cast("int")).as("nulls_v"),
+          sum(col("t").isNull.cast("int")).as("nulls_t"),
+          count(lit(1)).as("n_rows"))),
+
+    // A7: descriptive stats with percentiles (preprocessing.py:50-58):
+    // exact interpolated percentiles (not approx) for oracle parity.
+    "a7_percentiles" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("cnt"),
+        Num.decAvg(col("o_totalprice")).as("mean_price"),
+        min(col("o_totalprice")).as("min_price"),
+        Num.r6(expr("percentile(o_totalprice, 0.10)")).as("p10"),
+        Num.r6(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+        Num.r6(expr("percentile(o_totalprice, 0.50)")).as("p50"),
+        Num.r6(expr("percentile(o_totalprice, 0.75)")).as("p75"),
+        Num.r6(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        Num.r6(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+        max(col("o_totalprice")).as("max_price"))),
+
+    // A8: global-mean imputation (preprocessing.py:164-168): exact decimal
+    // mean broadcast back onto null slots.
+    "a8_mean_impute" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+      val mean = ev.agg(Num.decAvg(col("v")).as("mean_v"))
+      ev.crossJoin(broadcast(mean))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("v"), col("mean_v")).as("v_filled"))
+    }),
+
+    // A9 consolidation: rollup over (returnflag, linestatus) — the
+    // idiomatic form of the reference's 3-grain distinct counts
+    // (SURVEY §2.4 note).
+    "a9_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_extendedprice) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_distinct_count" ->
+      """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+        |       count(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "a3_validation_counts" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+        |  count(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01' THEN 1 END) AS n_recent
+        |FROM lineitem""".stripMargin,
+    "a4_value_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "a5_duplicate_count" ->
+      """SELECT count(*) - (SELECT count(*) FROM
+        |  (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events))
+        |  AS n_duplicates
+        |FROM events""".stripMargin,
+    "a6_null_counts" ->
+      """SELECT
+        |  sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS nulls_v,
+        |  sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS nulls_t,
+        |  count(*) AS n_rows
+        |FROM events""".stripMargin,
+    "a7_percentiles" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(o_totalprice) AS mean_price,
+        |  min(o_totalprice) AS min_price,
+        |  round(quantile_cont(o_totalprice, 0.10), 6) AS p10,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+        |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "a8_mean_impute" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v) AS mean_v
+        |  FROM ev
+        |)
+        |SELECT ev.event_id, ev.user_id, COALESCE(ev.v, m.mean_v) AS v_filled
+        |FROM ev CROSS JOIN m""".stripMargin,
+    "a9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryPack, Tables}
+import graft.functions.Holidays
+
+/** Scalar functions (SURVEY §2.7 F1–F6 + JSON extension surface). */
+object FunctionsPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: string functions — concat, lower, trim/ltrim, replace
+    // (glue.py:85,131-132; webscrapping.py:49 `.replace(".SA","")`).
+    "f1_strings" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("name_norm", lower(trim(col("p_name"))))
+        .withColumn("brand_num", regexp_replace(col("p_brand"), "Brand#", ""))
+        .withColumn("label",
+          concat(col("p_type"), lit("-"), col("p_brand")))
+        .withColumn("no_prefix", ltrim(col("p_name")))
+        .select("p_partkey", "name_norm", "brand_num", "label", "no_prefix")),
+
+    // F2: date/time functions — dayofweek/month/year, date_format,
+    // date_sub, cast→date (glue.py:86,174; s3.py:73-75). Convention:
+    // Spark dayofweek 1=Sunday (documented per SURVEY F2 caveat); DuckDB
+    // dow 0=Sunday, so the oracle shifts by +1.
+    "f2_dates" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .withColumn("dow", dayofweek(col("d")))
+        .withColumn("mon", month(col("d")))
+        .withColumn("yr", year(col("d")))
+        .withColumn("ymd", date_format(col("d"), "yyyy-MM-dd"))
+        .withColumn("d_minus_7", date_sub(col("d"), 7))
+        .select("o_orderkey", "d", "dow", "mon", "yr", "ymd", "d_minus_7")),
+
+    // F3: math + cyclic encodings (glue.py:175-178).
+    "f3_math_cyclic" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("qmod", pmod(col("l_quantity").cast("int"), lit(5)))
+        .withColumn("q_sin", Num.r6(sin(lit(2.0 * math.Pi) * col("qmod") / 5)))
+        .withColumn("q_cos", Num.r6(cos(lit(2.0 * math.Pi) * col("qmod") / 5)))
+        .withColumn("lq", Num.r6(log(col("l_extendedprice"))))
+        .withColumn("sq", Num.r6(sqrt(col("l_quantity"))))
+        .withColumn("ab", abs(col("l_discount") - 0.05))
+        .select("l_orderkey", "l_linenumber", "qmod", "q_sin", "q_cos",
+          "lq", "sq", "ab")),
+
+    // F4: null handling — na.fill constant on a subset + na.fill map
+    // (glue.py:202-214).
+    "f4_null_fill" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+        .withColumn("t", when(pmod(col("event_id"), lit(11)) === 0, lit(null))
+          .otherwise(col("event_type")))
+        .na.fill(0.0, Seq("v"))
+        .na.fill(Map("t" -> "unknown"))
+        .select("event_id", "v", "t")),
+
+    // F5: casts — int widening, long→string (exact), string→double via
+    // extraction, timestamp→date (glue.py:86,131).
+    "f5_casts" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("key_str", col("c_custkey").cast("string"))
+        .withColumn("nk_long", col("c_nationkey").cast("long"))
+        .withColumn("bal_from_str",
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long"))
+        .select("c_custkey", "key_str", "nk_long", "bal_from_str")),
+
+    // F6: holiday-calendar flag — broadcast Set[LocalDate] + isin
+    // (preprocessing.py:186-189 `date in holidays.BR()`).
+    "f6_holiday_flag" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .withColumn("is_holiday", Holidays.isHoliday(col("d")).cast("int"))
+        .select("o_orderkey", "d", "is_holiday")),
+
+    // JSON extension surface (events.props; SURVEY §2.7 note): extract a
+    // typed field from the JSON payload.
+    "f7_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .select("event_id", "k"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "f1_strings" ->
+      """SELECT p_partkey,
+        |  lower(trim(p_name)) AS name_norm,
+        |  replace(p_brand, 'Brand#', '') AS brand_num,
+        |  p_type || '-' || p_brand AS label,
+        |  ltrim(p_name) AS no_prefix
+        |FROM part""".stripMargin,
+    "f2_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  (dayofweek(CAST(o_orderdate AS DATE)) + 1) AS dow,
+        |  month(CAST(o_orderdate AS DATE)) AS mon,
+        |  year(CAST(o_orderdate AS DATE)) AS yr,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ymd,
+        |  CAST(o_orderdate AS DATE) - 7 AS d_minus_7
+        |FROM orders""".stripMargin,
+    "f3_math_cyclic" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ((CAST(l_quantity AS INT) % 5) + 5) % 5 AS qmod,
+        |  round(sin(2*pi() * (((CAST(l_quantity AS INT) % 5) + 5) % 5) / 5), 6) AS q_sin,
+        |  round(cos(2*pi() * (((CAST(l_quantity AS INT) % 5) + 5) % 5) / 5), 6) AS q_cos,
+        |  round(ln(l_extendedprice), 6) AS lq,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  abs(l_discount - 0.05) AS ab
+        |FROM lineitem""".stripMargin,
+    "f4_null_fill" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END AS v,
+        |  CASE WHEN event_id % 11 = 0 THEN 'unknown' ELSE event_type END AS t
+        |FROM events""".stripMargin,
+    "f5_casts" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS VARCHAR) AS key_str,
+        |  CAST(c_nationkey AS BIGINT) AS nk_long,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS bal_from_str
+        |FROM customer""".stripMargin,
+    "f6_holiday_flag" ->
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         |  CAST(CAST(o_orderdate AS DATE) IN (${Holidays.sqlList}) AS INT)
+         |    AS is_holiday
+         |FROM orders""".stripMargin,
+    "f7_json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Projections / filters / predicates (SURVEY §2.2 P1–P11). */
+object ProjectionPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P2: column select with reorder (glue.py:140-162).
+    "p1_select_reorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")),
+
+    // P3 + P4: bulk rename EN→PT (glue.py:113-128) + lowercase-header
+    // normalization (glue.py:102-103).
+    "p3_bulk_rename" -> ((s, dir) => {
+      val renamed = Tables.lineitem(s, dir)
+        .withColumnsRenamed(Map(
+          "l_quantity" -> "QUANTIDADE",
+          "l_extendedprice" -> "PRECO",
+          "l_discount" -> "DESCONTO",
+          "l_shipdate" -> "DATA_ENVIO"))
+        .select("l_orderkey", "QUANTIDADE", "PRECO", "DESCONTO", "DATA_ENVIO")
+      renamed.toDF(renamed.columns.map(_.toLowerCase): _*)
+    }),
+
+    // P5: drop columns (glue.py:226).
+    "p5_drop" -> ((s, dir) =>
+      Tables.orders(s, dir).drop("o_orderpriority", "o_orderstatus")),
+
+    // P6: equality filter (glue.py:96,169).
+    "p6_eq_filter" -> ((s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // P7: range filter / date cutoff (glue.py:79-83; train.py:76-79).
+    "p7_range_filter" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")),
+
+    // P8: null predicates — isNotNull join-success check + na.drop
+    // (glue.py:137; eda cells 21,40). Nulls injected deterministically.
+    "p8_null_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+        .filter(col("v").isNotNull)
+        .na.drop(Seq("v", "event_type"))
+        .select("event_id", "user_id", "v")),
+
+    // P9: SQL-string predicate (eda cell 41 `df.query(...)`).
+    "p9_string_filter" -> ((s, dir) =>
+      Tables.customer(s, dir).filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // P10/O4: deterministic head — total order + limit (glue.py:91).
+    "p10_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // P11: conditional value mask (preprocessing.py:339-340, the RSI
+    // gain/loss split).
+    "p11_conditional_mask" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("gain",
+          when(col("l_discount") > 0.05, col("l_discount")).otherwise(lit(0.0)))
+        .withColumn("loss",
+          when(col("l_discount") <= 0.05, -col("l_discount")).otherwise(lit(0.0)))
+        .select("l_orderkey", "l_linenumber", "l_discount", "gain", "loss"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_select_reorder" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |       l_extendedprice FROM lineitem""".stripMargin,
+    "p3_bulk_rename" ->
+      """SELECT l_orderkey, l_quantity AS quantidade, l_extendedprice AS preco,
+        |       l_discount AS desconto, l_shipdate AS data_envio
+        |FROM lineitem""".stripMargin,
+    "p5_drop" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders",
+    "p6_eq_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+    "p7_range_filter" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "p8_null_filter" ->
+      """SELECT event_id, user_id, value AS v FROM events
+        |WHERE event_id % 7 <> 0""".stripMargin,
+    "p9_string_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "p10_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "p11_conditional_mask" ->
+      """SELECT l_orderkey, l_linenumber, l_discount,
+        |  CASE WHEN l_discount > 0.05 THEN l_discount ELSE 0.0 END AS gain,
+        |  CASE WHEN l_discount <= 0.05 THEN -l_discount ELSE 0.0 END AS loss
+        |FROM lineitem""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Sorts / limits / set operations (SURVEY §2.6 O1–O4, U1–U2 + set-op
+  * surface the reference lacks). */
+object SortSetPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1/O2 + O4: multi-key sort made observable through a deterministic
+    // top-N (sort order itself is not hashable by the driver — rows are
+    // compared as a set).
+    "o1_sort_topn" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")),
+
+    // O3: sorted distinct value list (visualize.py:27,142).
+    "o3_distinct_values" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_type"))
+        .na.drop().distinct().orderBy(col("event_type"))),
+
+    // U1: union-all of per-slice frames, by name — column order differs
+    // on purpose (webscrapping.py:64 pd.concat).
+    "u1_union_by_name" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      a.unionByName(b)
+    }),
+
+    // Set ops beyond the reference: INTERSECT (distinct semantics).
+    "u3_intersect" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.filter(col("c_nationkey") < 15).select("c_mktsegment")
+        .intersect(c.filter(col("c_nationkey") >= 10).select("c_mktsegment"))
+    }),
+
+    // EXCEPT (distinct semantics): order keys with lineitems minus
+    // high-quantity ones.
+    "u4_except" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      l.select("l_orderkey")
+        .except(l.filter(col("l_quantity") > 10).select("l_orderkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "o1_sort_topn" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "o3_distinct_values" ->
+      """SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+        |ORDER BY event_type""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'O'""".stripMargin,
+    "u3_intersect" ->
+      """SELECT c_mktsegment FROM customer WHERE c_nationkey < 15
+        |INTERSECT
+        |SELECT c_mktsegment FROM customer WHERE c_nationkey >= 10""".stripMargin,
+    "u4_except" ->
+      """SELECT l_orderkey FROM lineitem
+        |EXCEPT
+        |SELECT l_orderkey FROM lineitem WHERE l_quantity > 10""".stripMargin
+  )
+}

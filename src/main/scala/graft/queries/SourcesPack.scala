@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Scans / sources / sinks (SURVEY §2.1 S1–S8).
+  *
+  * Sink operators round-trip through a local tmp dir (write then read back)
+  * so the result frame is oracle-comparable: what survives the format is
+  * what the oracle sees.
+  */
+object SourcesPack extends QueryPack {
+
+  private def tmp(name: String): String = {
+    val p = s"/tmp/graft_sinks/$name"
+    p
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: parquet scan + predicate/partition pruning (glue.py:78-83).
+    // The shipdate range + column projection both reach the parquet scan
+    // (PushedFilters / ReadSchema in .explain).
+    "s1_pruned_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")),
+
+    // S2 + S5: CSV sink then CSV scan (header, ';' sep, inferSchema) —
+    // glue.py:100, src/data/load_data.py:8-21.
+    "s2_csv_roundtrip" -> ((s, dir) => {
+      val out = tmp("s2_csv")
+      Tables.nation(s, dir).write.mode("overwrite")
+        .option("header", "true").option("sep", ";").csv(out)
+      s.read.option("header", "true").option("sep", ";")
+        .option("inferSchema", "true").csv(out)
+    }),
+
+    // S3: partitioned parquet sink, overwrite, then read back with
+    // partition discovery (glue.py:237). Partition column types are
+    // re-inferred from directory names.
+    "s3_partitioned_sink" -> ((s, dir) => {
+      val out = tmp("s3_part")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out).select("event_id", "user_id", "value", "event_type")
+    }),
+
+    // S4: append of one "daily" partition onto an existing partitioned
+    // table (lambda_function.py:73-91): write base, append one slice,
+    // read the union back.
+    "s4_partition_append" -> ((s, dir) => {
+      val out = tmp("s4_append")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      ev.filter(col("day") < "2024-01-10")
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      ev.filter(col("day") === "2024-01-10")
+        .write.mode("append").partitionBy("day").parquet(out)
+      // partition-type inference reads the dir name back as DATE; restore
+      // the written string type for comparison
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"))
+    }),
+
+    // S7: catalog registration + partition recovery — saveAsTable on a
+    // partitioned table, recoverPartitions, then SQL over the catalog
+    // table (glue.py:244-281 → spark.catalog equivalent).
+    "s7_catalog_table" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_events_refined")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .option("path", tmp("s7_catalog"))
+        .saveAsTable("graft_events_refined")
+      s.catalog.recoverPartitions("graft_events_refined")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM graft_events_refined GROUP BY event_type""".stripMargin)
+    }),
+
+    // S8: in-memory single-row source broadcast onto every row
+    // (webscrapping.py:38-41: fundamentals constant-joined to history).
+    "s8_inmem_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val consts = Seq(("BR", 42)).toDF("country_code", "answer")
+      Tables.nation(s, dir).crossJoin(broadcast(consts))
+        .select("n_nationkey", "n_name", "country_code", "answer")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_pruned_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'""".stripMargin,
+    "s2_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s3_partitioned_sink" ->
+      "SELECT event_id, user_id, value, event_type FROM events",
+    "s4_partition_append" ->
+      """SELECT event_id, user_id, value,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-10'""".stripMargin,
+    "s7_catalog_table" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+    "s8_inmem_broadcast" ->
+      """SELECT n_nationkey, n_name, 'BR' AS country_code, 42 AS answer
+        |FROM nation""".stripMargin
+  )
+}

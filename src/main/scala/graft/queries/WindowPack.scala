@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryPack, Tables}
+import graft.ops.WindowFeatures._
+
+/** Window / time-series operators (SURVEY §2.5 W1–W12) on the `events`
+  * series (key = user_id, time = ts, measure = value).
+  *
+  * Every query shares one `Window.partitionBy(user_id).orderBy(ts,
+  * event_id)` spec: one hash-exchange + one sort per query regardless of
+  * how many features are derived — the 100 TB cost model is "one shuffle
+  * per key-partitioned feature family", not per feature.
+  */
+object WindowPack extends QueryPack {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+
+  private val w = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  private val oracleWindow =
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1: first difference (glue.py:184).
+    "w1_diff" -> ((s, dir) =>
+      base(s, dir).withColumn("value_diff", diff(col("value"), w))
+        .select("event_id", "user_id", "value", "value_diff")),
+
+    // W2: lag features k ∈ {1,2,3,5} (glue.py:188-191).
+    "w2_lags" -> ((s, dir) => {
+      val d = base(s, dir)
+      Seq(1, 2, 3, 5).foldLeft(d) { (acc, k) =>
+        acc.withColumn(s"lag_$k", lagK(col("value"), k, w))
+      }.select("event_id", "user_id", "value", "lag_1", "lag_2", "lag_3", "lag_5")
+    }),
+
+    // W3: trailing rolling mean, excludes current row (glue.py:192-194).
+    "w3_rolling_mean" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("rm3", Num.r6(rollingMean(col("value"), 3, w)))
+        .withColumn("rm5", Num.r6(rollingMean(col("value"), 5, w)))
+        .select("event_id", "user_id", "rm3", "rm5")),
+
+    // W4: trailing rolling sample stddev / volatility (glue.py:193-195).
+    "w4_volatility" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("vol3", Num.r6(rollingStd(col("value"), 3, w)))
+        .withColumn("vol5", Num.r6(rollingStd(col("value"), 5, w)))
+        .select("event_id", "user_id", "vol3", "vol5")),
+
+    // W5: trailing rolling sum (preprocessing.py:331).
+    "w5_rolling_sum" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("rs5", Num.r6(rollingSum(col("value"), 5, w)))
+        .select("event_id", "user_id", "rs5")),
+
+    // W6: percent change (eda cells 37-38).
+    "w6_pct_change" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("pct", Num.r6(pctChange(col("value"), w)))
+        .select("event_id", "user_id", "pct")),
+
+    // W7: group-wise ffill then bfill over injected null runs
+    // (preprocessing.py:119,158-161).
+    "w7_ffill_bfill" -> ((s, dir) => {
+      val d = base(s, dir)
+        .withColumn("v", when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+          .otherwise(col("value")))
+      d.withColumn("v_ffill", ffill(col("v"), w))
+        .withColumn("v_filled", coalesce(col("v_ffill"), bfill(col("v"), w)))
+        .select("event_id", "user_id", "v", "v_filled")
+    }),
+
+    // W9: RSI(14) composition (preprocessing.py:337-343).
+    // NaN→null: series-head rows have 0/0 gain/loss ratio in both engines.
+    "w9_rsi" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("rsi", Num.nanToNull(Num.r6(rsi(col("value"), 14, w))))
+        .select("event_id", "user_id", "rsi")),
+
+    // W11: per-group positional train/test split (train.py:120-147):
+    // first 80% of each series by row position → train flag.
+    "w11_positional_split" -> ((s, dir) => {
+      val d = base(s, dir)
+        .withColumn("rn", rowNumber(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      d.withColumn("is_train", (col("rn") <= (col("n") * 0.8)).cast("int"))
+        .select("event_id", "user_id", "rn", "is_train")
+    }),
+
+    // W12: dedup keep-first per (user_id, day), deterministic
+    // (glue.py:226 + SURVEY W12 deterministic variant).
+    "w12_dedup_keep_first" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      dedupKeepFirst(d, Seq(col("user_id"), col("day")),
+        Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "day", "value")
+    }),
+
+    // Ranking surface (beyond reference: rank/dense_rank/ntile) — top-3
+    // events per user by value, deterministic tiebreak.
+    "w13_topk_per_key" -> ((s, dir) => {
+      val wv = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      base(s, dir)
+        .withColumn("rk", row_number().over(wv))
+        .filter(col("rk") <= 3)
+        .select("user_id", "rk", "event_id", "value")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "w1_diff" ->
+      s"""SELECT event_id, user_id, value,
+         |  value - lag(value, 1) OVER w AS value_diff
+         |FROM events $oracleWindow""".stripMargin,
+    "w2_lags" ->
+      s"""SELECT event_id, user_id, value,
+         |  lag(value, 1) OVER w AS lag_1,
+         |  lag(value, 2) OVER w AS lag_2,
+         |  lag(value, 3) OVER w AS lag_3,
+         |  lag(value, 5) OVER w AS lag_5
+         |FROM events $oracleWindow""".stripMargin,
+    "w3_rolling_mean" ->
+      s"""SELECT event_id, user_id,
+         |  round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS rm3,
+         |  round(avg(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS rm5
+         |FROM events $oracleWindow""".stripMargin,
+    "w4_volatility" ->
+      s"""SELECT event_id, user_id,
+         |  round(stddev_samp(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS vol3,
+         |  round(stddev_samp(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS vol5
+         |FROM events $oracleWindow""".stripMargin,
+    "w5_rolling_sum" ->
+      s"""SELECT event_id, user_id,
+         |  round(sum(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS rs5
+         |FROM events $oracleWindow""".stripMargin,
+    "w6_pct_change" ->
+      s"""SELECT event_id, user_id,
+         |  round(value / lag(value, 1) OVER w - 1, 6) AS pct
+         |FROM events $oracleWindow""".stripMargin,
+    "w7_ffill_bfill" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+         |  FROM events
+         |)
+         |SELECT event_id, user_id, v,
+         |  COALESCE(
+         |    last_value(v IGNORE NULLS) OVER
+         |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    first_value(v IGNORE NULLS) OVER
+         |      (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |  ) AS v_filled
+         |FROM d $oracleWindow""".stripMargin,
+    "w9_rsi" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts,
+         |    value - lag(value, 1) OVER w AS delta
+         |  FROM events $oracleWindow
+         |), g AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         |    CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+         |  FROM d
+         |)
+         |, r AS (
+         |  SELECT event_id, user_id,
+         |    round(100.0 - 100.0 / (1.0 +
+         |      (avg(gain) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) /
+         |      (avg(loss) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))), 6) AS rsi0
+         |  FROM g $oracleWindow
+         |)
+         |SELECT event_id, user_id,
+         |  CASE WHEN isnan(rsi0) THEN NULL ELSE rsi0 END AS rsi
+         |FROM r""".stripMargin,
+    "w11_positional_split" ->
+      s"""SELECT event_id, user_id,
+         |  row_number() OVER w AS rn,
+         |  CAST(row_number() OVER w <=
+         |    (count(*) OVER (PARTITION BY user_id)) * 0.8 AS INT) AS is_train
+         |FROM events $oracleWindow""".stripMargin,
+    "w12_dedup_keep_first" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) = 1""".stripMargin,
+    "w13_topk_per_key" ->
+      """SELECT user_id,
+        |  row_number() OVER wv AS rk, event_id, value
+        |FROM events
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |QUALIFY rk <= 3""".stripMargin
+  )
+}
