@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.AggPack,
     graft.queries.WindowPack,
     graft.queries.SortSetPack,
-    graft.queries.FunctionsPack
+    graft.queries.FunctionsPack,
+    graft.queries.CustomComputePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

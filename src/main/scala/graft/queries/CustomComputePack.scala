@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Num, QueryPack, Tables}
+import graft.ops.{Ewm, Interpolate, SeriesStats}
+
+/** Custom per-series compute (SURVEY §2.9, §7.4): operators with no
+  * frame-window equivalent, run as typed sorted-group folds. EWM /
+  * interpolation / ADF have no ANSI-SQL form → rows-only driver check;
+  * exact semantics are pinned by ScalaTest specs. The autocorr query IS
+  * SQL-expressible via explicit exact-decimal sums, so it anchors this
+  * family to the oracle.
+  */
+object CustomComputePack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W8: EWM(12/26) → MACD → signal(9), pandas adjust=True semantics.
+    "w8_ewm_macd" -> ((s, dir) =>
+      Ewm.macd(s, Tables.events(s, dir)).toDF()
+        .select(col("user_id"), col("event_id"), col("value"),
+          Num.r6(col("ewm_12")).as("ewm_12"),
+          Num.r6(col("ewm_26")).as("ewm_26"),
+          Num.r6(col("macd")).as("macd"),
+          Num.r6(col("macd_signal")).as("macd_signal"))),
+
+    // W10: order-2 interpolation of interior null runs, head/tail fills.
+    "w10_interpolate" -> ((s, dir) => {
+      val withNulls = Tables.events(s, dir)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(col("value")))
+      Interpolate.quadratic(s, withNulls).toDF()
+        .select(col("user_id"), col("event_id"),
+          Num.r6(col("v_interp")).as("v_interp"))
+    }),
+
+    // §5.2: per-series ADF t-stat + Ljung-Box Q.
+    "stats_adf_ljungbox" -> ((s, dir) =>
+      SeriesStats.perSeries(s, Tables.events(s, dir)).toDF()
+        .select(col("user_id"), col("n"),
+          Num.r6(col("mean")).as("mean"),
+          Num.r6(col("adf_t")).as("adf_t"),
+          Num.r6(col("ljung_box_q")).as("ljung_box_q"))),
+
+    // Lag-1 autocorrelation per series via the explicit product-moment
+    // formula over exact decimal sums — deterministic across engines, so
+    // oracle-checked (anchors the stats family to DuckDB).
+    "stats_autocorr" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val paired = Tables.events(s, dir)
+        .withColumn("x", lag(col("value"), 1).over(w))
+        .filter(col("x").isNotNull)
+        .withColumn("xd", col("x").cast(DecimalType(18, 2)))
+        .withColumn("yd", col("value").cast(DecimalType(18, 2)))
+      paired.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xd")).cast("double").as("sx"),
+          sum(col("yd")).cast("double").as("sy"),
+          sum((col("xd") * col("yd")).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+          sum((col("xd") * col("xd")).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+          sum((col("yd") * col("yd")).cast(DecimalType(28, 4))).cast("double").as("syy"))
+        .select(col("user_id"), col("n"),
+          Num.r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("autocorr_lag1"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stats_autocorr" ->
+      """WITH paired AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS yd,
+        |    CAST(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS DECIMAL(18,2)) AS xd
+        |  FROM events
+        |), sums AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(xd) AS DOUBLE) AS sx,
+        |    CAST(sum(yd) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xd * yd AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(xd * xd AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(yd * yd AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM paired WHERE xd IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr_lag1
+        |FROM sums""".stripMargin
+  )
+}
