@@ -18,7 +18,11 @@ object SparkEntry {
     graft.queries.WindowPack,
     graft.queries.SortSetPack,
     graft.queries.FunctionsPack,
-    graft.queries.CustomComputePack
+    graft.queries.CustomComputePack,
+    graft.queries.TextPack,
+    graft.queries.DedupPack,
+    graft.queries.AnnPack,
+    graft.queries.MultimodalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

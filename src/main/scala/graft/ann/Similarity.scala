@@ -1,0 +1,117 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder-prompt training-data
+  * ops): brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane (sign) LSH bucketed variant as the scale path.
+  *
+  * Scale design: brute-force is O(|Q|·|C|) — correct but only viable for a
+  * bounded query set; the LSH variant buckets the corpus once (map-only
+  * signature), then joins query↔corpus ON THE BUCKET KEY, so the
+  * per-query candidate set is |bucket| ≪ |C|. Multi-probe (Hamming-1
+  * neighbors of the query signature) recovers recall lost at bucket
+  * boundaries without touching the corpus again.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float> columns, computed in double.
+    * Sequential fold order matches DuckDB's list functions → deterministic
+    * cross-engine values. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Brute-force top-k neighbors for the query set `queries` (vec_id,
+    * embedding) against the corpus; deterministic tiebreak on rounded
+    * similarity then neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "sim")
+  }
+
+  // ---- sign LSH -----------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: planes(p)(d) from splitmix64
+    * of (p, d) — identical on every executor without broadcast. */
+  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        var z = seed + p * 1000003L + d + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        // map to (-1, 1): sign-symmetric uniform
+        (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+      }
+    }
+
+  def signature(v: Array[Float], pl: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < pl.length) {
+      var s = 0.0
+      val plane = pl(p)
+      var d = 0
+      while (d < v.length && d < plane.length) { s += v(d) * plane(d); d += 1 }
+      if (s >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  case class SigRow(vec_id: Long, bucket: Int)
+
+  /** LSH top-k: bucket corpus + queries with `numPlanes`-bit signatures,
+    * multi-probe the query's bucket and its Hamming-1 neighbors. */
+  def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int, numPlanes: Int = 12): DataFrame = {
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(numPlanes, dim)
+
+    val cSig = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => SigRow(id, signature(v, pl)) }
+      .toDF("cid", "bucket")
+    val qSig = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val s = signature(v, pl)
+        // multi-probe: own bucket + Hamming-1 neighbors
+        Iterator.single(SigRow(id, s)) ++
+          (0 until numPlanes).iterator.map(b => SigRow(id, s ^ (1 << b)))
+      }
+      .toDF("qid", "bucket")
+
+    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+
+    val cand = qSig.join(cSig, "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand
+      .join(broadcast(qEmb), "qid")
+      .join(cEmb, "cid")
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "sim")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryPack, Tables}
+import graft.text.Dedup
+
+/** Deduplication operators over `documents` (builder-prompt training-data
+  * ops). Exact + word-Jaccard are oracle-checked; MinHash-LSH and SimHash
+  * signatures are engine-defined hashes → rows-only + specs.
+  */
+object DedupPack extends QueryPack {
+
+  /** documents ∪ synthetic near-duplicates: every 20th doc re-appears with
+    * doc_id+1,000,000 and its last two tokens dropped — a deterministic
+    * near-dup population so the LSH queries have recall to demonstrate. */
+  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val dups = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
+          "greatest(size(split(trim(text), '\\\\s+')) - 2, 1)), ' ')").as("text"))
+    d.unionByName(dups)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via content-hash groupBy: shuffle key is the md5 digest,
+    // not the document body.
+    "d1_exact_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
+    // MinHash + LSH banding near-dup pairs (shingle w=3, 64 perms,
+    // 16 bands × 4): exact-Jaccard-verified candidates.
+    "d2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s, withNearDups(s, dir), shingleW = 3, threshold = 0.5)
+        .toDF()
+        .select(col("doc_a"), col("doc_b"), Num.r6(col("jaccard")).as("jaccard"))),
+
+    // SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit chunk banding.
+    "d3_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s, withNearDups(s, dir), maxDist = 3).toDF()),
+
+    // Word-set Jaccard between consecutive doc ids — the exact n-gram
+    // similarity primitive, oracle-checked via array set algebra.
+    "d4_word_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("ws"))
+      val a = d.select(col("doc_id").as("doc_a"), col("ws").as("wa"))
+      val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+        col("ws").as("wb"))
+      a.join(b, "doc_a")
+        .select(col("doc_a"), col("doc_b"),
+          Num.r6(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb")))).as("jaccard"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d4_word_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryPack, Tables}
+import graft.functions.Fnv64
+
+/** Text-analysis operators over `documents` (builder-prompt training-data
+  * ops): token counting, quality scoring, language ID, fingerprinting.
+  * All pure column expressions (codegen'd) — a 100 TB text scan stays
+  * map-only with zero shuffles.
+  */
+object TextPack extends QueryPack {
+
+  private val stopEn = Seq("the", "a", "of", "and", "is", "to")
+  private val stopPt = Seq("o", "de", "que", "e", "um", "para")
+  private val stopEs = Seq("el", "de", "que", "y", "un", "para")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Whitespace token count + BPE-ish regex token count.
+    "t1_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("n_bpe_tokens",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")),
+
+    // Quality scoring: length / word stats / stopword ratio.
+    "t2_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("words", split(trim(col("text")), "\\s+"))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("avg_word_len",
+          Num.r6((col("n_chars") - col("n_words") + 1) / col("n_words")))
+        .withColumn("stop_hits",
+          size(expr(s"filter(words, w -> w IN (${sqlList(stopEn)}))")))
+        .withColumn("stopword_ratio", Num.r6(col("stop_hits") / col("n_words")))
+        .select("doc_id", "n_chars", "n_words", "avg_word_len",
+          "stop_hits", "stopword_ratio")),
+
+    // Language ID: n-gram/stopword-hit heuristic, deterministic argmax.
+    "t3_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("words", split(trim(col("text")), "\\s+"))
+        .withColumn("s_en", size(expr(s"filter(words, w -> w IN (${sqlList(stopEn)}))")))
+        .withColumn("s_pt", size(expr(s"filter(words, w -> w IN (${sqlList(stopPt)}))")))
+        .withColumn("s_es", size(expr(s"filter(words, w -> w IN (${sqlList(stopEs)}))")))
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_pt") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_pt") >= col("s_es"), "pt")
+            .otherwise("es"))
+        .select("doc_id", "s_en", "s_pt", "s_es", "lang_pred")),
+
+    // Document fingerprint via the native Catalyst expression (codegen'd);
+    // engine-specific hash → rows-only check, determinism pinned in specs.
+    "t4_fingerprint" -> ((s, dir) => {
+      Fnv64.register(s)
+      Tables.documents(s, dir)
+        .withColumn("fp", call_function("graft_fnv64", col("text")))
+        .select("doc_id", "fp")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "t2_quality_score" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |  round((length(text) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+         |    / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_word_len,
+         |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN (${sqlList(stopEn)}))) AS stop_hits,
+         |  round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN (${sqlList(stopEn)})))
+         |    / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "t3_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(words, w -> w IN (${sqlList(stopEn)}))) AS s_en,
+         |    len(list_filter(words, w -> w IN (${sqlList(stopPt)}))) AS s_pt,
+         |    len(list_filter(words, w -> w IN (${sqlList(stopEs)}))) AS s_es
+         |  FROM t
+         |)
+         |SELECT doc_id, s_en, s_pt, s_es,
+         |  CASE WHEN s_en >= s_pt AND s_en >= s_es THEN 'en'
+         |       WHEN s_pt >= s_es THEN 'pt' ELSE 'es' END AS lang_pred
+         |FROM sc""".stripMargin
+  )
+}

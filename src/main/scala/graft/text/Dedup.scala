@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv64
+
+/** Document deduplication family (builder-prompt training-data ops):
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale design:
+  *  - Exact dedup: groupBy(md5(text)) — one shuffle on the 128-bit digest,
+  *    never on the full text (the digest is the shuffle key at 100 TB).
+  *  - MinHash LSH: shingle→64-perm signature→16 bands × 4 rows. Candidate
+  *    generation is a self-join ON THE BAND KEY (explode 16 rows/doc,
+  *    groupBy band bucket): cost is Σ|bucket|², never n². Exact Jaccard
+  *    verification only on candidates.
+  *  - SimHash: map-only 64-bit signature; near-dup candidates via 4×16-bit
+  *    chunk banding (Hamming ≤ 3 ⇒ at least one identical chunk by
+  *    pigeonhole).
+  */
+object Dedup {
+
+  // ---- tokenization / shingles -------------------------------------------
+
+  def tokens(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Hashed w-shingles (token n-grams) as a distinct set. */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length < w) Array(Fnv64.hashString(ts.mkString(" ")))
+    else ts.sliding(w).map(g => Fnv64.hashString(g.mkString(" "))).toArray.distinct
+  }
+
+  // ---- MinHash ------------------------------------------------------------
+
+  final val NumPerms = 64
+  final val Bands = 16
+  final val RowsPerBand = NumPerms / Bands
+  private final val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic splitmix64 stream for the permutation coefficients. */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val permA: Array[Long] =
+    Array.tabulate(NumPerms)(i => (splitmix(2 * i).abs % (MersennePrime - 1)) + 1)
+  private val permB: Array[Long] =
+    Array.tabulate(NumPerms)(i => splitmix(2 * i + 1).abs % MersennePrime)
+
+  /** 64-value MinHash signature over the hashed shingle set. */
+  def minhashSignature(shingles: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s) & Long.MaxValue // non-negative
+      var i = 0
+      while (i < NumPerms) {
+        // (a*h + b) mod p via unsigned 128-free trick: values < 2^61
+        val v = (permA(i) * (h % MersennePrime) + permB(i)) % MersennePrime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  def bandHashes(sig: Array[Long]): Array[Long] =
+    Array.tabulate(Bands) { b =>
+      var h = Fnv64.Offset
+      var r = 0
+      while (r < RowsPerBand) {
+        val v = sig(b * RowsPerBand + r)
+        var k = 0
+        while (k < 8) { h ^= (v >>> (8 * k)) & 0xffL; h *= Fnv64.Prime; k += 1 }
+        r += 1
+      }
+      h
+    }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  case class DocShingles(doc_id: Long, shingles: Array[Long])
+  case class BandRow(doc_id: Long, band: Int, bucket: Long)
+  case class DupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Near-duplicate pairs with exact Jaccard ≥ threshold, candidates via
+    * MinHash-LSH banding. `docs` needs (doc_id, text). */
+  def minhashLshPairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      threshold: Double): Dataset[DupPair] = {
+    import spark.implicits._
+    val sh: Dataset[DocShingles] = docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => DocShingles(id, shingleHashes(t, shingleW)) }
+    sh.cache()
+
+    val bands: Dataset[BandRow] = sh.flatMap { d =>
+      val bh = bandHashes(minhashSignature(d.shingles))
+      bh.iterator.zipWithIndex.map { case (h, b) => BandRow(d.doc_id, b, h) }
+    }
+
+    // bucket-join: docs sharing (band, bucket) are candidates
+    val candidates = bands.toDF("doc_a", "band", "bucket")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    val withSets = candidates
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+
+    withSets
+      .map { case (b, a, sa, sb) => DupPair(a, b, jaccard(sa, sb)) }
+      .filter(_.jaccard >= threshold)
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over token FNV hashes (unit weights). */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    tokens(text).foreach { t =>
+      val h = Fnv64.hashString(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  case class SimhashRow(doc_id: Long, simhash: Long)
+  case class SimPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Near-dup pairs with Hamming(simhash) ≤ maxDist, candidates via
+    * 4×16-bit chunk banding (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxDist: Int): Dataset[SimPair] = {
+    import spark.implicits._
+    val sh: Dataset[SimhashRow] = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, t) => SimhashRow(id, simhash(t)) }
+    sh.cache()
+    val chunks = sh.flatMap { r =>
+      (0 until 4).iterator.map(c => (r.doc_id, c, (r.simhash >>> (16 * c)) & 0xffffL))
+    }.toDF("doc_id", "chunk", "key")
+    val cand = chunks.toDF("doc_a", "chunk", "key")
+      .join(chunks.toDF("doc_b", "chunk", "key"), Seq("chunk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.toDF("doc_a", "sim_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sim_b"), "doc_b")
+      .as[(Long, Long, Long, Long)]
+      .map { case (b, a, sa, sb) => SimPair(a, b, hamming(sa, sb)) }
+      .filter(_.hamming <= maxDist)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+
+  test("minhash LSH finds constructed near-duplicates and not unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      doc(1, base),
+      doc(2, base + " today"),                       // near-dup of 1
+      doc(3, "completely different words about spark catalyst optimizer plans and shuffles everywhere"),
+      doc(4, base.replace("cat", "bird"))            // near-dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(spark, docs, shingleW = 3, threshold = 0.5)
+      .collect().map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard is exact on known sets") {
+    val a = Array(1L, 2L, 3L, 4L)
+    val b = Array(3L, 4L, 5L, 6L)
+    assert(math.abs(Dedup.jaccard(a, b) - 2.0 / 6.0) < 1e-12)
+    assert(Dedup.jaccard(a, a) === 1.0)
+  }
+
+  test("minhash signature approximates jaccard") {
+    val shA = Dedup.shingleHashes(base, 3)
+    val shB = Dedup.shingleHashes(base + " extra tail words here", 3)
+    val sigA = Dedup.minhashSignature(shA)
+    val sigB = Dedup.minhashSignature(shB)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / sigA.length
+    val exact = Dedup.jaccard(shA, shB)
+    assert(math.abs(est - exact) < 0.3, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-identical docs within hamming 3, unrelated docs far apart") {
+    val a = Dedup.simhash(base)
+    val b = Dedup.simhash(base + " today")
+    val c = Dedup.simhash("entirely unrelated content regarding database engines and query plans")
+    assert(Dedup.hamming(a, b) <= 3)
+    assert(Dedup.hamming(a, c) > 10)
+  }
+
+  test("simhashPairs surfaces the constructed near-dup via chunk banding") {
+    import spark.implicits._
+    val docs = Seq(
+      doc(1, base),
+      doc(2, base + " today"),
+      doc(3, "entirely unrelated content regarding database engines and query plans")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(spark, docs, maxDist = 3)
+      .collect().map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
