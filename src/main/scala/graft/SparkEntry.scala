@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.TextPack,
     graft.queries.DedupPack,
     graft.queries.AnnPack,
-    graft.queries.MultimodalPack
+    graft.queries.MultimodalPack,
+    graft.queries.StreamingPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

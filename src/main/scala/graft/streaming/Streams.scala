@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming mapping of the reference's incremental semantics
+  * (SURVEY §2.8): the Lambda appends one day-partition per run
+  * (/root/reference/src/lambda_predict/lambda_function.py:42,83) and Glue
+  * reprocesses a 10-day lookback with dedup + overwrite
+  * (/root/reference/glue.py:47-48,226,237). Spark-native: a file-source
+  * stream with a 10-day watermark, stateful `dropDuplicates` on the
+  * (key, day) grain, and windowed aggregation.
+  *
+  * The fixture runs drive the stream synchronously with a memory sink
+  * (`processAllAvailable`) so the driver's batch-style check applies; in
+  * production the same plan runs `foreachBatch` → dynamic partition
+  * overwrite, exactly the reference's idempotent upsert.
+  */
+object Streams {
+
+  /** events.parquet read as a bounded stream (schema pinned up front —
+    * streaming sources don't infer): ts arrives as raw nanos (see
+    * graft.Tables.events) and converts to a micros timestamp. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source needs a directory (it models the reference's
+    // raw/ano=/mes=/dia=/ landing zone) — stage the fixture file into one
+    val inDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_in/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(schema)
+      .parquet(inDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToTable(df: DataFrame, spark: SparkSession, name: String,
+      outputMode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Stateful streaming dedup on (user_id, day) under a 10-day watermark —
+    * the reference's lookback-window dedup as incremental state. Output is
+    * the distinct key set (which concrete row survives is arrival-order
+    * dependent, so only the keys are the deterministic surface). */
+  def dedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", "10 days")
+      .dropDuplicates("user_id", "day")
+      .select(col("user_id"), col("day"))
+    runToTable(deduped, spark, "graft_stream_dedup", "append")
+  }
+
+  /** Tumbling 1-day windowed aggregation per event_type with exact decimal
+    * sums (complete mode so all windows surface on the bounded fixture). */
+  def dailyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("total"))
+    runToTable(agg, spark, "graft_stream_agg", "complete")
+  }
+}

@@ -15,4 +15,4 @@ for i in $(seq 1 $((TIMEOUT / 2))); do
   fi
   sleep 2
 done
-tmux capture-pane -t sbt -p -S -20000 | awk "/> $CMD/{f=1} f" | grep -v "^$MARK"
+tmux capture-pane -t sbt -p -S -20000 | grep -v "^$MARK"
