@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.DedupPack,
     graft.queries.AnnPack,
     graft.queries.MultimodalPack,
-    graft.queries.StreamingPack
+    graft.queries.StreamingPack,
+    graft.queries.MlPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
