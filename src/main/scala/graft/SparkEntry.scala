@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.AnnPack,
     graft.queries.MultimodalPack,
     graft.queries.StreamingPack,
-    graft.queries.MlPack
+    graft.queries.MlPack,
+    graft.queries.TemporalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

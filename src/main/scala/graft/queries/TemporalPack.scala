@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.ops.WindowFeatures.{bfill, ffill}
+
+/** Temporal joins & sessionization — operators beyond the reference's
+  * surface that a keyed-time-series engine needs (builder prompt: as-of
+  * join / range join as candidate custom operators).
+  *
+  * Per the preference order (compose builtins > custom Expression > custom
+  * SparkPlan), all three ARE expressible with builtins, scalably:
+  *
+  *  - as-of join: union the two sides tagged, one window sort per key,
+  *    forward-fill the quote columns, keep the probe rows. One shuffle on
+  *    the series key — same cost class as any window feature; no range
+  *    explosion, no custom physical operator needed.
+  *  - range join: equi-join on a coarse time bucket (probe side explodes
+  *    to its bucket and the successor) + exact range filter — the bucket
+  *    key bounds the join fan-out at 100 TB instead of a full theta join.
+  *  - sessionization: gap-flag via lag, running sum → session id. Two
+  *    window passes over one sort.
+  */
+object TemporalPack extends QueryPack {
+
+  /** quotes = every 10th event (sparser series), trades = all events. */
+  private def quotesAndTrades(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+    val quotes = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("quote_value"))
+    (quotes, ev)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of (backward, inclusive) join: each trade gets the latest quote
+    // with q.ts <= t.ts for its user.
+    "tj1_asof_join" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      val q = quotes.select(col("user_id"), col("ts"),
+        col("event_id").as("src_id"), col("quote_value"),
+        lit(0).as("tag"), lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("double").as("value"))
+      val t = trades.select(col("user_id"), col("ts"),
+        col("event_id").as("src_id"), lit(null).cast("double").as("quote_value"),
+        lit(1).as("tag"), col("event_id"), col("value"))
+      // quotes sort before trades at equal ts (tag 0 < 1) → inclusive match
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("src_id"))
+      q.unionByName(t)
+        .withColumn("asof_quote", ffill(col("quote_value"), w))
+        .filter(col("tag") === 1)
+        .select("event_id", "user_id", "value", "asof_quote")
+    }),
+
+    // Range join: count, per event, the same-user events strictly within
+    // the following 5 minutes. Bucketed equi-join bounds the fan-out.
+    "tj2_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val bucket = (c: org.apache.spark.sql.Column) =>
+        floor(unix_timestamp(c) / 300).cast("long")
+      val left = ev
+        .withColumn("bkt", explode(array(bucket(col("ts")), bucket(col("ts")) + 1)))
+        .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"), col("bkt"))
+      val right = ev
+        .withColumn("bkt", bucket(col("ts")))
+        .select(col("event_id").as("b_id"), col("user_id"), col("ts").as("b_ts"), col("bkt"))
+      val pairs = left.join(right, Seq("user_id", "bkt"))
+        .filter(col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val counts = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_following"))
+      ev.select(col("event_id").as("a_id"))
+        .join(counts, Seq("a_id"), "left")
+        .select(col("a_id").as("event_id"),
+          coalesce(col("n_following"), lit(0L)).as("n_following"))
+    }),
+
+    // Sessionization: 30-minute inactivity gap starts a new session.
+    "tj3_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .withColumn("gap",
+          when(lag(col("ts"), 1).over(w).isNull, 1)
+            .when(unix_timestamp(col("ts")) -
+              unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tj1_asof_join" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, event_id, value AS quote_value FROM events
+        |  WHERE event_id % 10 = 0
+        |)
+        |SELECT t.event_id, t.user_id, t.value,
+        |  (SELECT q.quote_value FROM quotes q
+        |   WHERE q.user_id = t.user_id AND q.ts <= t.ts
+        |   ORDER BY q.ts DESC, q.event_id DESC LIMIT 1) AS asof_quote
+        |FROM events t""".stripMargin,
+    "tj2_range_join" ->
+      """SELECT a.event_id,
+        |  (SELECT count(*) FROM events b
+        |   WHERE b.user_id = a.user_id
+        |     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE) AS n_following
+        |FROM events a""".stripMargin,
+    "tj3_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+        |         WHEN epoch(ts) - epoch(lag(ts, 1) OVER w) > 1800 THEN 1
+        |         ELSE 0 END AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}
