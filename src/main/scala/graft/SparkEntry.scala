@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.MultimodalPack,
     graft.queries.StreamingPack,
     graft.queries.MlPack,
-    graft.queries.TemporalPack
+    graft.queries.TemporalPack,
+    graft.queries.ScalePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

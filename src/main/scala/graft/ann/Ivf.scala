@@ -1,0 +1,83 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-flat approximate nearest neighbor (the builder prompt's "IVF or
+  * LSH-bucketed variant as the scale path").
+  *
+  * Coarse quantizer: a fixed set of centroid vectors (here: a
+  * deterministic sample of the corpus — in production, k-means centroids
+  * refreshed offline). Every corpus vector is assigned to its nearest
+  * centroid once (map-only, centroids broadcast); a query probes only the
+  * `nProbe` nearest centroid lists. Candidate cost per query is
+  * Σ|probed lists| ≪ |corpus|, and the inverted lists are the shuffle
+  * key — the 100 TB path never scans the full corpus per query.
+  */
+object Ivf {
+
+  case class Assigned(vec_id: Long, centroid: Int)
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** Deterministic centroids: every (|corpus|/k)-th vector. */
+  def centroids(corpus: DataFrame, k: Int): Array[(Int, Array[Float])] = {
+    val n = corpus.count()
+    val step = math.max(n / k, 1L)
+    corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+  }
+
+  def nearestCentroids(v: Array[Float], cents: Array[(Int, Array[Float])],
+      nProbe: Int): Seq[Int] =
+    cents.map { case (ci, cv) => (ci, cosineLocal(v, cv)) }
+      .sortBy { case (ci, sim) => (-sim, ci) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** Top-k via IVF lists: corpus assigned to 1 list each, queries probe
+    * `nProbe` lists; exact cosine only within probed lists. */
+  def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(corpus, nLists)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => Assigned(id, nearestCentroids(v, bc.value, 1).head) }
+      .toDF("cid", "centroid")
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCentroids(v, bc.value, nProbe).map(c => (id, c))
+      }
+      .toDF("qid", "centroid")
+
+    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    probes.join(assigned, "centroid")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+      .join(broadcast(qEmb), "qid")
+      .join(cEmb, "cid")
+      .withColumn("sim", round(Similarity.cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "sim")
+  }
+}

@@ -39,6 +39,13 @@ object AnnPack extends QueryPack {
     "n3_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(s, e, queriesSet(e), k = 5)
+    }),
+
+    // IVF-flat top-5: corpus in 16 inverted lists, queries probe 4
+    // (recall vs brute force pinned in IvfSpec).
+    "n4_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ivf.topK(s, e, queriesSet(e), k = 5)
     })
   )
 

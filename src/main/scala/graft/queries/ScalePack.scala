@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryPack, Tables}
+
+/** Scale-technique demonstrations (SURVEY §4 shuffle/skew rules): each
+  * query applies a 100 TB mitigation while producing the SAME result as
+  * the naive plan — so the oracle checks the technique's correctness.
+  */
+object ScalePack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skew mitigation: two-stage salted aggregation. Stage 1 aggregates on
+    // (key, salt) — a hot key spreads over 16 reducers; stage 2 merges the
+    // partials. Result ≡ plain groupBy, which is what the oracle asserts.
+    "sc1_salted_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      val partial = li.groupBy(col("l_returnflag"), col("salt"))
+        .agg(
+          sum(col("l_quantity")).as("p_qty"),
+          count(lit(1)).as("p_cnt"))
+      partial.groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("p_qty")).as("sum_qty"),
+          sum(col("p_cnt")).as("n_rows"))
+    }),
+
+    // Shuffle elimination: bucketed tables co-locate join keys at write
+    // time; the sort-merge join then needs no Exchange (asserted in
+    // ScaleSpec). Result ≡ plain inner join + agg.
+    "sc2_bucketed_join" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", "/tmp/graft_sinks/b_orders")
+        .saveAsTable("graft_b_orders")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", "/tmp/graft_sinks/b_lineitem")
+        .saveAsTable("graft_b_lineitem")
+      val o = s.table("graft_b_orders")
+      val l = s.table("graft_b_lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Repartition + sortWithinPartitions: the secondary-sort layout used
+    // by per-series custom ops, surfaced as a query — per-partition sorted
+    // runs let downstream mapPartitions stream series without a sort.
+    // Result set ≡ identity projection (layout is a physical property).
+    "sc3_repartition_sorted" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+        .select("event_id", "user_id", "value"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sc1_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sc2_bucketed_join" ->
+      """SELECT o.o_orderpriority, sum(l.l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "sc3_repartition_sorted" ->
+      "SELECT event_id, user_id, value FROM events"
+  )
+}

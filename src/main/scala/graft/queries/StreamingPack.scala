@@ -13,7 +13,8 @@ object StreamingPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup" -> ((s, dir) => Streams.dedupKeys(s, dir)),
-    "st2_stream_window_agg" -> ((s, dir) => Streams.dailyAgg(s, dir))
+    "st2_stream_window_agg" -> ((s, dir) => Streams.dailyAgg(s, dir)),
+    "st3_stateful_totals" -> ((s, dir) => Streams.statefulUserTotals(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -23,6 +24,10 @@ object StreamingPack extends QueryPack {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st3_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

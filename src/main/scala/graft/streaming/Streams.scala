@@ -19,6 +19,9 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  case class Ev(user_id: Long, value: Double)
+  case class Totals(n: Long, sum_value_cents: Long)
+
   /** events.parquet read as a bounded stream (schema pinned up front —
     * streaming sources don't infer): ts arrives as raw nanos (see
     * graft.Tables.events) and converts to a micros timestamp. */
@@ -61,6 +64,38 @@ object Streams {
       .dropDuplicates("user_id", "day")
       .select(col("user_id"), col("day"))
     runToTable(deduped, spark, "graft_stream_dedup", "append")
+  }
+
+  /** Arbitrary stateful processing (`flatMapGroupsWithState`): a running
+    * per-user event counter + value sum kept in typed state across
+    * micro-batches — the KeyValueGroupedDataset custom-state surface
+    * (SURVEY §2.8 mapping). On the bounded fixture the final state equals
+    * the batch GROUP BY, which is the oracle. */
+  def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updated = eventStream(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Totals]) =>
+          var t = state.getOption.getOrElse(Totals(0L, 0L))
+          rows.foreach { e =>
+            t = Totals(t.n + 1, t.sum_value_cents + math.round(e.value * 100))
+          }
+          state.update(t)
+          Iterator.single((uid, t.n, t.sum_value_cents))
+      }
+      .toDF("user_id", "n_events", "sum_value_cents")
+    val all = runToTable(updated, spark, "graft_stream_state", "update")
+    // update mode emits one row per key per batch; the final state per key
+    // is the max-n row
+    import org.apache.spark.sql.expressions.Window
+    all.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Tumbling 1-day windowed aggregation per event_type with exact decimal

@@ -1,0 +1,44 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class IvfSpec extends SparkSuite {
+
+  private def clustered(nCenters: Int, perCenter: Int, dim: Int) = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until nCenters
+      m <- 0 until perCenter
+    } yield {
+      val v = Array.tabulate(dim) { d =>
+        val centerVal = if (d % nCenters == c) 1.0f else 0.0f
+        val jitter = (((c * 31 + m * 17 + d * 7) % 11) - 5) / 200.0f
+        centerVal + jitter
+      }
+      ((c * perCenter + m).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    val df = clustered(4, 16, 16)
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val bf = Similarity.bruteForceTopK(df, queries, k = 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(spark, df, queries, k = 3, nLists = 8, nProbe = 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
+  test("centroid assignment is deterministic and probe lists are bounded") {
+    val df = clustered(4, 8, 16)
+    val cents = Ivf.centroids(df, 8)
+    assert(cents.length === 8)
+    val v = Array.tabulate(16)(i => i / 16.0f)
+    val p1 = Ivf.nearestCentroids(v, cents, 3)
+    val p2 = Ivf.nearestCentroids(v, cents, 3)
+    assert(p1 === p2 && p1.length === 3)
+  }
+}
