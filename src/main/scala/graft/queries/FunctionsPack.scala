@@ -81,7 +81,18 @@ object FunctionsPack extends QueryPack {
     "f7_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-        .select("event_id", "k"))
+        .select("event_id", "k")),
+
+    // Schema-on-read JSON → struct column + dot access (nested type
+    // surface the reference never used but the engine exposes).
+    "f8_from_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
+        .select(col("event_id"), col("p.k").as("k"),
+          (col("p.k") * 2).as("k2")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,6 +140,11 @@ object FunctionsPack extends QueryPack {
     "f7_json_extract" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |FROM events""".stripMargin,
+    "f8_from_json" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) * 2 AS k2
         |FROM events""".stripMargin
   )
 }

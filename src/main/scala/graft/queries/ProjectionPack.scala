@@ -65,6 +65,14 @@ object ProjectionPack extends QueryPack {
         .limit(10)
         .select("o_orderkey", "o_totalprice")),
 
+    // P10b: seeded row sample (preprocessing.py:17-19 df.sample) —
+    // deterministic within Spark for a fixed seed, but engine-specific
+    // sampling → rows-only check; the invariant (sample ⊆ input,
+    // fraction-ballpark size) is what matters.
+    "p12_sample" -> ((s, dir) =>
+      Tables.orders(s, dir).sample(withReplacement = false, 0.1, seed = 42L)
+        .select("o_orderkey", "o_totalprice")),
+
     // P11: conditional value mask (preprocessing.py:339-340, the RSI
     // gain/loss split).
     "p11_conditional_mask" -> ((s, dir) =>
