@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.StreamingPack,
     graft.queries.MlPack,
     graft.queries.TemporalPack,
-    graft.queries.ScalePack
+    graft.queries.ScalePack,
+    graft.queries.TypedPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -43,6 +43,27 @@ object DedupPack extends QueryPack {
     "d3_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, withNearDups(s, dir), maxDist = 3).toDF()),
 
+    // MLlib-native variant (SURVEY §7.4: MLlib MinHashLSH): tokens →
+    // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
+    // seed → deterministic within the engine; rows-only check.
+    "d5_mllib_minhash" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+      val docs = withNearDups(s, dir)
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 16)
+      val featurized = tf.transform(tok.transform(docs))
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(featurized)
+      model.approxSimilarityJoin(featurized, featurized, 0.5, "jaccard_dist")
+        .select(
+          col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          Num.r6(col("jaccard_dist")).as("jaccard_dist"))
+        .filter(col("doc_a") < col("doc_b"))
+    }),
+
     // Word-set Jaccard between consecutive doc ids — the exact n-gram
     // similarity primitive, oracle-checked via array set algebra.
     "d4_word_jaccard" -> ((s, dir) => {
