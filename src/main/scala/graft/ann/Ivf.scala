@@ -67,15 +67,18 @@ object Ivf {
       }
       .toDF("qid", "centroid")
 
-    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      Similarity.l2norm(col("embedding")).as("q_norm"))
+    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+      Similarity.l2norm(col("embedding")).as("c_norm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     probes.join(assigned, "centroid")
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
       .join(broadcast(qEmb), "qid")
       .join(cEmb, "cid")
-      .withColumn("sim", round(Similarity.cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("sim",
+        round(Similarity.dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "sim")

@@ -17,25 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float> columns, computed in double.
-    * Sequential fold order matches DuckDB's list functions → deterministic
-    * cross-engine values. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float> columns in double; sequential fold
+    * order matches DuckDB's list functions → deterministic cross-engine. */
+  def dot(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<float> columns, computed in double. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+
+  /** L2 norm column, for precomputing once per vector (norms are
+    * recomputed per PAIR otherwise — the n×k-fold saving at scale). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force top-k neighbors for the query set `queries` (vec_id,
     * embedding) against the corpus; deterministic tiebreak on rounded
     * similarity then neighbor id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // norms once per vector, not once per pair
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      l2norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+      l2norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm"), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored
@@ -98,8 +106,10 @@ object Similarity {
       }
       .toDF("qid", "bucket")
 
-    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      l2norm(col("embedding")).as("q_norm"))
+    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+      l2norm(col("embedding")).as("c_norm"))
 
     val cand = qSig.join(cSig, "bucket")
       .filter(col("qid") =!= col("cid"))
@@ -109,7 +119,8 @@ object Similarity {
     cand
       .join(broadcast(qEmb), "qid")
       .join(cEmb, "cid")
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "sim")
