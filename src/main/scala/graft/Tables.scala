@@ -57,8 +57,17 @@ object Tables {
   *    sequential summation).
   */
 object Num {
-  def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 6)
-  def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 4)
+  /** Cross-engine-deterministic 6-decimal rounding: `floor(x·1e6+0.5)/1e6`
+    * is pure IEEE double arithmetic, so Spark and DuckDB produce the SAME
+    * result on the SAME input double — unlike library `round`, where Spark
+    * rounds the shortest decimal repr and DuckDB rounds the binary value
+    * (they disagree on representational boundaries ~1e-6 of the time).
+    * NaN is preserved (floor would otherwise coerce it). The matching
+    * oracle-SQL fragment is `floor((x) * 1000000 + 0.5) / 1000000`. */
+  def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isnan(c), c).otherwise(floor(c * 1000000d + 0.5d) / 1000000d)
+  def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isnan(c), c).otherwise(floor(c * 10000d + 0.5d) / 10000d)
   def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 2)
 
   /** Exact sum of a 2-decimal double column via decimal, returned as double. */

@@ -78,7 +78,7 @@ object Ivf {
       .join(broadcast(qEmb), "qid")
       .join(cEmb, "cid")
       .withColumn("sim",
-        round(Similarity.dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm"), 6))
+        graft.Num.r6(Similarity.dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "sim")

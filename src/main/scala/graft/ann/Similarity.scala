@@ -43,7 +43,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim",
-        round(dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm"), 6))
+        graft.Num.r6(dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored
@@ -120,7 +120,7 @@ object Similarity {
       .join(broadcast(qEmb), "qid")
       .join(cEmb, "cid")
       .withColumn("sim",
-        round(dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm"), 6))
+        graft.Num.r6(dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "sim")

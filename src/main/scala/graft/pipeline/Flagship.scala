@@ -109,19 +109,19 @@ object Flagship {
       |    lag(value_diff, 2) OVER w AS lag_2_value_diff,
       |    lag(value_diff, 3) OVER w AS lag_3_value_diff,
       |    lag(value_diff, 5) OVER w AS lag_5_value_diff,
-      |    round(avg(value_diff) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS rolling_mean_3_value_diff,
-      |    round(avg(value_diff) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS rolling_mean_5_value_diff,
-      |    round(stddev_samp(value_diff) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS volatility_3_value_diff,
-      |    round(stddev_samp(value_diff) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS volatility_5_value_diff
+      |    floor((avg(value_diff) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rolling_mean_3_value_diff,
+      |    floor((avg(value_diff) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rolling_mean_5_value_diff,
+      |    floor((stddev_samp(value_diff) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS volatility_3_value_diff,
+      |    floor((stddev_samp(value_diff) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS volatility_5_value_diff
       |  FROM feat0
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |)
       |SELECT user_id, date, event_type, value, segment,
       |  dow_spark AS dayofweek, mon AS month,
-      |  round(sin(2*pi() * (((dow_spark - 2) % 5 + 5) % 5) / 5), 6) AS day_sin,
-      |  round(cos(2*pi() * (((dow_spark - 2) % 5 + 5) % 5) / 5), 6) AS day_cos,
-      |  round(sin(2*pi() * mon / 12), 6) AS month_sin,
-      |  round(cos(2*pi() * mon / 12), 6) AS month_cos,
+      |  floor((sin(2*pi() * (((dow_spark - 2) % 5 + 5) % 5) / 5)) * 1000000 + 0.5) / 1000000 AS day_sin,
+      |  floor((cos(2*pi() * (((dow_spark - 2) % 5 + 5) % 5) / 5)) * 1000000 + 0.5) / 1000000 AS day_cos,
+      |  floor((sin(2*pi() * mon / 12)) * 1000000 + 0.5) / 1000000 AS month_sin,
+      |  floor((cos(2*pi() * mon / 12)) * 1000000 + 0.5) / 1000000 AS month_cos,
       |  COALESCE(value_diff, 0) AS value_diff,
       |  COALESCE(lag_1_value_diff, 0) AS lag_1_value_diff,
       |  COALESCE(lag_2_value_diff, 0) AS lag_2_value_diff,

@@ -168,12 +168,12 @@ object AggPack extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(o_totalprice) AS mean_price,
         |  min(o_totalprice) AS min_price,
-        |  round(quantile_cont(o_totalprice, 0.10), 6) AS p10,
-        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
-        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
-        |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+        |  floor((quantile_cont(o_totalprice, 0.10)) * 1000000 + 0.5) / 1000000 AS p10,
+        |  floor((quantile_cont(o_totalprice, 0.25)) * 1000000 + 0.5) / 1000000 AS p25,
+        |  floor((quantile_cont(o_totalprice, 0.50)) * 1000000 + 0.5) / 1000000 AS p50,
+        |  floor((quantile_cont(o_totalprice, 0.75)) * 1000000 + 0.5) / 1000000 AS p75,
+        |  floor((quantile_cont(o_totalprice, 0.95)) * 1000000 + 0.5) / 1000000 AS p95,
+        |  floor((quantile_cont(o_totalprice, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
         |  max(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
     "a8_mean_impute" ->

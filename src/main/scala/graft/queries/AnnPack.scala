@@ -52,8 +52,8 @@ object AnnPack extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     "n1_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(
-        |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  floor((list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
     "n2_ann_bruteforce" ->
       """WITH q AS (
@@ -61,8 +61,8 @@ object AnnPack extends QueryPack {
         |  WHERE vec_id % 50 = 0
         |), scored AS (
         |  SELECT q.qid, c.vec_id AS cid,
-        |    round(list_cosine_similarity(
-        |      CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |    floor((list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS sim
         |  FROM q CROSS JOIN embeddings c
         |  WHERE c.vec_id <> q.qid
         |)

@@ -89,8 +89,8 @@ object CustomComputePack extends QueryPack {
         |  FROM paired WHERE xd IS NOT NULL GROUP BY user_id
         |)
         |SELECT user_id, n,
-        |  round((n * sxy - sx * sy) /
-        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr_lag1
+        |  floor(((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000 + 0.5) / 1000000 AS autocorr_lag1
         |FROM sums""".stripMargin
   )
 }

@@ -47,12 +47,19 @@ object DedupPack extends QueryPack {
     // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
     // seed → deterministic within the engine; rows-only check.
     "d5_mllib_minhash" -> ((s, dir) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
       val docs = withNearDups(s, dir)
       val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+      // 3-token shingles, not unigrams: the fixture vocabulary is tiny
+      // (~40 words), so unigram MinHash signatures collide for nearly all
+      // docs and the LSH bucket join degenerates to O(n²). Shingling
+      // restores signature diversity — same reason graft.text.Dedup
+      // shingles with w=3.
+      val ngram = new NGram().setN(3).setInputCol("words").setOutputCol("shingles")
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 16)
-      val featurized = tf.transform(tok.transform(docs))
+      val featurized = tf.transform(ngram.transform(tok.transform(docs)))
+        .filter(size(col("shingles")) > 0)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
       val model = lsh.fit(featurized)
@@ -90,8 +97,8 @@ object DedupPack extends QueryPack {
         |  FROM documents
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        |  floor((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.ws, b.ws)))) * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
   )
 }

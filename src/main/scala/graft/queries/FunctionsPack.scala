@@ -115,10 +115,10 @@ object FunctionsPack extends QueryPack {
     "f3_math_cyclic" ->
       """SELECT l_orderkey, l_linenumber,
         |  ((CAST(l_quantity AS INT) % 5) + 5) % 5 AS qmod,
-        |  round(sin(2*pi() * (((CAST(l_quantity AS INT) % 5) + 5) % 5) / 5), 6) AS q_sin,
-        |  round(cos(2*pi() * (((CAST(l_quantity AS INT) % 5) + 5) % 5) / 5), 6) AS q_cos,
-        |  round(ln(l_extendedprice), 6) AS lq,
-        |  round(sqrt(l_quantity), 6) AS sq,
+        |  floor((sin(2*pi() * (((CAST(l_quantity AS INT) % 5) + 5) % 5) / 5)) * 1000000 + 0.5) / 1000000 AS q_sin,
+        |  floor((cos(2*pi() * (((CAST(l_quantity AS INT) % 5) + 5) % 5) / 5)) * 1000000 + 0.5) / 1000000 AS q_cos,
+        |  floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS lq,
+        |  floor((sqrt(l_quantity)) * 1000000 + 0.5) / 1000000 AS sq,
         |  abs(l_discount - 0.05) AS ab
         |FROM lineitem""".stripMargin,
     "f4_null_fill" ->

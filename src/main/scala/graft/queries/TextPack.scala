@@ -74,13 +74,13 @@ object TextPack extends QueryPack {
       s"""SELECT doc_id,
          |  length(text) AS n_chars,
          |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-         |  round((length(text) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
-         |    / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_word_len,
+         |  floor(((length(text) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+         |    / len(regexp_split_to_array(trim(text), '\\s+'))) * 1000000 + 0.5) / 1000000 AS avg_word_len,
          |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |      w -> w IN (${sqlList(stopEn)}))) AS stop_hits,
-         |  round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |  floor((len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |      w -> w IN (${sqlList(stopEn)})))
-         |    / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio
+         |    / len(regexp_split_to_array(trim(text), '\\s+'))) * 1000000 + 0.5) / 1000000 AS stopword_ratio
          |FROM documents""".stripMargin,
     "t3_langid" ->
       s"""WITH t AS (

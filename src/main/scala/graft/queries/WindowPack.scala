@@ -129,21 +129,21 @@ object WindowPack extends QueryPack {
          |FROM events $oracleWindow""".stripMargin,
     "w3_rolling_mean" ->
       s"""SELECT event_id, user_id,
-         |  round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS rm3,
-         |  round(avg(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS rm5
+         |  floor((avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rm3,
+         |  floor((avg(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rm5
          |FROM events $oracleWindow""".stripMargin,
     "w4_volatility" ->
       s"""SELECT event_id, user_id,
-         |  round(stddev_samp(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS vol3,
-         |  round(stddev_samp(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS vol5
+         |  floor((stddev_samp(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS vol3,
+         |  floor((stddev_samp(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS vol5
          |FROM events $oracleWindow""".stripMargin,
     "w5_rolling_sum" ->
       s"""SELECT event_id, user_id,
-         |  round(sum(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS rs5
+         |  floor((sum(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rs5
          |FROM events $oracleWindow""".stripMargin,
     "w6_pct_change" ->
       s"""SELECT event_id, user_id,
-         |  round(value / lag(value, 1) OVER w - 1, 6) AS pct
+         |  floor((value / lag(value, 1) OVER w - 1) * 1000000 + 0.5) / 1000000 AS pct
          |FROM events $oracleWindow""".stripMargin,
     "w7_ffill_bfill" ->
       s"""WITH d AS (
@@ -172,9 +172,9 @@ object WindowPack extends QueryPack {
          |)
          |, r AS (
          |  SELECT event_id, user_id,
-         |    round(100.0 - 100.0 / (1.0 +
+         |    floor((100.0 - 100.0 / (1.0 +
          |      (avg(gain) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) /
-         |      (avg(loss) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))), 6) AS rsi0
+         |      (avg(loss) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)))) * 1000000 + 0.5) / 1000000 AS rsi0
          |  FROM g $oracleWindow
          |)
          |SELECT event_id, user_id,
