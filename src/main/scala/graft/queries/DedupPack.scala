@@ -61,7 +61,7 @@ object DedupPack extends QueryPack {
       val featurized = tf.transform(ngram.transform(tok.transform(docs)))
         .filter(size(col("shingles")) > 0)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(5).setSeed(42L)
       val model = lsh.fit(featurized)
       model.approxSimilarityJoin(featurized, featurized, 0.5, "jaccard_dist")
         .select(

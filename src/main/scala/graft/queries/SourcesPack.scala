@@ -67,6 +67,26 @@ object SourcesPack extends QueryPack {
           date_format(col("day"), "yyyy-MM-dd").as("day"))
     }),
 
+    // Format surface beyond the reference (parquet/csv): JSON lines
+    // roundtrip. Timestamps written as ISO strings to keep the JSON
+    // readable cross-engine; value survives exactly.
+    "s5_json_roundtrip" -> ((s, dir) => {
+      val out = tmp("s5_json")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_day")
+    }),
+
+    // ORC roundtrip — the third columnar format Spark ships.
+    "s6_orc_roundtrip" -> ((s, dir) => {
+      val out = tmp("s6_orc")
+      Tables.supplier(s, dir).write.mode("overwrite").orc(out)
+      s.read.orc(out).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    }),
+
     // S7: catalog registration + partition recovery — saveAsTable on a
     // partitioned table, recoverPartitions, then SQL over the catalog
     // table (glue.py:244-281 → spark.catalog equivalent).
@@ -106,6 +126,12 @@ object SourcesPack extends QueryPack {
       """SELECT event_id, user_id, value,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-10'""".stripMargin,
+    "s5_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day
+        |FROM orders""".stripMargin,
+    "s6_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "s7_catalog_table" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
