@@ -35,8 +35,14 @@ object SparkEntry {
     pipeline.Flagship.refined(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val m = all.toMap
+    require(m.size == all.size,
+      s"duplicate query names across packs: ${
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

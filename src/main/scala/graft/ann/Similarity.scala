@@ -89,8 +89,18 @@ object Similarity {
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int, numPlanes: Int = 12): DataFrame = {
     import spark.implicits._
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
-    val pl = planes(numPlanes, dim)
+    val dimRow = corpus.select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty) {
+      // empty corpus → empty result with the output schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
+    }
+    val pl = planes(numPlanes, dimRow.head.getInt(0))
 
     val cSig = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]

@@ -32,7 +32,13 @@ object Fnv64 {
     * `functions.call_function("graft_fnv64", c)` can use the expression. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fnv64", exprs => Fnv64Expr(exprs.head), "built-in")
+      "graft_fnv64",
+      exprs => {
+        require(exprs.length == 1,
+          s"graft_fnv64 expects exactly 1 argument, got ${exprs.length}")
+        Fnv64Expr(exprs.head)
+      },
+      "built-in")
 }
 
 case class Fnv64Expr(child: Expression) extends UnaryExpression {
@@ -40,6 +46,13 @@ case class Fnv64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_fnv64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_fnv64 requires a string argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     Fnv64.hashBytes(input.asInstanceOf[UTF8String].getBytes)

@@ -80,11 +80,15 @@ object TemporalPack extends QueryPack {
     // Sessionization: 30-minute inactivity gap starts a new session.
     "tj3_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // interval comparison, not unix_timestamp subtraction: unix_timestamp
+      // truncates to whole seconds while the fixture (and the oracle's
+      // epoch()) carry sub-second precision — gaps at the 1800 s boundary
+      // would diverge
       val ev = Tables.events(s, dir)
         .withColumn("gap",
           when(lag(col("ts"), 1).over(w).isNull, 1)
-            .when(unix_timestamp(col("ts")) -
-              unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+            .when(col("ts") >
+              lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
             .otherwise(0))
         .withColumn("session_id",
           sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -116,7 +120,7 @@ object TemporalPack extends QueryPack {
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
-        |         WHEN epoch(ts) - epoch(lag(ts, 1) OVER w) > 1800 THEN 1
+        |         WHEN ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1
         |         ELSE 0 END AS gap
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -46,8 +46,11 @@ object Dedup {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+  // a ∈ [1, 2^31), b ∈ [0, 2^61-1): with h reduced to 31 bits, a*h + b
+  // ≤ 2^62 + 2^61 < 2^63 — no 64-bit overflow, so (a*h+b) mod p really is
+  // the linear permutation the Pr[min-collision] = Jaccard identity needs.
   private val permA: Array[Long] =
-    Array.tabulate(NumPerms)(i => (splitmix(2 * i).abs % (MersennePrime - 1)) + 1)
+    Array.tabulate(NumPerms)(i => (splitmix(2 * i).abs % ((1L << 31) - 1)) + 1)
   private val permB: Array[Long] =
     Array.tabulate(NumPerms)(i => splitmix(2 * i + 1).abs % MersennePrime)
 
@@ -56,11 +59,11 @@ object Dedup {
     val sig = Array.fill(NumPerms)(Long.MaxValue)
     var s = 0
     while (s < shingles.length) {
-      val h = shingles(s) & Long.MaxValue // non-negative
+      // fold the 64-bit shingle hash to 31 bits (keeps a*h overflow-free)
+      val h = (shingles(s) ^ (shingles(s) >>> 31) ^ (shingles(s) >>> 62)) & 0x7fffffffL
       var i = 0
       while (i < NumPerms) {
-        // (a*h + b) mod p via unsigned 128-free trick: values < 2^61
-        val v = (permA(i) * (h % MersennePrime) + permB(i)) % MersennePrime
+        val v = (permA(i) * h + permB(i)) % MersennePrime
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -102,12 +105,16 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => DocShingles(id, shingleHashes(t, shingleW)) }
-    sh.cache()
+    sh.cache() // shingle sets: joined back on both pair sides for verification
 
+    // bands cached too: they feed BOTH sides of the bucket self-join, and
+    // the 64-perm signature is the expensive step — without caching it
+    // runs twice per document. Lifetime is left to Spark's LRU (the query
+    // result is lazy, so eager unpersist here would defeat the cache).
     val bands: Dataset[BandRow] = sh.flatMap { d =>
       val bh = bandHashes(minhashSignature(d.shingles))
       bh.iterator.zipWithIndex.map { case (h, b) => BandRow(d.doc_id, b, h) }
-    }
+    }.cache()
 
     // bucket-join: docs sharing (band, bucket) are candidates
     val candidates = bands.toDF("doc_a", "band", "bucket")
@@ -155,10 +162,10 @@ object Dedup {
     import spark.implicits._
     val sh: Dataset[SimhashRow] = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].map { case (id, t) => SimhashRow(id, simhash(t)) }
-    sh.cache()
+    sh.cache() // simhash rows join back on both pair sides
     val chunks = sh.flatMap { r =>
       (0 until 4).iterator.map(c => (r.doc_id, c, (r.simhash >>> (16 * c)) & 0xffffL))
-    }.toDF("doc_id", "chunk", "key")
+    }.toDF("doc_id", "chunk", "key").cache()
     val cand = chunks.toDF("doc_a", "chunk", "key")
       .join(chunks.toDF("doc_b", "chunk", "key"), Seq("chunk", "key"))
       .filter(col("doc_a") < col("doc_b"))
