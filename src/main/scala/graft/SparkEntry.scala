@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.MlPack,
     graft.queries.TemporalPack,
     graft.queries.ScalePack,
-    graft.queries.TypedPack
+    graft.queries.TypedPack,
+    graft.queries.ExtendedPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
