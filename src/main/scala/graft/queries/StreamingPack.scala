@@ -14,7 +14,18 @@ object StreamingPack extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup" -> ((s, dir) => Streams.dedupKeys(s, dir)),
     "st2_stream_window_agg" -> ((s, dir) => Streams.dailyAgg(s, dir)),
-    "st3_stateful_totals" -> ((s, dir) => Streams.statefulUserTotals(s, dir))
+    "st3_stateful_totals" -> ((s, dir) => Streams.statefulUserTotals(s, dir)),
+
+    // session_window (30-min gap) in batch mode — the built-in session
+    // assignment; agrees with the composed lag/running-sum sessionization
+    // (tj3), which is what the oracle expresses.
+    "st4_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -28,6 +39,22 @@ object StreamingPack extends QueryPack {
     "st3_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "st4_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+        |         WHEN ts >= lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }
