@@ -46,6 +46,22 @@ object AnnPack extends QueryPack {
     "n4_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.ann.Ivf.topK(s, e, queriesSet(e), k = 5)
+    }),
+
+    // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
+    // the scale path replaces candidate generation with the n3/d2 LSH
+    // bucketing — this exact variant is what the oracle can check).
+    "d6_embedding_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        Similarity.l2norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        Similarity.l2norm(col("embedding")).as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos_sim",
+          Num.r6(Similarity.dot(col("ea"), col("eb")) / col("na") / col("nb")))
+        .filter(col("cos_sim") >= 0.45)
+        .select("vec_a", "vec_b", "cos_sim")
     })
   )
 
@@ -69,6 +85,13 @@ object AnnPack extends QueryPack {
         |SELECT qid, row_number() OVER w AS rank, cid, sim
         |FROM scored
         |WINDOW w AS (PARTITION BY qid ORDER BY sim DESC, cid)
-        |QUALIFY rank <= 5""".stripMargin
+        |QUALIFY rank <= 5""".stripMargin,
+    "d6_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  floor((list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE floor((list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 >= 0.45""".stripMargin
   )
 }
