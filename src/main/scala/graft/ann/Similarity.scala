@@ -90,15 +90,8 @@ object Similarity {
       k: Int, numPlanes: Int = 12): DataFrame = {
     import spark.implicits._
     val dimRow = corpus.select(size(col("embedding"))).head(1)
-    if (dimRow.isEmpty) {
-      // empty corpus → empty result with the output schema
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
+    if (dimRow.isEmpty) { // empty corpus → empty result with the output schema
+      return Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "cid", "sim")
     }
     val pl = planes(numPlanes, dimRow.head.getInt(0))
 

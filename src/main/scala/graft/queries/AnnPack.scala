@@ -91,7 +91,9 @@ object AnnPack extends QueryPack {
         |  floor((list_cosine_similarity(
         |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE floor((list_cosine_similarity(
+        |WHERE NOT isnan(list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+        |  AND floor((list_cosine_similarity(
         |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 >= 0.45""".stripMargin
   )
 }

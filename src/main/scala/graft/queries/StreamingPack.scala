@@ -18,7 +18,9 @@ object StreamingPack extends QueryPack {
 
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
-    // (tj3), which is what the oracle expresses.
+    // (tj3), which is what the oracle expresses. Boundary semantics: an
+    // event at EXACTLY prev + gap still merges (Spark merges while
+    // sessionStart <= currentEnd), so the oracle gap test is strict >.
     "st4_session_window" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.Tables.events(s, dir)
@@ -44,7 +46,7 @@ object StreamingPack extends QueryPack {
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
-        |         WHEN ts >= lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1
+        |         WHEN ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1
         |         ELSE 0 END AS gap
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
