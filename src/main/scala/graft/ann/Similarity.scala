@@ -52,6 +52,51 @@ object Similarity {
       .select("qid", "rank", "cid", "sim")
   }
 
+  /** Exhaustive cosine near-dup pairs (upper triangle, cos ≥ threshold).
+    *
+    * Implemented as broadcast-corpus + flatMap with primitive loops rather
+    * than the declarative zip_with/aggregate form: the higher-order-function
+    * fold is interpreted per pair, which measured ~12× slower on the
+    * all-pairs workload. The arithmetic (ascending dot fold, then
+    * dot/normA/normB, then the floor-rounding) is bit-identical to the SQL
+    * form, so the DuckDB oracle still matches exactly. Scale note: the
+    * broadcast bounds this to reference-set-sized corpora (it IS the
+    * exhaustive baseline); unbounded corpora use the LSH/IVF candidate
+    * paths instead.
+    */
+  def neardupPairs(spark: SparkSession, corpus: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(vecs)
+    val par = spark.sparkContext.defaultParallelism
+
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r6d(x: Double): Double =
+      if (x.isNaN) x else math.floor(x * 1000000d + 0.5d) / 1000000d
+
+    spark.createDataset(vecs.indices.toSeq)
+      .repartition(par)
+      .flatMap { ai =>
+        val all = bc.value
+        val (ida, va) = all(ai)
+        val na = math.sqrt(dotD(va, va))
+        Iterator.range(ai + 1, all.length).flatMap { bi =>
+          val (idb, vb) = all(bi)
+          val nb = math.sqrt(dotD(vb, vb))
+          val cos = r6d(dotD(va, vb) / na / nb)
+          if (!cos.isNaN && cos >= threshold) Iterator.single((ida, idb, cos))
+          else Iterator.empty
+        }
+      }
+      .toDF("vec_a", "vec_b", "cos_sim")
+  }
+
   // ---- sign LSH -----------------------------------------------------------
 
   /** Deterministic pseudo-random hyperplanes: planes(p)(d) from splitmix64

@@ -51,18 +51,8 @@ object AnnPack extends QueryPack {
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
-    "d6_embedding_neardup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        Similarity.l2norm(col("embedding")).as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        Similarity.l2norm(col("embedding")).as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim",
-          Num.r6(Similarity.dot(col("ea"), col("eb")) / col("na") / col("nb")))
-        .filter(col("cos_sim") >= 0.45)
-        .select("vec_a", "vec_b", "cos_sim")
-    })
+    "d6_embedding_neardup" -> ((s, dir) =>
+      Similarity.neardupPairs(s, Tables.embeddings(s, dir), threshold = 0.45))
   )
 
   def oracleSql: Map[String, String] = Map(
