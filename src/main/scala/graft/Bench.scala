@@ -35,10 +35,15 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val ok = try {
+        Guard.timed(spark, name) { fn(spark, sfDir).count() } match {
+          case Some(_) => true
+          case None =>
+            System.err.println(s"[bench] $name failed: watchdog timeout"); false
         }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
