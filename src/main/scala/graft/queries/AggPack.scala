@@ -159,8 +159,8 @@ object AggPack extends QueryPack {
         |FROM events""".stripMargin,
     "a6_null_counts" ->
       """SELECT
-        |  sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS nulls_v,
-        |  sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS nulls_t,
+        |  count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS nulls_v,
+        |  count(CASE WHEN event_id % 11 = 0 THEN 1 END) AS nulls_t,
         |  count(*) AS n_rows
         |FROM events""".stripMargin,
     "a7_percentiles" ->

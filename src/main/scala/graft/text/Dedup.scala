@@ -37,8 +37,6 @@ object Dedup {
   final val NumPerms = 64
   final val Bands = 16
   final val RowsPerBand = NumPerms / Bands
-  private final val MersennePrime = (1L << 61) - 1
-
   /** Deterministic splitmix64 stream for the permutation coefficients. */
   private def splitmix(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -46,24 +44,23 @@ object Dedup {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
-  // a ∈ [1, 2^31), b ∈ [0, 2^61-1): with h reduced to 31 bits, a*h + b
-  // ≤ 2^62 + 2^61 < 2^63 — no 64-bit overflow, so (a*h+b) mod p really is
-  // the linear permutation the Pr[min-collision] = Jaccard identity needs.
-  private val permA: Array[Long] =
-    Array.tabulate(NumPerms)(i => (splitmix(2 * i).abs % ((1L << 31) - 1)) + 1)
-  private val permB: Array[Long] =
-    Array.tabulate(NumPerms)(i => splitmix(2 * i + 1).abs % MersennePrime)
+  private val permSeed: Array[Long] =
+    Array.tabulate(NumPerms)(i => splitmix(0x5eed5eed00000000L + i))
 
-  /** 64-value MinHash signature over the hashed shingle set. */
+  /** 64-value MinHash signature over the hashed shingle set.
+    *
+    * Each "permutation" is a full-avalanche 64-bit mix of (shingle ^ seed_i),
+    * not a linear (a*h+b) mod p map: the linear form is order-preserving
+    * whenever a*h stays below the modulus, which correlates all 64 minima
+    * and breaks the Pr[min-collision] = Jaccard identity on small sets. */
   def minhashSignature(shingles: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumPerms)(Long.MaxValue)
     var s = 0
     while (s < shingles.length) {
-      // fold the 64-bit shingle hash to 31 bits (keeps a*h overflow-free)
-      val h = (shingles(s) ^ (shingles(s) >>> 31) ^ (shingles(s) >>> 62)) & 0x7fffffffL
+      val x = shingles(s)
       var i = 0
       while (i < NumPerms) {
-        val v = (permA(i) * h + permB(i)) % MersennePrime
+        val v = splitmix(x ^ permSeed(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -122,13 +119,16 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
+    // select the intended order explicitly: using-column joins move the
+    // second join key to column 0, so a positional .as[...] would miswire
     val withSets = candidates
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
       .as[(Long, Long, Array[Long], Array[Long])]
 
     withSets
-      .map { case (b, a, sa, sb) => DupPair(a, b, jaccard(sa, sb)) }
+      .map { case (a, b, sa, sb) => DupPair(a, b, jaccard(sa, sb)) }
       .filter(_.jaccard >= threshold)
   }
 
@@ -173,8 +173,9 @@ object Dedup {
     cand
       .join(sh.toDF("doc_a", "sim_a"), "doc_a")
       .join(sh.toDF("doc_b", "sim_b"), "doc_b")
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
       .as[(Long, Long, Long, Long)]
-      .map { case (b, a, sa, sb) => SimPair(a, b, hamming(sa, sb)) }
+      .map { case (a, b, sa, sb) => SimPair(a, b, hamming(sa, sb)) }
       .filter(_.hamming <= maxDist)
   }
 }
