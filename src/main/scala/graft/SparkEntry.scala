@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.TemporalPack,
     graft.queries.ScalePack,
     graft.queries.TypedPack,
-    graft.queries.ExtendedPack
+    graft.queries.ExtendedPack,
+    graft.queries.BreadthPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

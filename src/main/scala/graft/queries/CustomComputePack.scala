@@ -7,16 +7,27 @@ import graft.{Num, QueryPack, Tables}
 import graft.ops.{Ewm, Interpolate, SeriesStats}
 
 /** Custom per-series compute (SURVEY §2.9, §7.4): operators with no
-  * frame-window equivalent, run as typed sorted-group folds. EWM /
-  * interpolation / ADF have no ANSI-SQL form → rows-only driver check;
-  * exact semantics are pinned by ScalaTest specs. The autocorr query IS
-  * SQL-expressible via explicit exact-decimal sums, so it anchors this
-  * family to the oracle.
+  * frame-window equivalent, run as typed sorted-group folds.
+  * Interpolation / ADF have no ANSI-SQL form → rows-only driver check;
+  * exact semantics are pinned by ScalaTest specs. EWM and autocorr ARE
+  * SQL-expressible (closed-form weighted sums / exact-decimal moments),
+  * so they anchor this family to the DuckDB oracle.
   */
 object CustomComputePack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W8: EWM(12/26) → MACD → signal(9), pandas adjust=True semantics.
+    // Oracle-checked via the closed form ewm_t = Σr^(t-i)x_i / Σr^(t-i)
+    // (the r^t factors cancel, so windowed sums of x·r^(-i) express it).
+    // Rounded at 6 decimals — NOT 4: early-series values are small-
+    // denominator rationals of the 2-decimal inputs (rn=1 ewm_12 =
+    // (13x₁+11x₀)/24) that often terminate at exactly 5 decimals ending
+    // in 5, i.e. exactly ON the 1e-4 half-boundary, where the engines'
+    // last-ulp difference flips the rounding. At 1e-6 those terminating
+    // values are boundary-safe (multiples of 10 in x·1e6 units) and the
+    // non-terminating deeper-rn rationals sit ≥1e-9 from any boundary
+    // vs ~1e-13 cross-formulation noise. Weights r^(-rn) fit a double
+    // because series grow by adding keys, not rows per key (max ~100).
     "w8_ewm_macd" -> ((s, dir) =>
       Ewm.macd(s, Tables.events(s, dir)).toDF()
         .select(col("user_id"), col("event_id"), col("value"),
@@ -72,6 +83,35 @@ object CustomComputePack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // EWM closed form: with rn the 0-based position in the (ts, event_id)
+    // order, ewm_t = Σ x_i·r^(-i) / Σ r^(-i) over the running frame (the
+    // common r^t factor cancels). r = 1 - 2/(span+1) = 11/13, 25/27, 4/5.
+    "w8_ewm_macd" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events
+        |), e AS (
+        |  SELECT user_id, event_id, value, rn,
+        |    sum(value * pow(11.0/13.0, -rn)) OVER w / sum(pow(11.0/13.0, -rn)) OVER w AS ewm_12,
+        |    sum(value * pow(25.0/27.0, -rn)) OVER w / sum(pow(25.0/27.0, -rn)) OVER w AS ewm_26
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), m AS (
+        |  SELECT user_id, event_id, value, rn, ewm_12, ewm_26,
+        |    ewm_12 - ewm_26 AS macd
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, value,
+        |  floor(ewm_12 * 1000000 + 0.5) / 1000000 AS ewm_12,
+        |  floor(ewm_26 * 1000000 + 0.5) / 1000000 AS ewm_26,
+        |  floor(macd * 1000000 + 0.5) / 1000000 AS macd,
+        |  floor((sum(macd * pow(0.8, -rn)) OVER w2 / sum(pow(0.8, -rn)) OVER w2)
+        |        * 1000000 + 0.5) / 1000000 AS macd_signal
+        |FROM m
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "stats_autocorr" ->
       """WITH paired AS (
         |  SELECT user_id,

@@ -58,8 +58,11 @@ object DedupPack extends QueryPack {
       val ngram = new NGram().setN(3).setInputCol("words").setOutputCol("shingles")
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 16)
+      // cached: feeds both sides of the self-join (and the fit), which
+      // would otherwise re-run tokenize→ngram→hashingTF three times
       val featurized = tf.transform(ngram.transform(tok.transform(docs)))
         .filter(size(col("shingles")) > 0)
+        .cache()
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(5).setSeed(42L)
       val model = lsh.fit(featurized)
