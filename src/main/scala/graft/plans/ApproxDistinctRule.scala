@@ -51,8 +51,10 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
   * by the specs; injection on a live session applies via the experimental
   * methods hook). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -60,5 +62,8 @@ object GraftExtensions {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(ApproxDistinctRule))
       spark.experimental.extraOptimizations = existing :+ ApproxDistinctRule
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        TopKStrategy +: spark.experimental.extraStrategies
   }
 }

@@ -64,7 +64,18 @@ object ScalePack extends QueryPack {
       Tables.events(s, dir)
         .repartition(col("user_id"))
         .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
-        .select("event_id", "user_id", "value"))
+        .select("event_id", "user_id", "value")),
+
+    // Custom physical operator (graft.plans.TopKPerKey): top-5 lineitems
+    // per return flag by price, planned as partial-heap → shuffle of the
+    // ≤ k·partitions survivors → final-heap merge — never a full sort,
+    // never a full-table shuffle (the Window row_number form does both).
+    "sc5_topk_exec" -> ((s, dir) =>
+      graft.plans.TopK.perKey(
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        keyCols = Seq("l_returnflag"), scoreCol = "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"), k = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,6 +87,11 @@ object ScalePack extends QueryPack {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
     "sc3_repartition_sorted" ->
-      "SELECT event_id, user_id, value FROM events"
+      "SELECT event_id, user_id, value FROM events",
+    "sc5_topk_exec" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 5""".stripMargin
   )
 }

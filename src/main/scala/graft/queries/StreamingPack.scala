@@ -16,6 +16,13 @@ object StreamingPack extends QueryPack {
     "st2_stream_window_agg" -> ((s, dir) => Streams.dailyAgg(s, dir)),
     "st3_stateful_totals" -> ((s, dir) => Streams.statefulUserTotals(s, dir)),
 
+    // Stream-stream inner join (watermarked, time-range-bounded state).
+    "st5_stream_stream_join" -> ((s, dir) => Streams.clickPurchaseJoin(s, dir)),
+
+    // foreachBatch → day-partitioned parquet, dynamic partition overwrite
+    // (the reference's idempotent lookback upsert); reads the sink back.
+    "st6_foreachbatch_sink" -> ((s, dir) => Streams.foreachBatchSink(s, dir)),
+
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
     // (tj3), which is what the oracle expresses. Boundary semantics: an
@@ -42,6 +49,14 @@ object StreamingPack extends QueryPack {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    "st5_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "st6_foreachbatch_sink" ->
+      "SELECT event_id, user_id, CAST(ts AS DATE) AS day, value FROM events",
     "st4_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

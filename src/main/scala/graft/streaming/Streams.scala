@@ -98,6 +98,61 @@ object Streams {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Stream-stream inner join under watermarks: clicks joined to the
+    * purchases that follow them within one hour for the same user. Both
+    * sides carry a 1-day watermark and the join has a two-sided time-range
+    * constraint, so Spark can bound the buffered state on each side —
+    * the shape that keeps a stream-stream join runnable forever at scale
+    * (unbounded-state joins are rejected in append mode). */
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "1 day")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 day")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+    runToTable(joined, spark, "graft_stream_join", "append")
+  }
+
+  /** The production sink path: `foreachBatch` writing day-partitioned
+    * parquet with DYNAMIC partition overwrite — re-processing a batch
+    * replaces exactly the partitions it touches (the reference Glue job's
+    * idempotent lookback upsert, SURVEY §2.8). The returned frame re-reads
+    * the sink directory, so the check covers the full write+read cycle. */
+  def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = s"/tmp/graft_stream_sink/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    // stale checkpoint would mark the input files already-processed and
+    // leave the freshly-deleted sink empty
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir-chk"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val q = eventStream(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .select(col("event_id"), col("user_id"), col("day"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").partitionBy("day").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$outDir-chk")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), col("day"), col("value"))
+  }
+
   /** Tumbling 1-day windowed aggregation per event_type with exact decimal
     * sums (complete mode so all windows surface on the bounded fixture). */
   def dailyAgg(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the `private[sql]` plan-to-Dataset constructor, the standard
+  * pattern libraries use to materialize a custom [[LogicalPlan]] node as a
+  * DataFrame (cf. the `package object sql` type-alias shim Spark itself
+  * ships). Kept to this single call so the internal surface we touch stays
+  * one line wide.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
