@@ -118,7 +118,13 @@ object Streams {
     val joined = clicks.join(purchases,
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
-    runToTable(joined, spark, "graft_stream_join", "append")
+    // a stateful join opens 4 RocksDB/HDFS state stores per shuffle
+    // partition; at this state volume fewer, larger partitions win — on a
+    // real cluster size this to (state size / ~100 MB), not to cores
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try runToTable(joined, spark, "graft_stream_join", "append")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** The production sink path: `foreachBatch` writing day-partitioned
