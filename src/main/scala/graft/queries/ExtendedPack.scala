@@ -54,7 +54,17 @@ object ExtendedPack extends QueryPack {
         .filter(col("rnk") <= 50)
         .select("o_orderpriority", "o_orderkey", "rnk", "drnk", "prnk",
           "cdist", "quartile")
-    })
+    }),
+
+    // Wide-to-long melt (the inverse of pivot): map-side only — each input
+    // row expands to 4 output rows with no shuffle anywhere.
+    "x6_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,6 +96,12 @@ object ExtendedPack extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)
-        |QUALIFY rnk <= 50""".stripMargin
+        |QUALIFY rnk <= 50""".stripMargin,
+    "x6_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |           l_extendedprice, l_discount, l_tax FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME metric VALUE val)""".stripMargin
   )
 }

@@ -75,7 +75,38 @@ object ScalePack extends QueryPack {
         Tables.lineitem(s, dir)
           .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
         keyCols = Seq("l_returnflag"), scoreCol = "l_extendedprice",
-        tieCols = Seq("l_orderkey", "l_linenumber"), k = 5))
+        tieCols = Seq("l_orderkey", "l_linenumber"), k = 5)),
+
+    // Bloom pre-filter semi-join: a ~24 KB broadcast bloom of the build
+    // side's keys drops ~non-matching probe rows BEFORE the shuffle (the
+    // manual form of runtime row-level filtering); the exact semi-join
+    // after it removes the false positives, so the result is exactly the
+    // plain semi-join — which is what the oracle asserts.
+    "sc6_bloom_prefilter" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bcast = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
+      Tables.lineitem(s, dir)
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // Z-order layout: repartition+sort by the Morton interleave of two
+    // dimension keys, so file-level min/max stats prune on EITHER
+    // dimension. Data content is unchanged — the oracle is a projection.
+    "sc7_zorder_layout" -> ((s, dir) => {
+      graft.functions.ZOrder.register(s)
+      Tables.events(s, dir)
+        .withColumn("z", call_function("graft_zorder",
+          col("user_id"), (col("value") * 100).cast("long")))
+        .repartitionByRange(col("z"))
+        .sortWithinPartitions(col("z"))
+        .select("event_id", "user_id", "value")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,6 +123,13 @@ object ScalePack extends QueryPack {
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
-        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 5""".stripMargin
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 5""".stripMargin,
+    "sc6_bloom_prefilter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "sc7_zorder_layout" ->
+      "SELECT event_id, user_id, value FROM events"
   )
 }

@@ -112,6 +112,22 @@ object WindowPack extends QueryPack {
         .withColumn("rk", row_number().over(wv))
         .filter(col("rk") <= 3)
         .select("user_id", "rk", "event_id", "value")
+    }),
+
+    // W14: time-based RANGE frame — trailing 1 hour by VALUE of the order
+    // key (epoch micros), not by row count: rows with equal timestamps
+    // share a frame, so the result is set-deterministic without a row
+    // tie-break. Decimal window sums are exact → no rounding needed.
+    "w14_time_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double"))
+        .select("event_id", "user_id", "n_1h", "sum_1h")
     })
   )
 
@@ -196,6 +212,13 @@ object WindowPack extends QueryPack {
         |  row_number() OVER wv AS rk, event_id, value
         |FROM events
         |WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
-        |QUALIFY rk <= 3""".stripMargin
+        |QUALIFY rk <= 3""".stripMargin,
+    "w14_time_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

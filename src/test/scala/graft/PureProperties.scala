@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
-import graft.functions.Fnv64
+import graft.functions.{Fnv64, GeoMean, ZOrder}
 import graft.ops.Interpolate
 import graft.text.Dedup
 
@@ -15,6 +15,32 @@ import graft.text.Dedup
 object PureProperties extends Properties("graft.pure") {
 
   private val text: Gen[String] = Gen.listOf(Gen.alphaNumStr).map(_.mkString(" "))
+
+  property("geomean merge order never changes the result") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.1, 1e6)), Gen.choose(1, 10)) {
+      (xs, cut) =>
+        val whole = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+        val (l, r) = xs.splitAt(cut % xs.length)
+        val split = GeoMean.merge(
+          l.foldLeft(GeoMean.zero)(GeoMean.reduce),
+          r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+        math.abs(GeoMean.finish(split) - GeoMean.finish(whole)) <=
+          1e-12 * math.abs(GeoMean.finish(whole))
+    }
+
+  property("zorder interleave roundtrips both dimensions") =
+    forAll(Gen.choose(0L, 0xffffffffL), Gen.choose(0L, 0xffffffffL)) { (a, b) =>
+      val z = ZOrder.interleave(a, b)
+      def unspread(v: Long): Long = {
+        var x = v & 0x5555555555555555L
+        x = (x | (x >>> 1)) & 0x3333333333333333L
+        x = (x | (x >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+        x = (x | (x >>> 4)) & 0x00ff00ff00ff00ffL
+        x = (x | (x >>> 8)) & 0x0000ffff0000ffffL
+        (x | (x >>> 16)) & 0xffffffffL
+      }
+      unspread(z) == a && unspread(z >>> 1) == b
+    }
 
   property("fnv64 is deterministic") = forAll(text) { s =>
     Fnv64.hashString(s) == Fnv64.hashString(s)
