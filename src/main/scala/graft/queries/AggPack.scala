@@ -77,6 +77,29 @@ object AggPack extends QueryPack {
 
     // A6: null count per column (eda cell 21) over a frame with
     // deterministically injected nulls.
+    // Declarative expectation checks (the reference's 9 count() validation
+    // checkpoints, generalized to dbt/Deequ-style rules): every rule is an
+    // aggregate over ONE shared scan — one pass, one row out, no matter
+    // how many rules. Referential integrity is a broadcast-anti-join count
+    // folded into the same output row via a literal join.
+    "a14_quality_checks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val core = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_orderkey").isNull, 1)).as("null_orderkey"),
+        count(when(col("l_quantity") <= 0, 1)).as("nonpositive_qty"),
+        count(when(col("l_extendedprice") < 0, 1)).as("negative_price"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+          .as("discount_out_of_range"),
+        count(when(col("l_shipdate") < to_timestamp(lit("1992-01-01")), 1))
+          .as("shipdate_before_epoch"))
+      val orphans = li.join(
+          broadcast(Tables.orders(s, dir).select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      core.crossJoin(orphans)
+    }),
+
     "a6_null_counts" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0, lit(null))
@@ -157,6 +180,20 @@ object AggPack extends QueryPack {
         |  (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events))
         |  AS n_duplicates
         |FROM events""".stripMargin,
+    "a14_quality_checks" ->
+      """SELECT
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_orderkey,
+        |  count(CASE WHEN l_quantity <= 0 THEN 1 END) AS nonpositive_qty,
+        |  count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS negative_price,
+        |  count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+        |    AS discount_out_of_range,
+        |  count(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01' THEN 1 END)
+        |    AS shipdate_before_epoch,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS orphan_lineitems
+        |FROM lineitem""".stripMargin,
     "a6_null_counts" ->
       """SELECT
         |  count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS nulls_v,
