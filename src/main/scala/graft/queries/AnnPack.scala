@@ -48,6 +48,14 @@ object AnnPack extends QueryPack {
       graft.ann.Ivf.topK(s, e, queriesSet(e), k = 5)
     }),
 
+    // Product-quantization top-5: 8-byte codes (32x smaller than floats),
+    // ADC table-lookup scoring, exact-cosine refine of the survivors cut
+    // by the custom TopK operator (recall pinned in PqSpec).
+    "n5_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Pq.topK(s, e, queriesSet(e), k = 5)
+    }),
+
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
