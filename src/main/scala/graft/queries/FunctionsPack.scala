@@ -92,7 +92,31 @@ object FunctionsPack extends QueryPack {
             org.apache.spark.sql.types.StructField("k",
               org.apache.spark.sql.types.IntegerType)))))
         .select(col("event_id"), col("p.k").as("k"),
-          (col("p.k") * 2).as("k2")))
+          (col("p.k") * 2).as("k2"))),
+
+    // Higher-order array functions (transform/filter/aggregate) — the
+    // codegen-friendly per-row collection surface; everything casts to
+    // BIGINT so both engines agree on integer width.
+    "f9_hof_array" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          expr("CAST(aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x) AS BIGINT)")
+            .as("total_chars"),
+          expr("CAST(size(filter(ws, w -> length(w) > 4)) AS BIGINT)")
+            .as("n_long_words"),
+          expr("CAST(array_max(transform(ws, w -> length(w))) AS BIGINT)")
+            .as("max_word_len"))),
+
+    // Regexp family. Patterns stay in the RE2-compatible subset (simple
+    // classes, no lookaround/backrefs) so Java regex and DuckDB RE2 agree.
+    "f10_regexp" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", "_").as("snake"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_lower_run"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+            .as("n_non_vowels")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,6 +169,20 @@ object FunctionsPack extends QueryPack {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) * 2 AS k2
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "f9_hof_array" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(ws, w -> len(w) > 4)) AS BIGINT) AS n_long_words,
+        |  CAST(list_max(list_transform(ws, w -> len(w))) AS BIGINT) AS max_word_len
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |      FROM documents)""".stripMargin,
+    "f10_regexp" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(text), '\s+', '_', 'g') AS snake,
+        |  regexp_extract(text, '([a-z]+)') AS first_lower_run,
+        |  CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+        |    AS n_non_vowels
+        |FROM documents""".stripMargin
   )
 }
