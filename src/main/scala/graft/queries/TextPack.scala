@@ -54,8 +54,11 @@ object TextPack extends QueryPack {
             .otherwise("es"))
         .select("doc_id", "s_en", "s_pt", "s_es", "lang_pred")),
 
-    // Document fingerprint via the native Catalyst expression (codegen'd);
-    // engine-specific hash → rows-only check, determinism pinned in specs.
+    // Document fingerprint via the native Catalyst expression (codegen'd).
+    // Oracle-checked: FNV-1a is NOT engine-specific — the oracle re-derives
+    // it in SQL as a list_reduce over code points with HUGEINT arithmetic
+    // mod 2^64 (valid because the fixture corpus is ASCII, where code
+    // point == UTF-8 byte; the Fnv64Spec covers multi-byte inputs).
     "t4_fingerprint" -> ((s, dir) => {
       Fnv64.register(s)
       Tables.documents(s, dir)
@@ -96,6 +99,27 @@ object TextPack extends QueryPack {
          |SELECT doc_id, s_en, s_pt, s_es,
          |  CASE WHEN s_en >= s_pt AND s_en >= s_es THEN 'en'
          |       WHEN s_pt >= s_es THEN 'pt' ELSE 'es' END AS lang_pred
-         |FROM sc""".stripMargin
+         |FROM sc""".stripMargin,
+    // FNV-1a re-derived in SQL: fold over code points (== UTF-8 bytes on
+    // the ASCII fixture) with 128-bit HUGEINT products reduced mod 2^64,
+    // then mapped to the signed BIGINT Spark's Long wraps to.
+    "t4_fingerprint" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |                   i -> ord(substring(text, CAST(i AS INT), 1))) AS cps
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT), cps),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211)
+        |                  % 18446744073709551616) AS uh
+        |  FROM chars
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616
+        |            ELSE uh END AS BIGINT) AS fp
+        |FROM h""".stripMargin
   )
 }
