@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{QueryPack, Tables}
+import graft.{Num, QueryPack, Tables}
 
 /** Scans / sources / sinks (SURVEY §2.1 S1–S8).
   *
@@ -111,7 +111,18 @@ object SourcesPack extends QueryPack {
       val consts = Seq(("BR", 42)).toDF("country_code", "answer")
       Tables.nation(s, dir).crossJoin(broadcast(consts))
         .select("n_nationkey", "n_name", "country_code", "answer")
-    })
+    }),
+
+    // S6/S9: custom DataSource V2 connector — the reference's per-ticker
+    // external fetch as plan-controlled InputPartitions (8 parallel
+    // slices), read through the full V2 stack. Deterministic generator
+    // stands in for the HTTP call, so the oracle can replay it.
+    "s9_dsv2_source" -> ((s, dir) =>
+      s.read.format("graft.sources.SeqSource")
+        .option("rows", 1000).option("slices", 8).load()
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          Num.decSum(col("price")).as("sum_price")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,6 +149,11 @@ object SourcesPack extends QueryPack {
         |FROM events GROUP BY event_type""".stripMargin,
     "s8_inmem_broadcast" ->
       """SELECT n_nationkey, n_name, 'BR' AS country_code, 42 AS answer
-        |FROM nation""".stripMargin
+        |FROM nation""".stripMargin,
+    "s9_dsv2_source" ->
+      """SELECT 'S' || CAST(i % 84 AS VARCHAR) AS symbol, count(*) AS n,
+        |  CAST(sum(CAST((i % 997) * 0.37 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM generate_series(0, 999) t(i) GROUP BY 1""".stripMargin
   )
 }

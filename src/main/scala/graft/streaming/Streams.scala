@@ -45,11 +45,19 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Runs the stream to a memory sink. Stateful micro-batch operators open
+    * state stores per shuffle partition; on the fixture's state volume 8
+    * larger partitions beat core-count partitions (on a cluster: size
+    * shuffle.partitions to state volume / ~100 MB, not to cores). */
   private def runToTable(df: DataFrame, spark: SparkSession, name: String,
       outputMode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -118,13 +126,7 @@ object Streams {
     val joined = clicks.join(purchases,
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
-    // a stateful join opens 4 RocksDB/HDFS state stores per shuffle
-    // partition; at this state volume fewer, larger partitions win — on a
-    // real cluster size this to (state size / ~100 MB), not to cores
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try runToTable(joined, spark, "graft_stream_join", "append")
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    runToTable(joined, spark, "graft_stream_join", "append")
   }
 
   /** The production sink path: `foreachBatch` writing day-partitioned
