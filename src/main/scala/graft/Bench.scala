@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * The driver captures only the last ~2000 chars of output, so the final
   * JSON line must stay small: it carries the headline totals plus a fixed
   * subset of representative per-query timings. The full per-query map is
-  * written to bench_full.json (cwd) and echoed to stderr for humans.
+  * written to bench_full.json (cwd).
   *
   * A session warm-up (tiny scan + shuffle + codegen) runs before timing so
   * the numbers measure the queries, not JVM/classloader/codegen cold

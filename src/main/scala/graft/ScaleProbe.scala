@@ -38,16 +38,26 @@ object ScaleProbe {
       "part" -> Map("p_partkey" -> 1000000000L),
       "nation" -> Map.empty[String, Long], // dims: single copy
       "region" -> Map.empty[String, Long],
-      "events" -> Map("event_id" -> 1000000000L, "user_id" -> 100000L),
+      // user_id must shift in lockstep with c_custkey: the flagship joins
+      // events.user_id to customer.c_custkey, and base user ids are a
+      // subset of base custkeys — a different step would orphan 90% of
+      // events from their dimension rows in the replica.
+      "events" -> Map("event_id" -> 1000000000L, "user_id" -> 1000000000L),
       "documents" -> Map("doc_id" -> 100000000L),
       "embeddings" -> Map("vec_id" -> 100000000L))
     // events.parquet carries TIMESTAMP(NANOS): read raw
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     plans.foreach { case (name, shifts) =>
       val target = s"$out/$name.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target))) {
-        val src = spark.read.parquet(s"$base/$name.parquet")
-        val n = if (shifts.isEmpty) 1 else copies
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      val n = if (shifts.isEmpty) 1 else copies
+      val expected = src.count() * n
+      // row-count validation (not bare existence): a replica left by a
+      // killed run or a different `copies` value must not be measured
+      val valid = java.nio.file.Files.exists(java.nio.file.Paths.get(target)) &&
+        (try spark.read.parquet(target).count() == expected
+         catch { case _: Throwable => false })
+      if (!valid) {
         val rep = (0 until n).map(i => shifted(src, shifts, i))
           .reduce(_ unionByName _)
         rep.write.mode("overwrite").parquet(target)
@@ -57,7 +67,10 @@ object ScaleProbe {
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir).count()
+    // toRdd materializes every column of the query's own plan; a count()
+    // on top would let Catalyst prune the projections/windows being
+    // measured down to a parquet-footer row count
+    SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -60,6 +60,7 @@ object Pq {
     * deterministic stride sample (collected once; bounded by sampleCap). */
   def codebooks(corpus: DataFrame, m: Int, ks: Int, sampleCap: Int = 512,
       iters: Int = 5): Array[Array[Array[Float]]] = {
+    require(ks >= 1 && ks <= 256, s"codes are single bytes: ks must be in [1,256], got $ks")
     val n = corpus.count()
     val step = math.max(n / sampleCap, 1L)
     val sample = corpus

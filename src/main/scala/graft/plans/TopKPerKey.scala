@@ -90,7 +90,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         val key = keyProj(unsafe)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit, heapCmp)
+          // PriorityQueue grows as needed: start small so a large k does
+          // not preallocate O(k) per key before any rows arrive
+          heap = new java.util.PriorityQueue[UnsafeRow](math.min(limit, 16), heapCmp)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < limit) heap.add(unsafe.copy())

@@ -59,19 +59,25 @@ object DedupPack extends QueryPack {
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 16)
       // cached: feeds both sides of the self-join (and the fit), which
-      // would otherwise re-run tokenize→ngram→hashingTF three times
+      // would otherwise re-run tokenize→ngram→hashingTF three times;
+      // released below once the join result is materialized, so the
+      // corpus feature vectors don't stay pinned for the whole session
       val featurized = tf.transform(ngram.transform(tok.transform(docs)))
         .filter(size(col("shingles")) > 0)
         .cache()
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(5).setSeed(42L)
       val model = lsh.fit(featurized)
-      model.approxSimilarityJoin(featurized, featurized, 0.5, "jaccard_dist")
+      val pairs = model.approxSimilarityJoin(featurized, featurized, 0.5, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),
           col("datasetB.doc_id").as("doc_b"),
           Num.r6(col("jaccard_dist")).as("jaccard_dist"))
         .filter(col("doc_a") < col("doc_b"))
+        .cache()
+      pairs.count() // materialize the (small) pair set, then free the features
+      featurized.unpersist()
+      pairs
     }),
 
     // Word-set Jaccard between consecutive doc ids — the exact n-gram
