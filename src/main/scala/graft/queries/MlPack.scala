@@ -45,7 +45,40 @@ object MlPack extends QueryPack {
         (lit(1.0) - sum((col("err") * col("err")).cast(DecimalType(38, 10))).cast(DoubleType)
           / sum((col("dev") * col("dev")).cast(DecimalType(38, 10))).cast(DoubleType))
           .as("r2"))
-    })
+    }),
+
+    // StandardScaler (train.py's preprocessing): z-score from EXACT decimal
+    // moments — mean and stddev derive from associative decimal sums, so
+    // the fitted parameters are identical at any partition count, and the
+    // per-row transform is then bit-identical across engines.
+    "ml_standard_scale" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val m = c.agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("sx"),
+          sum((col("c_acctbal").cast(DecimalType(18, 2)) *
+               col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(28, 4)))
+            .cast(DoubleType).as("sxx"))
+        .select(col("n"), (col("sx") / col("n")).as("mean"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+               (col("n") * (col("n") - lit(1)))).as("sd"))
+      c.crossJoin(broadcast(m))
+        .select(col("c_custkey"),
+          ((col("c_acctbal") - col("mean")) / col("sd")).as("acctbal_z"))
+    }),
+
+    // Yeo-Johnson power transform at fixed λ=0.5 (train.py:180's
+    // PowerTransformer): λ estimation is offline model fitting (like
+    // k-means centroids); the engine applies the transform at scale.
+    // c_acctbal goes negative, so both λ and 2-λ branches execute.
+    "ml_power_transform" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"),
+          Num.r6(
+            when(col("c_acctbal") >= 0,
+              (pow(col("c_acctbal") + 1, 0.5) - 1) / 0.5)
+            .otherwise(-(pow(-col("c_acctbal") + 1, 1.5) - 1) / 1.5))
+            .as("acctbal_yj")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,6 +109,27 @@ object MlPack extends QueryPack {
         |  sqrt(CAST(sum(CAST(err * err AS DECIMAL(38,10))) AS DOUBLE) / count(*)) AS rmse,
         |  1.0 - CAST(sum(CAST(err * err AS DECIMAL(38,10))) AS DOUBLE)
         |      / CAST(sum(CAST(dev * dev AS DECIMAL(38,10))) AS DOUBLE) AS r2
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+    "ml_standard_scale" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) *
+        |                  CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+        |  FROM customer
+        |), p AS (
+        |  SELECT n, sx / n AS mean,
+        |    sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+        |  FROM m
+        |)
+        |SELECT c_custkey, (c_acctbal - mean) / sd AS acctbal_z
+        |FROM customer CROSS JOIN p""".stripMargin,
+    "ml_power_transform" ->
+      """SELECT c_custkey, c_acctbal,
+        |  floor((CASE WHEN c_acctbal >= 0
+        |         THEN (pow(c_acctbal + 1, 0.5) - 1) / 0.5
+        |         ELSE -(pow(-c_acctbal + 1, 1.5) - 1) / 1.5 END)
+        |        * 1000000 + 0.5) / 1000000 AS acctbal_yj
+        |FROM customer""".stripMargin
   )
 }
