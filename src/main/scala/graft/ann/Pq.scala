@@ -118,9 +118,15 @@ object Pq {
     out
   }
 
-  /** Approximate top-k by ADC over PQ codes, exact-cosine refined. */
+  /** Approximate top-k by ADC over PQ codes, exact-cosine refined.
+    *
+    * `excludeSelf` drops candidates whose corpus id equals the query id —
+    * correct when queries are drawn from the corpus (the fixture setup);
+    * pass `false` for a disjoint query set whose vec_ids may legitimately
+    * collide with corpus ids. */
   def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int, m: Int = 8, ks: Int = 16, refine: Int = 8): DataFrame = {
+      k: Int, m: Int = 8, ks: Int = 16, refine: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val books = codebooks(corpus, m, ks)
     val bcBooks = spark.sparkContext.broadcast(books)
@@ -155,11 +161,12 @@ object Pq {
     val adcScores = encoded.mapPartitions { it =>
       val qs = bcQ.value
       it.flatMap { e =>
-        qs.iterator.collect { case (qid, table) if qid != e.cid =>
-          var s = 0.0
-          var mi = 0
-          while (mi < table.length) { s += table(mi)(e.codes(mi) & 0xff); mi += 1 }
-          Adc(qid, e.cid, s)
+        qs.iterator.collect {
+          case (qid, table) if !excludeSelf || qid != e.cid =>
+            var s = 0.0
+            var mi = 0
+            while (mi < table.length) { s += table(mi)(e.codes(mi) & 0xff); mi += 1 }
+            Adc(qid, e.cid, s)
         }
       }
     }.toDF("qid", "cid", "adc")

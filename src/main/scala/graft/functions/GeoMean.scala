@@ -12,10 +12,12 @@ case class GeoAcc(sum: Double, comp: Double, n: Long)
   *
   * The log-sum uses Kahan compensation so the partial-merge order Spark
   * chooses at runtime (which is not deterministic across runs on a cluster)
-  * cannot drift the result: each partial is exact to ~1 ulp, so any merge
-  * tree yields the same double after the final exp/round. That is the same
-  * associativity-by-construction argument `graft.Num.decSum` makes for
-  * decimal sums — required for oracle-exactness at any partition count.
+  * cannot meaningfully drift the result: compensation keeps each partial
+  * within ~1 ulp, so merge-order drift stays far below the 1e-6 rounding
+  * grain that `a12_geomean_udaf` applies (`Num.r6`). Kahan does NOT make
+  * the fold exactly associative — do not drop the `Num.r6` guard on the
+  * strength of this accumulator alone (a half-boundary value could still
+  * flip without it).
   */
 object GeoMean extends Aggregator[Double, GeoAcc, Double] {
   private def kahanAdd(sum: Double, comp: Double, x: Double): (Double, Double) = {

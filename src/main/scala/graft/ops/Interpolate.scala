@@ -24,6 +24,9 @@ object Interpolate {
       value: Option[Double])
   case class Out(user_id: Long, event_id: Long, value: Option[Double],
       v_interp: Double)
+  /** Pt carrying an explicit interpolation-grain key (cascade variant). */
+  case class KPt(gkey: String, user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Option[Double])
 
   /** Quadratic through (x0,y0),(x1,y1),(x2,y2) evaluated at x. */
   private def lagrange3(x0: Double, y0: Double, x1: Double, y1: Double,
@@ -90,6 +93,21 @@ object Interpolate {
       .groupByKey(_.user_id)
       .flatMapSortedGroups($"ts", $"event_id") { (_: Long, rows: Iterator[Pt]) =>
         series(rows)
+      }
+  }
+
+  /** Same per-series fold, but the interpolation grain is an explicit
+    * `gkey` column (the cascade's rule-selected grain) rather than the
+    * series id — rows of many series interleave within one grain, exactly
+    * like the reference's groupby(['setor','industria']).interpolate. */
+  def quadraticKeyed(spark: SparkSession, df: DataFrame): Dataset[Out] = {
+    import spark.implicits._
+    df
+      .select(col("gkey"), col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[KPt]
+      .groupByKey(_.gkey)
+      .flatMapSortedGroups($"ts", $"event_id") { (_: String, rows: Iterator[KPt]) =>
+        series(rows.map(p => Pt(p.user_id, p.ts, p.event_id, p.value)))
       }
   }
 }

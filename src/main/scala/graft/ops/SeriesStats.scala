@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Per-series statistical tests (SURVEY §5.2, §2.9): ADF stationarity
   * t-statistic and Ljung-Box Q — the reference runs statsmodels
@@ -71,6 +73,126 @@ object SeriesStats {
       k += 1
     }
     n.toDouble * (n + 2) * q
+  }
+
+  /** Declarative (agg-expression) formulation of the SAME statistics,
+    * derived from EXACT decimal raw moments so the result is bit-identical
+    * at any partition count AND cross-engine (the oracle-parity pattern of
+    * `graft.Num.decSum`):
+    *
+    *  - every raw moment (Σy, Σy², Σy·y₋ₖ, lag tail-sums) is an exact
+    *    DECIMAL sum of 2-decimal inputs — associative, so shuffle order
+    *    can't drift it;
+    *  - ADF t and Ljung-Box Q are then closed-form double arithmetic over
+    *    those moments, written with the same expression shape as the
+    *    DuckDB oracle (`oracleSql` below), so both engines execute the
+    *    identical IEEE operation sequence.
+    *
+    * ADF via scaled centered moments: A = nΣx²−(Σx)², B = nΣx·Δy−ΣxΣΔy,
+    * C = nΣΔy²−(ΣΔy)²; β = B/A; t = β / sqrt((C−βB)/(n−2)/A).
+    * Ljung-Box: cₖ = Σyᵢyᵢ₋ₖ − m(Σᵢ≥ₖyᵢ + Σᵢ≤ₙ₋ₖyᵢ) + (n−k)m²,
+    * Q = n(n+2)·Σₖ ρₖ²/(n−k) with ρₖ = cₖ/c₀.
+    *
+    * One window pass (h lag columns) + one groupBy — the scale-preferred
+    * path; `perSeries` (the typed fold) stays as the cross-check spec.
+    */
+  def adfLjungBoxAgg(events: DataFrame, h: Int = 10): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(28, 4)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    var df = events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    for (k <- 1 to h) df = df.withColumn(s"x$k", lag(col("value"), k).over(w))
+
+    val yd = col("value").cast(dec2)
+    val x1d = col("x1").cast(dec2)
+    val dyd = yd - x1d // exact; null (excluded) on the first row of a series
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).as("n"),
+      sum(yd).cast("double").as("sy"),
+      sum((yd * yd).cast(dec4)).cast("double").as("syy"))
+    for (k <- 1 to h) {
+      val xkd = col(s"x$k").cast(dec2)
+      aggs += count(col(s"x$k")).as(s"cnt$k")
+      aggs += sum((yd * xkd).cast(dec4)).cast("double").as(s"sxy$k")
+      aggs += sum(when(col(s"x$k").isNotNull, yd)).cast("double").as(s"sa$k")
+      aggs += sum(xkd).cast("double").as(s"sb$k")
+    }
+    aggs += count(col("x1")).as("np")
+    aggs += sum(x1d).cast("double").as("adf_sx")
+    aggs += sum(dyd).cast("double").as("adf_sdy")
+    aggs += sum((x1d * x1d).cast(dec4)).cast("double").as("adf_sxx")
+    aggs += sum((x1d * dyd).cast(dec4)).cast("double").as("adf_sxdy")
+    aggs += sum((dyd * dyd).cast(dec4)).cast("double").as("adf_sdydy")
+    val g = df.groupBy(col("user_id")).agg(aggs.head, aggs.tail.toSeq: _*)
+
+    val m = col("sy") / col("n")
+    val c0 = col("syy") - col("sy") * m
+    val qSum = (1 to h).map { k =>
+      val ck = col(s"sxy$k") - m * (col(s"sa$k") + col(s"sb$k")) +
+        col(s"cnt$k") * m * m
+      val rho = ck / c0
+      rho * rho / col(s"cnt$k")
+    }.reduceLeft(_ + _)
+    val lbQ = col("n") * (col("n") + lit(2)) * qSum
+    val aA = col("np") * col("adf_sxx") - col("adf_sx") * col("adf_sx")
+    val bB = col("np") * col("adf_sxdy") - col("adf_sx") * col("adf_sdy")
+    val cC = col("np") * col("adf_sdydy") - col("adf_sdy") * col("adf_sdy")
+    val beta = bB / aA
+    val adfT = beta / sqrt((cC - beta * bB) / (col("np") - lit(2)) / aA)
+    g.select(col("user_id"), col("n"),
+      graft.Num.r6(m).as("mean"),
+      graft.Num.r6(adfT).as("adf_t"),
+      graft.Num.r6(lbQ).as("ljung_box_q"))
+  }
+
+  /** DuckDB oracle for [[adfLjungBoxAgg]] — generated from the same `h` so
+    * the lag expressions can never drift from the Spark side. */
+  def adfLjungBoxOracle(h: Int = 10): String = {
+    val lagCols = (1 to h).map(k => s"lag(value, $k) OVER w AS x$k").mkString(",\n    ")
+    val yd = "CAST(value AS DECIMAL(18,2))"
+    def xd(k: Int) = s"CAST(x$k AS DECIMAL(18,2))"
+    val perK = (1 to h).map { k =>
+      s"""    count(x$k) AS cnt$k,
+         |    CAST(sum(CAST($yd * ${xd(k)} AS DECIMAL(28,4))) AS DOUBLE) AS sxy$k,
+         |    CAST(sum(CASE WHEN x$k IS NOT NULL THEN $yd END) AS DOUBLE) AS sa$k,
+         |    CAST(sum(${xd(k)}) AS DOUBLE) AS sb$k""".stripMargin
+    }.mkString(",\n")
+    val qTerms = (1 to h).map { k =>
+      s"(((sxy$k - m * (sa$k + sb$k) + cnt$k * m * m) / c0) * " +
+        s"((sxy$k - m * (sa$k + sb$k) + cnt$k * m * m) / c0)) / cnt$k"
+    }.mkString("\n      + ")
+    s"""WITH lagged AS (
+       |  SELECT user_id, value,
+       |    $lagCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), g AS (
+       |  SELECT user_id,
+       |    count(*) AS n,
+       |    CAST(sum($yd) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST($yd * $yd AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+       |$perK,
+       |    count(x1) AS np,
+       |    CAST(sum(${xd(1)}) AS DOUBLE) AS adf_sx,
+       |    CAST(sum($yd - ${xd(1)}) AS DOUBLE) AS adf_sdy,
+       |    CAST(sum(CAST(${xd(1)} * ${xd(1)} AS DECIMAL(28,4))) AS DOUBLE) AS adf_sxx,
+       |    CAST(sum(CAST(${xd(1)} * ($yd - ${xd(1)}) AS DECIMAL(28,4))) AS DOUBLE) AS adf_sxdy,
+       |    CAST(sum(CAST(($yd - ${xd(1)}) * ($yd - ${xd(1)}) AS DECIMAL(28,4))) AS DOUBLE) AS adf_sdydy
+       |  FROM lagged GROUP BY user_id
+       |), p AS (
+       |  SELECT *, sy / n AS m,
+       |    np * adf_sxx - adf_sx * adf_sx AS aa,
+       |    np * adf_sxdy - adf_sx * adf_sdy AS bb,
+       |    np * adf_sdydy - adf_sdy * adf_sdy AS cc
+       |  FROM g
+       |), p2 AS (
+       |  SELECT *, syy - sy * m AS c0, bb / aa AS beta FROM p
+       |)
+       |SELECT user_id, n,
+       |  floor(m * 1000000 + 0.5) / 1000000 AS mean,
+       |  floor((beta / sqrt((cc - beta * bb) / (np - 2) / aa)) * 1000000 + 0.5) / 1000000 AS adf_t,
+       |  floor((n * (n + 2) * ($qTerms)) * 1000000 + 0.5) / 1000000 AS ljung_box_q
+       |FROM p2""".stripMargin
   }
 
   def perSeries(spark: SparkSession, events: DataFrame, lags: Int = 10): Dataset[Stats] = {

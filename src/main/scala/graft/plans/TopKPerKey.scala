@@ -120,9 +120,13 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
       tieCols: Seq[String], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        TopKStrategy +: spark.experimental.extraStrategies
+    // extraStrategies is session-global mutable state: guard the
+    // check-then-set so concurrent first callers can't double-register.
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          TopKStrategy +: spark.experimental.extraStrategies
+      }
     }
     val analyzed = df.queryExecution.analyzed
     def attr(n: String): Attribute = analyzed.output.find(_.name == n)

@@ -15,6 +15,42 @@ import graft.ops.{Ewm, Interpolate, SeriesStats}
   */
 object CustomComputePack extends QueryPack {
 
+  /** Shared oracle fragment: quadratic null-run interpolation within
+    * partition `pkey`, exactly mirroring `Interpolate.series`'s arithmetic
+    * (same Lagrange expression shape → bit-identical doubles). Expects a
+    * CTE chain ending in `src(user_id, ts, event_id, value, pkey)`;
+    * emits CTEs `r`, `kn`, `interp(user_id, event_id, v_interp)`. */
+  private def lagrangeOracleCtes: String =
+    """r AS (
+      |  SELECT user_id, event_id, value, pkey,
+      |    row_number() OVER (PARTITION BY pkey ORDER BY ts, event_id) - 1 AS pos,
+      |    count(value) OVER (PARTITION BY pkey ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kcnt
+      |  FROM src
+      |), kn AS (
+      |  SELECT pkey, pos, value,
+      |    row_number() OVER (PARTITION BY pkey ORDER BY pos) AS kidx
+      |  FROM r WHERE value IS NOT NULL
+      |), interp AS (
+      |  SELECT nu.user_id, nu.event_id,
+      |    CASE
+      |      WHEN l1.pos IS NOT NULL AND l2.pos IS NOT NULL AND rt.pos IS NOT NULL THEN
+      |        l2.value * ((nu.pos - l1.pos) * (nu.pos - rt.pos) / ((l2.pos - l1.pos) * (l2.pos - rt.pos)))
+      |        + l1.value * ((nu.pos - l2.pos) * (nu.pos - rt.pos) / ((l1.pos - l2.pos) * (l1.pos - rt.pos)))
+      |        + rt.value * ((nu.pos - l2.pos) * (nu.pos - l1.pos) / ((rt.pos - l2.pos) * (rt.pos - l1.pos)))
+      |      WHEN l1.pos IS NOT NULL AND rt.pos IS NOT NULL THEN
+      |        l1.value + (rt.value - l1.value) * (nu.pos - l1.pos) / (rt.pos - l1.pos)
+      |      WHEN l1.pos IS NOT NULL THEN l1.value
+      |      WHEN rt.pos IS NOT NULL THEN rt.value
+      |    END AS v_interp
+      |  FROM (SELECT * FROM r WHERE value IS NULL) nu
+      |  LEFT JOIN kn l1 ON l1.pkey = nu.pkey AND l1.kidx = nu.kcnt
+      |  LEFT JOIN kn l2 ON l2.pkey = nu.pkey AND l2.kidx = nu.kcnt - 1
+      |  LEFT JOIN kn rt ON rt.pkey = nu.pkey AND rt.kidx = nu.kcnt + 1
+      |  UNION ALL
+      |  SELECT user_id, event_id, value AS v_interp FROM r WHERE value IS NOT NULL
+      |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W8: EWM(12/26) → MACD → signal(9), pandas adjust=True semantics.
     // Oracle-checked via the closed form ewm_t = Σr^(t-i)x_i / Σr^(t-i)
@@ -47,13 +83,48 @@ object CustomComputePack extends QueryPack {
           Num.r6(col("v_interp")).as("v_interp"))
     }),
 
-    // §5.2: per-series ADF t-stat + Ljung-Box Q.
+    // §5.2: per-series ADF t-stat + Ljung-Box Q — the declarative
+    // exact-decimal-moment formulation (oracle-exact; the typed-fold
+    // SeriesStats.perSeries is cross-checked against it in SeriesStatsSpec).
     "stats_adf_ljungbox" -> ((s, dir) =>
-      SeriesStats.perSeries(s, Tables.events(s, dir)).toDF()
-        .select(col("user_id"), col("n"),
-          Num.r6(col("mean")).as("mean"),
-          Num.r6(col("adf_t")).as("adf_t"),
-          Num.r6(col("ljung_box_q")).as("ljung_box_q"))),
+      SeriesStats.adfLjungBoxAgg(Tables.events(s, dir))),
+
+    // W10 cascade (preprocessing.py:114-155): the population rules choose
+    // each row's interpolation GRAIN — (setor,industria) when the industry
+    // holds >1 ticker, setor when it is the only ticker but the sector has
+    // >1 industry, global otherwise — then one keyed quadratic-interpolation
+    // pass fills nulls within the chosen grain, and any residue (all-null
+    // grain) takes the global mean. setor/industria are deterministic
+    // derivations of user_id (the fixtures have no company-dimension table).
+    "w10_cascade" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(col("value")))
+      val keyed = base
+        .withColumn("setor",
+          when(col("user_id") < 10, col("user_id") + 100)
+            .otherwise(pmod(col("user_id"), lit(5))))
+        .withColumn("industria", pmod(col("user_id"), lit(23)))
+      val cntUi = keyed.groupBy(col("setor"), col("industria"))
+        .agg(countDistinct(col("user_id")).as("n_tickers"))
+      val cntIs = keyed.groupBy(col("setor").as("setor2"))
+        .agg(countDistinct(col("industria")).as("n_inds"))
+      val tagged = keyed
+        .join(broadcast(cntUi), Seq("setor", "industria"))
+        .join(broadcast(cntIs), col("setor") === col("setor2"))
+        .withColumn("gkey",
+          when(col("n_tickers") > 1,
+            concat(lit("i:"), col("setor"), lit(":"), col("industria")))
+          .when(col("n_inds") > 1, concat(lit("s:"), col("setor")))
+          .otherwise(lit("g")))
+      val interp = Interpolate.quadraticKeyed(s, tagged).toDF()
+      val gm = base.agg(Num.decAvg(col("value")).as("gmean"))
+      interp.crossJoin(broadcast(gm))
+        .select(col("user_id"), col("event_id"),
+          Num.r6(when(isnan(col("v_interp")), col("gmean"))
+            .otherwise(col("v_interp"))).as("v_interp"))
+    }),
 
     // Lag-1 autocorrelation per series via the explicit product-moment
     // formula over exact decimal sums — deterministic across engines, so
@@ -83,6 +154,51 @@ object CustomComputePack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // W10: the quadratic-through-3-known-points fill is closed-form — the
+    // oracle reproduces Interpolate.series exactly (left-2/left-1/right
+    // known points per null run via knownness-prefix counts).
+    "w10_interpolate" ->
+      s"""WITH src AS (
+         |  SELECT user_id, ts, event_id, user_id AS pkey,
+         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+         |  FROM events
+         |), $lagrangeOracleCtes
+         |SELECT user_id, event_id,
+         |  floor(v_interp * 1000000 + 0.5) / 1000000 AS v_interp
+         |FROM interp""".stripMargin,
+    "w10_cascade" ->
+      s"""WITH base AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+         |  FROM events
+         |), keyed AS (
+         |  SELECT *,
+         |    CASE WHEN user_id < 10 THEN user_id + 100 ELSE user_id % 5 END AS setor,
+         |    user_id % 23 AS industria
+         |  FROM base
+         |), cnt_ui AS (
+         |  SELECT setor, industria, count(DISTINCT user_id) AS n_tickers
+         |  FROM keyed GROUP BY 1, 2
+         |), cnt_is AS (
+         |  SELECT setor, count(DISTINCT industria) AS n_inds FROM keyed GROUP BY 1
+         |), src AS (
+         |  SELECT k.user_id, k.ts, k.event_id, k.value,
+         |    CASE WHEN c1.n_tickers > 1 THEN 'i:' || k.setor || ':' || k.industria
+         |         WHEN c2.n_inds > 1 THEN 's:' || k.setor
+         |         ELSE 'g' END AS pkey
+         |  FROM keyed k
+         |  JOIN cnt_ui c1 ON c1.setor = k.setor AND c1.industria = k.industria
+         |  JOIN cnt_is c2 ON c2.setor = k.setor
+         |), $lagrangeOracleCtes, gm AS (
+         |  SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+         |    AS gmean
+         |  FROM base
+         |)
+         |SELECT user_id, event_id,
+         |  floor((CASE WHEN v_interp IS NULL THEN gmean ELSE v_interp END)
+         |        * 1000000 + 0.5) / 1000000 AS v_interp
+         |FROM interp CROSS JOIN gm""".stripMargin,
+    "stats_adf_ljungbox" -> SeriesStats.adfLjungBoxOracle(10),
     // EWM closed form: with rn the 0-based position in the (ts, event_id)
     // order, ewm_t = Σ x_i·r^(-i) / Σ r^(-i) over the running frame (the
     // common r^t factor cancels). r = 1 - 2/(span+1) = 11/13, 25/27, 4/5.

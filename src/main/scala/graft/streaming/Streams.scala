@@ -147,7 +147,17 @@ object Streams {
         .withColumn("day", to_date(col("ts")))
         .select(col("event_id"), col("user_id"), col("day"), col("value"))
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Upsert contract: each micro-batch must carry the FULL reprocess
+          // window for every partition it touches (the reference Glue job
+          // stages exactly one lookback window per run). If the source ever
+          // split that window across batches, the dynamic overwrite would
+          // silently drop earlier batches' rows for the same day — so fail
+          // loudly instead of losing data.
+          require(batchId == 0L,
+            s"foreachBatchSink expects the whole reprocess window in one " +
+              s"micro-batch; got batchId=$batchId — merge with existing " +
+              "partition contents before enabling multi-batch input")
           batch.write.mode("overwrite").partitionBy("day").parquet(outDir)
         }
         .option("checkpointLocation", s"$outDir-chk")
