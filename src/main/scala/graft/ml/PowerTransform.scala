@@ -46,11 +46,13 @@ object PowerTransform {
        |    END""".stripMargin
 
   /** Fit λ by two-stage grid ascent of the profile log-likelihood.
-    * Three scans total over `df` (moments, stage-1 grid, stage-2 grid). */
+    * Three scans total over `df` (moments, stage-1 grid, stage-2 grid).
+    * NULLs in the column are excluded from the fit (n = count(x), matching
+    * the NULL-skipping avg() moments and the oracle's count(x)). */
   def fitLambda(df: DataFrame, colName: String): Double = {
     val x = col(colName).cast("double")
     val head = df.agg(
-      count(lit(1)).as("n"),
+      count(x).as("n"),
       sum(when(x >= 0, log(x + 1)).otherwise(-log(-x + 1))).as("cnst")).head()
     val n = head.getLong(0)
     val cnst = head.getDouble(1)
@@ -66,7 +68,9 @@ object PowerTransform {
         val m1 = row.getDouble(2 * i + 1)
         val ll = -0.5 * n * math.log(m2 - m1 * m1) + (l - 1) * cnst
         (ll, l)
-      }
+      }.filterNot(s => s._1.isNaN) // degenerate λ (zero variance) scores NaN:
+      // drop them BEFORE the argmax so both engines see the same candidate
+      // set (DuckDB would sort NaN above all reals; oracle filters isnan too)
       // argmax, ties to the smaller λ (oracle: ORDER BY ll DESC, lam)
       scored.reduceLeft { (a, b) => if (b._1 > a._1) b else a }._2
     }
@@ -91,17 +95,19 @@ object PowerTransform {
          |  GROUP BY lam
          |)""".stripMargin
     s"""st AS (
-       |  SELECT count(*) AS n,
+       |  SELECT count(x) AS n,
        |    sum(CASE WHEN x >= 0 THEN ln(x + 1) ELSE -ln(-x + 1) END) AS cnst
        |  FROM $src
        |), l1 AS (
        |  SELECT (i - 20) / 10.0 AS lam FROM (SELECT unnest(range(0, 41)) AS i)
        |), ${llStage("l1", "ll1")},
-       |b1 AS (SELECT lam AS best1 FROM ll1 ORDER BY ll DESC, lam LIMIT 1),
+       |b1 AS (SELECT lam AS best1 FROM ll1 WHERE NOT isnan(ll)
+       |       ORDER BY ll DESC, lam LIMIT 1),
        |l2 AS (
        |  SELECT best1 + (j - 20) * 0.005 AS lam
        |  FROM b1 CROSS JOIN (SELECT unnest(range(0, 41)) AS j)
        |), ${llStage("l2", "ll2")},
-       |b2 AS (SELECT lam AS lambda FROM ll2 ORDER BY ll DESC, lam LIMIT 1)""".stripMargin
+       |b2 AS (SELECT lam AS lambda FROM ll2 WHERE NOT isnan(ll)
+       |       ORDER BY ll DESC, lam LIMIT 1)""".stripMargin
   }
 }

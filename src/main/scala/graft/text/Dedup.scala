@@ -132,6 +132,53 @@ object Dedup {
       .filter(_.jaccard >= threshold)
   }
 
+  /** Exhaustive exact-Jaccard pairs over the hashed shingle sets — the
+    * ground-truth side of the d2/d5 recall invariants. Broadcast of the
+    * (bounded) shingle-set table + primitive sorted-array intersection;
+    * this is the VERIFICATION harness, not the scale path: the banded
+    * LSH join is the production candidate generator, and this exhaustive
+    * pass exists so the driver can check its recall exactly.
+    */
+  def bruteForcePairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val sets = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val sh = shingleHashes(t, shingleW)
+        java.util.Arrays.sort(sh)
+        (id, sh)
+      }
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sets)
+    val par = spark.sparkContext.defaultParallelism
+
+    def interSize(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) i += 1
+        else if (a(i) > b(j)) j += 1
+        else { n += 1; i += 1; j += 1 }
+      }
+      n
+    }
+
+    spark.createDataset(sets.indices.toSeq)
+      .repartition(par)
+      .flatMap { ai =>
+        val all = bc.value
+        val (ida, sa) = all(ai)
+        Iterator.range(ai + 1, all.length).flatMap { bi =>
+          val (idb, sb) = all(bi)
+          val inter = interSize(sa, sb)
+          val union = sa.length + sb.length - inter
+          val j = if (union == 0) 1.0 else inter.toDouble / union
+          if (j >= threshold) Iterator.single((ida, idb, j)) else Iterator.empty
+        }
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over token FNV hashes (unit weights). */
@@ -177,5 +224,31 @@ object Dedup {
       .as[(Long, Long, Long, Long)]
       .map { case (a, b, sa, sb) => SimPair(a, b, hamming(sa, sb)) }
       .filter(_.hamming <= maxDist)
+  }
+
+  /** Exhaustive Hamming ≤ maxDist pairs over the same 64-bit signatures —
+    * ground truth for the d3 banding invariant (pigeonhole says the banded
+    * set must EQUAL this). Signatures are 8 bytes/doc, so the broadcast is
+    * bounded even for large corpora; the n² popcount loop is the
+    * verification harness only. */
+  def simhashBruteForce(spark: SparkSession, docs: DataFrame, maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sigs)
+    val par = spark.sparkContext.defaultParallelism
+    spark.createDataset(sigs.indices.toSeq)
+      .repartition(par)
+      .flatMap { ai =>
+        val all = bc.value
+        val (ida, sa) = all(ai)
+        Iterator.range(ai + 1, all.length).flatMap { bi =>
+          val (idb, sb) = all(bi)
+          val d = java.lang.Long.bitCount(sa ^ sb)
+          if (d <= maxDist) Iterator.single((ida, idb, d)) else Iterator.empty
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
   }
 }
