@@ -21,7 +21,11 @@ object ScaleProbe {
     "w3_rolling_mean", "w14_time_rolling", "tj1_asof_join",
     "flagship_refined", "d1_exact_dedup", "d2_minhash_lsh",
     "o1_sort_topn", "sc4_global_rank", "sc5_topk_exec",
-    "t2_quality_score", "x5_grouping_sets", "u4_except")
+    "t2_quality_score", "x5_grouping_sets", "u4_except",
+    // dedup/ANN family: their ground-truth checkers are memoized per data
+    // fingerprint (graft.Fingerprint), so the min-of-two timing below
+    // measures the bucketed operator, not the one-time n² verification scan
+    "d3_simhash", "n3_ann_lsh", "n4_ann_ivf", "n5_ann_pq")
 
   private def shifted(df: DataFrame, cols: Map[String, Long], i: Int): DataFrame =
     cols.foldLeft(df) { case (d, (c, step)) =>

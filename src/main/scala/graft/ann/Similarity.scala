@@ -127,39 +127,59 @@ object Similarity {
     sig
   }
 
-  case class SigRow(vec_id: Long, bucket: Int)
+  case class SigRow(vec_id: Long, table: Int, bucket: Int)
 
-  /** LSH top-k: bucket corpus + queries with `numPlanes`-bit signatures,
-    * multi-probe the query's bucket and its Hamming-1 neighbors. */
+  /** Multi-table LSH top-k (Indyk–Motwani AND-OR construction): `numTables`
+    * independent `bitsPerTable`-bit sign signatures; a corpus vector lands
+    * in one bucket PER table, a query probes its own bucket plus Hamming-1
+    * neighbors in EVERY table, and the candidate set is the union (OR)
+    * across tables. On near-isotropic embeddings — the hardest case, and
+    * what the fixture contains — a single b-bit table has per-neighbor
+    * collision probability p_bit^b (tiny), while L tables lift recall to
+    * 1-(1-p_table)^L without growing any single bucket.
+    *
+    * Scale: candidate cost per query ≈ L·(1+b)·n/2^b rows, tuned by
+    * raising `bitsPerTable` with log₂(n); the corpus-side signature pass
+    * is map-only and the candidate join is bucket-keyed — never all-pairs. */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int, numPlanes: Int = 12): DataFrame = {
+      k: Int, numTables: Int = 6, bitsPerTable: Int = 8): DataFrame = {
     import spark.implicits._
     val dimRow = corpus.select(size(col("embedding"))).head(1)
     if (dimRow.isEmpty) { // empty corpus → empty result with the output schema
       return Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "cid", "sim")
     }
-    val pl = planes(numPlanes, dimRow.head.getInt(0))
+    val dim = dimRow.head.getInt(0)
+    // one plane family per table: disjoint slices of a deterministic pool
+    val pool = planes(numTables * bitsPerTable, dim)
+    val tables = Array.tabulate(numTables)(t =>
+      pool.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
 
     val cSig = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => SigRow(id, signature(v, pl)) }
-      .toDF("cid", "bucket")
+      .flatMap { case (id, v) =>
+        tables.iterator.zipWithIndex.map { case (pl, t) =>
+          SigRow(id, t, signature(v, pl))
+        }
+      }
+      .toDF("cid", "table", "bucket")
     val qSig = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        val s = signature(v, pl)
-        // multi-probe: own bucket + Hamming-1 neighbors
-        Iterator.single(SigRow(id, s)) ++
-          (0 until numPlanes).iterator.map(b => SigRow(id, s ^ (1 << b)))
+        tables.iterator.zipWithIndex.flatMap { case (pl, t) =>
+          val s = signature(v, pl)
+          // multi-probe: own bucket + Hamming-1 neighbors
+          Iterator.single(SigRow(id, t, s)) ++
+            (0 until bitsPerTable).iterator.map(b => SigRow(id, t, s ^ (1 << b)))
+        }
       }
-      .toDF("qid", "bucket")
+      .toDF("qid", "table", "bucket")
 
     val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
       l2norm(col("embedding")).as("q_norm"))
     val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
       l2norm(col("embedding")).as("c_norm"))
 
-    val cand = qSig.join(cSig, "bucket")
+    val cand = qSig.join(cSig, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
 

@@ -68,11 +68,16 @@ object PowerTransform {
         val m1 = row.getDouble(2 * i + 1)
         val ll = -0.5 * n * math.log(m2 - m1 * m1) + (l - 1) * cnst
         (ll, l)
-      }.filterNot(s => s._1.isNaN) // degenerate λ (zero variance) scores NaN:
-      // drop them BEFORE the argmax so both engines see the same candidate
-      // set (DuckDB would sort NaN above all reals; oracle filters isnan too)
-      // argmax, ties to the smaller λ (oracle: ORDER BY ll DESC, lam)
-      scored.reduceLeft { (a, b) => if (b._1 > a._1) b else a }._2
+      }.filter(s => java.lang.Double.isFinite(s._1))
+      // Degenerate λ probes are dropped BEFORE the argmax so both engines
+      // see the same candidate set: variance < 0 rounds to NaN here, and
+      // variance == 0 gives ll = +Inf (log 0 = -Inf), while the oracle's
+      // ln(nullif(greatest(var, 0), 0)) NULLs both cases. A fully
+      // degenerate column (every probe dropped — e.g. a constant x) falls
+      // back to λ = 1, the identity transform, mirrored by the oracle's
+      // coalesce(..., 1.0).
+      if (scored.isEmpty) 1.0
+      else scored.reduceLeft { (a, b) => if (b._1 > a._1) b else a }._2
     }
 
     val best1 = bestOf((0 to 40).map(i => (i - 20) / 10.0))
@@ -83,10 +88,17 @@ object PowerTransform {
     * `xcol`; yields CTE `b2(lambda)` plus `c(c_key..., x)` is caller-side.
     * `src` must be a CTE exposing column `x` (double). */
   def fitOracleCtes(src: String): String = {
+    // DuckDB ln() ERRORS on zero/negative arguments (it does not return
+    // NaN), so the variance is guarded: greatest(·,0) clamps tiny negative
+    // rounding, nullif(·,0) turns degenerate (zero-variance) probes into
+    // NULL ll rows — dropped like the Spark side drops NaN/±Inf scores.
+    // If every probe is degenerate, coalesce falls back to λ = 1 exactly
+    // as fitLambda does.
     def llStage(lamCte: String, outCte: String): String =
       s"""$outCte AS (
          |  SELECT lam,
-         |    -0.5 * (SELECT n FROM st) * ln(avg(t * t) - avg(t) * avg(t))
+         |    -0.5 * (SELECT n FROM st)
+         |      * ln(nullif(greatest(avg(t * t) - avg(t) * avg(t), 0), 0))
          |      + (lam - 1) * (SELECT cnst FROM st) AS ll
          |  FROM (
          |    SELECT lam,
@@ -101,13 +113,15 @@ object PowerTransform {
        |), l1 AS (
        |  SELECT (i - 20) / 10.0 AS lam FROM (SELECT unnest(range(0, 41)) AS i)
        |), ${llStage("l1", "ll1")},
-       |b1 AS (SELECT lam AS best1 FROM ll1 WHERE NOT isnan(ll)
-       |       ORDER BY ll DESC, lam LIMIT 1),
+       |b1 AS (SELECT coalesce(
+       |         (SELECT lam FROM ll1 WHERE ll IS NOT NULL
+       |          ORDER BY ll DESC, lam LIMIT 1), 1.0) AS best1),
        |l2 AS (
        |  SELECT best1 + (j - 20) * 0.005 AS lam
        |  FROM b1 CROSS JOIN (SELECT unnest(range(0, 41)) AS j)
        |), ${llStage("l2", "ll2")},
-       |b2 AS (SELECT lam AS lambda FROM ll2 WHERE NOT isnan(ll)
-       |       ORDER BY ll DESC, lam LIMIT 1)""".stripMargin
+       |b2 AS (SELECT coalesce(
+       |         (SELECT lam FROM ll2 WHERE ll IS NOT NULL
+       |          ORDER BY ll DESC, lam LIMIT 1), 1.0) AS lambda)""".stripMargin
   }
 }

@@ -16,17 +16,15 @@ import org.apache.spark.sql.types.DecimalType
   * statistic is t(β) = β/se(β). Ljung-Box on the raw series with h lags:
   * Q = n(n+2) Σ_{k=1..h} ρ_k²/(n−k).
   *
-  * Runs as `mapGroups` per key over the time-sorted iterator; the two
-  * passes need the series in memory (O(series length) per key) — for
-  * 100 TB pipelines this is a per-key reduction whose state is one series,
-  * the same bound statsmodels needs single-node, but distributed across
-  * keys.
+  * The production path is [[adfLjungBoxAgg]]: one window pass + one
+  * groupBy over closed-form moments, O(h) aggregate state per key — never
+  * the series itself, so a pathological key cannot pressure an executor at
+  * 100 TB. The array-based [[adfT]]/[[ljungBoxQ]] are the pure reference
+  * implementations; the spec cross-checks the agg form against a typed
+  * per-series fold of them (SeriesStatsSpec), which is deliberately NOT a
+  * production path (it materializes each series).
   */
 object SeriesStats {
-
-  case class Pt(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
-  case class Stats(user_id: Long, n: Long, mean: Double, adf_t: Double,
-      ljung_box_q: Double, lb_lags: Int)
 
   /** ADF t-stat (constant, no augmentation) on y. */
   def adfT(y: Array[Double]): Double = {
@@ -195,16 +193,155 @@ object SeriesStats {
        |FROM p2""".stripMargin
   }
 
-  def perSeries(spark: SparkSession, events: DataFrame, lags: Int = 10): Dataset[Stats] = {
-    import spark.implicits._
-    events
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[Pt]
-      .groupByKey(_.user_id)
-      .flatMapSortedGroups($"ts", $"event_id") { (uid: Long, rows: Iterator[Pt]) =>
-        val y = rows.map(_.value).toArray
-        Iterator.single(Stats(uid, y.length.toLong, y.sum / y.length, adfT(y),
-          ljungBoxQ(y, lags), lags))
+  case class AcfPacfRow(user_id: Long, n: Long, lag: Int, acf: Double, pacf: Double)
+
+  /** PACF via Durbin–Levinson from ACF values ρ₁..ρ_h. Plain double
+    * arithmetic whose operation SEQUENCE (ascending-j accumulation,
+    * subtract, divide) is mirrored token-for-token by the generated SQL in
+    * [[acfPacfOracle]], so on bit-identical ρ inputs both engines produce
+    * bit-identical PACF values. */
+  def durbinLevinson(rho: Array[Double]): Array[Double] = {
+    val h = rho.length
+    val pacf = new Array[Double](h)
+    if (h == 0) return pacf
+    val prev = new Array[Double](h + 1)
+    val cur = new Array[Double](h + 1)
+    prev(1) = rho(0)
+    pacf(0) = rho(0)
+    var k = 2
+    while (k <= h) {
+      var num = 0.0
+      var den = 0.0
+      var j = 1
+      while (j < k) {
+        num += prev(j) * rho(k - 1 - j) // Σ φ_{k-1,j}·ρ_{k-j}
+        den += prev(j) * rho(j - 1)     // Σ φ_{k-1,j}·ρ_j
+        j += 1
       }
+      val pk = (rho(k - 1) - num) / (1.0 - den)
+      j = 1
+      while (j < k) { cur(j) = prev(j) - pk * prev(k - j); j += 1 }
+      cur(k) = pk
+      System.arraycopy(cur, 0, prev, 0, k + 1)
+      pacf(k - 1) = pk
+      k += 1
+    }
+    pacf
   }
+
+  /** Multi-lag ACF (lags 1..h) + PACF (Durbin–Levinson) per series —
+    * the engine counterpart of the reference's plot_acf/plot_pacf panels
+    * (/root/reference/src/data/visualize.py:122-131).
+    *
+    * ACF ρ_k = c_k/c₀ from the same EXACT decimal raw moments as
+    * [[adfLjungBoxAgg]] (c_k = Σy·y₋ₖ − m(Σᵢ≥ₖy + Σᵢ≤ₙ₋ₖy) + n_k·m²), so
+    * the ρ inputs are bit-deterministic at any partition count and across
+    * engines; the PACF recursion then runs per key in a typed flatMap —
+    * O(h²) doubles per key, NOT O(series) memory. One window pass + one
+    * groupBy, long-form output (user_id, n, lag, acf, pacf). */
+  def acfPacf(events: DataFrame, h: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(28, 4)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    var df = events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    for (k <- 1 to h) df = df.withColumn(s"x$k", lag(col("value"), k).over(w))
+
+    val yd = col("value").cast(dec2)
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).as("n"),
+      sum(yd).cast("double").as("sy"),
+      sum((yd * yd).cast(dec4)).cast("double").as("syy"))
+    for (k <- 1 to h) {
+      val xkd = col(s"x$k").cast(dec2)
+      aggs += count(col(s"x$k")).as(s"cnt$k")
+      aggs += sum((yd * xkd).cast(dec4)).cast("double").as(s"sxy$k")
+      aggs += sum(when(col(s"x$k").isNotNull, yd)).cast("double").as(s"sa$k")
+      aggs += sum(xkd).cast("double").as(s"sb$k")
+    }
+    val g = df.groupBy(col("user_id")).agg(aggs.head, aggs.tail.toSeq: _*)
+
+    val m = col("sy") / col("n")
+    val c0 = col("syy") - col("sy") * m
+    val rhoCols = (1 to h).map { k =>
+      val ck = col(s"sxy$k") - m * (col(s"sa$k") + col(s"sb$k")) +
+        col(s"cnt$k") * m * m
+      (ck / c0).as(s"rho$k")
+    }
+    g.select((col("user_id") +: col("n") +: rhoCols): _*)
+      .select(col("user_id"), col("n"),
+        array((1 to h).map(k => col(s"rho$k")): _*).as("rho"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (uid, n, rhoSeq) =>
+        val r = rhoSeq.toArray
+        val p = durbinLevinson(r)
+        (1 to h).iterator.map(k => AcfPacfRow(uid, n, k, r(k - 1), p(k - 1)))
+      }
+      .toDF()
+      .select(col("user_id"), col("n"), col("lag"),
+        graft.Num.r6(col("acf")).as("acf"),
+        graft.Num.r6(col("pacf")).as("pacf"))
+  }
+
+  /** DuckDB oracle for [[acfPacf]] — generated from the same `h`, with the
+    * Durbin–Levinson recursion unrolled as a CTE chain whose expression
+    * shapes replay [[durbinLevinson]]'s operation order exactly. */
+  def acfPacfOracle(h: Int = 10): String = {
+    val lagCols = (1 to h).map(k => s"lag(value, $k) OVER w AS x$k").mkString(",\n    ")
+    val yd = "CAST(value AS DECIMAL(18,2))"
+    def xd(k: Int) = s"CAST(x$k AS DECIMAL(18,2))"
+    val perK = (1 to h).map { k =>
+      s"""    count(x$k) AS cnt$k,
+         |    CAST(sum(CAST($yd * ${xd(k)} AS DECIMAL(28,4))) AS DOUBLE) AS sxy$k,
+         |    CAST(sum(CASE WHEN x$k IS NOT NULL THEN $yd END) AS DOUBLE) AS sa$k,
+         |    CAST(sum(${xd(k)}) AS DOUBLE) AS sb$k""".stripMargin
+    }.mkString(",\n")
+    val rhoSel = (1 to h).map { k =>
+      s"(sxy$k - m * (sa$k + sb$k) + cnt$k * m * m) / c0 AS rho$k"
+    }.mkString(",\n    ")
+    // Durbin–Levinson unroll: per level k, one CTE for φ_k_k (needs the
+    // previous level), then one for φ_k_j (needs φ_k_k).
+    val dl = new StringBuilder("d1 AS (SELECT *, rho1 AS phi_1_1 FROM rho)")
+    for (k <- 2 to h) {
+      val num = (1 until k).map(j => s"phi_${k - 1}_$j * rho${k - j}").mkString(" + ")
+      val den = (1 until k).map(j => s"phi_${k - 1}_$j * rho$j").mkString(" + ")
+      dl.append(
+        s""",
+           |d${k}a AS (SELECT *, (rho$k - ($num)) / (1 - ($den)) AS phi_${k}_$k
+           |  FROM d${k - 1}),
+           |d$k AS (SELECT *,
+           |  ${(1 until k).map(j => s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j} AS phi_${k}_$j").mkString(",\n  ")}
+           |  FROM d${k}a)""".stripMargin)
+    }
+    val unions = (1 to h).map { k =>
+      s"""SELECT user_id, n, $k AS lag,
+         |  floor(rho$k * 1000000 + 0.5) / 1000000 AS acf,
+         |  floor(phi_${k}_$k * 1000000 + 0.5) / 1000000 AS pacf
+         |FROM d$h""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lagged AS (
+       |  SELECT user_id, value,
+       |    $lagCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), g AS (
+       |  SELECT user_id,
+       |    count(*) AS n,
+       |    CAST(sum($yd) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST($yd * $yd AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+       |$perK
+       |  FROM lagged GROUP BY user_id
+       |), p AS (
+       |  SELECT *, sy / n AS m FROM g
+       |), p2 AS (
+       |  SELECT *, syy - sy * m AS c0 FROM p
+       |), rho AS (
+       |  SELECT user_id, n,
+       |    $rhoSel
+       |  FROM p2
+       |), $dl
+       |$unions""".stripMargin
+  }
+
 }

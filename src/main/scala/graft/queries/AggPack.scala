@@ -40,12 +40,20 @@ object AggPack extends QueryPack {
           countDistinct(col("c_mktsegment")).as("n_segments"),
           count(lit(1)).as("n_customers"))),
 
-    // A2 at scale: approximate distinct via HLL — engine-specific sketch,
-    // so rows-only check (no oracle); correctness pinned by unit test.
+    // A2 at scale: approximate distinct via HLL++. The sketch value is
+    // engine-specific, so the driver-checked output is an error-bound
+    // invariant frame: per group, |approx − exact| / exact ≤ 0.15 (rsd is
+    // 0.01; the bound is a generous many-σ envelope), with the exact count
+    // recomputed independently by the DuckDB oracle.
     "a2_approx_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) / col("exact_parts") <= 0.15)
+            .as("within_rel_015"))),
 
     // A3: validation counts — the reference's 9 uncached count()
     // CHECKPOINTs (glue.py:93-229) folded into ONE cached aggregate pass.
@@ -167,6 +175,12 @@ object AggPack extends QueryPack {
       """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
         |       count(*) AS n_customers
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+    // HLL++ error-bound frame: the oracle recomputes the exact distinct
+    // count; the ≤15% relative-error boolean is asserted Spark-side.
+    "a2_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       true AS within_rel_015
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a3_validation_counts" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,

@@ -126,6 +126,19 @@ object CustomComputePack extends QueryPack {
             .otherwise(col("v_interp"))).as("v_interp"))
     }),
 
+    // Multi-lag ACF (1..10) + PACF via Durbin–Levinson per series — the
+    // reference's plot_acf/plot_pacf inputs (visualize.py:122-131; the eda
+    // cells read up to lag 40). ACF from exact decimal moments; the PACF
+    // recursion is closed-form double arithmetic on those oracle-exact ρ
+    // values, replayed identically by the generated DuckDB CTE chain.
+    "stats_acf_pacf" -> ((s, dir) =>
+      SeriesStats.acfPacf(Tables.events(s, dir), h = 10)),
+
+    // Additive seasonal decomposition (trend/seasonal/resid, period 7) —
+    // preprocessing.py:217-269's seasonal_decompose as window algebra.
+    "stats_seasonal_decompose" -> ((s, dir) =>
+      graft.ops.Seasonal.decompose(Tables.events(s, dir), p = 7)),
+
     // Lag-1 autocorrelation per series via the explicit product-moment
     // formula over exact decimal sums — deterministic across engines, so
     // oracle-checked (anchors the stats family to DuckDB).
@@ -199,6 +212,8 @@ object CustomComputePack extends QueryPack {
          |        * 1000000 + 0.5) / 1000000 AS v_interp
          |FROM interp CROSS JOIN gm""".stripMargin,
     "stats_adf_ljungbox" -> SeriesStats.adfLjungBoxOracle(10),
+    "stats_acf_pacf" -> SeriesStats.acfPacfOracle(10),
+    "stats_seasonal_decompose" -> graft.ops.Seasonal.decomposeOracle(7),
     // EWM closed form: with rn the 0-based position in the (ts, event_id)
     // order, ewm_t = Σ x_i·r^(-i) / Σ r^(-i) over the running frame (the
     // common r^t factor cancels). r = 1 - 2/(span+1) = 11/13, 25/27, 4/5.

@@ -65,13 +65,23 @@ object ProjectionPack extends QueryPack {
         .limit(10)
         .select("o_orderkey", "o_totalprice")),
 
-    // P10b: seeded row sample (preprocessing.py:17-19 df.sample) —
-    // deterministic within Spark for a fixed seed, but engine-specific
-    // sampling → rows-only check; the invariant (sample ⊆ input,
-    // fraction-ballpark size) is what matters.
-    "p12_sample" -> ((s, dir) =>
-      Tables.orders(s, dir).sample(withReplacement = false, 0.1, seed = 42L)
-        .select("o_orderkey", "o_totalprice")),
+    // P10b: seeded row sample (preprocessing.py:17-19 df.sample) — the
+    // selected rows are engine-specific, so the driver-checked output is an
+    // invariant frame: sample ⊆ input (anti-join empty) and the sample size
+    // within 4σ of Binomial(n, 0.1); DuckDB independently recomputes n.
+    "p12_sample" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val sample = orders.sample(withReplacement = false, 0.1, seed = 42L)
+      val k = sample.count()
+      val nonSubset = sample
+        .join(orders, Seq("o_orderkey", "o_totalprice"), "left_anti").count()
+      val n = orders.count()
+      val p = 0.1
+      val inBounds = math.abs(k - n * p) <= 4.0 * math.sqrt(n * p * (1 - p))
+      Seq((n, nonSubset == 0L, inBounds))
+        .toDF("n_input", "sample_subset_of_input", "count_within_4sigma")
+    }),
 
     // P11: conditional value mask (preprocessing.py:339-340, the RSI
     // gain/loss split).
@@ -110,6 +120,12 @@ object ProjectionPack extends QueryPack {
     "p10_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // Seeded-sample invariant frame: subset + binomial-size booleans are
+    // asserted Spark-side; the oracle recomputes the input cardinality.
+    "p12_sample" ->
+      """SELECT count(*) AS n_input, true AS sample_subset_of_input,
+        |       true AS count_within_4sigma
+        |FROM orders""".stripMargin,
     "p11_conditional_mask" ->
       """SELECT l_orderkey, l_linenumber, l_discount,
         |  CASE WHEN l_discount > 0.05 THEN l_discount ELSE 0.0 END AS gain,

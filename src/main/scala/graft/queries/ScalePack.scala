@@ -31,10 +31,16 @@ object ScalePack extends QueryPack {
     // time; the sort-merge join then needs no Exchange (asserted in
     // ScaleSpec). Result ≡ plain inner join + agg.
     "sc2_bucketed_join" -> ((s, dir) => {
-      // bucketing is a one-time layout cost: write the bucketed tables
-      // once per (session, sfDir) and reuse — like a production lake
+      // bucketing is a one-time layout cost: write the bucketed tables once
+      // per input DATA and reuse — like a production lake. Keyed on a
+      // content fingerprint of the source files (not the dir string /
+      // session conf pair), so regenerated fixtures rebuild while repeat
+      // invocations over unchanged data skip the write (VERDICT r4 #2; the
+      // same staleness fix s7 got in r4).
+      val fp = graft.Fingerprint.dir(s"$dir/orders.parquet") + ";" +
+        graft.Fingerprint.dir(s"$dir/lineitem.parquet")
       if (!s.catalog.tableExists("graft_b_orders") ||
-          s.conf.getOption("graft.bucketed.dir").forall(_ != dir)) {
+          s.conf.getOption("graft.bucketed.fp").forall(_ != fp)) {
         s.sql("DROP TABLE IF EXISTS graft_b_orders")
         s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
         Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
@@ -47,7 +53,7 @@ object ScalePack extends QueryPack {
           .sortBy("l_orderkey")
           .option("path", "/tmp/graft_sinks/b_lineitem")
           .saveAsTable("graft_b_lineitem")
-        s.conf.set("graft.bucketed.dir", dir)
+        s.conf.set("graft.bucketed.fp", fp)
       }
       val o = s.table("graft_b_orders")
       val l = s.table("graft_b_lineitem")

@@ -21,21 +21,6 @@ object SourcesPack extends QueryPack {
     * `graft_events_refined` (empty = not yet registered this JVM). */
   private val s7Registered = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-  /** Cheap content fingerprint of a table dir: name+size+mtime of every
-    * data file. Re-registering keys on this (not the dir string), so a
-    * fixture regenerated in place within one JVM is picked up, while
-    * repeat invocations over unchanged data skip the rewrite. */
-  private def dirFingerprint(path: String): String = {
-    val root = new java.io.File(path)
-    val files =
-      if (root.isFile) Array(root)
-      else Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).sortBy(_.getName)
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(path + "|", ",", "")
-    java.lang.Integer.toHexString(sig.hashCode) + ":" + path
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1: parquet scan + predicate/partition pruning (glue.py:78-83).
     // The shipdate range + column projection both reach the parquet scan
@@ -122,7 +107,7 @@ object SourcesPack extends QueryPack {
       // and queried many times, so memoize on a content fingerprint of the
       // source dir (bench note: iterations after the first amortize
       // registration and time only the catalog SELECT).
-      val fp = dirFingerprint(s"$dir/events.parquet")
+      val fp = graft.Fingerprint.dir(s"$dir/events.parquet")
       s7Registered.synchronized {
         if (s7Registered.get != fp || !s.catalog.tableExists("graft_events_refined")) {
           s.sql("DROP TABLE IF EXISTS graft_events_refined")
