@@ -12,4 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
+
+  /** Pre-populate any per-dataset verification state (the Fingerprint-
+    * memoized ground-truth scans behind the invariant-frame queries) so a
+    * timed run measures the operator, not its checker. Benchmarks call
+    * this during warm-up; correctness runs may skip it — the memo then
+    * fills lazily on first use with identical results. */
+  def warm(spark: SparkSession, sfDir: String): Unit = ()
 }

@@ -95,11 +95,13 @@ object ScaleProbe {
 
     build(spark, base, out, copies)
 
-    // warm both directions once (codegen + file index), then measure.
-    // Each (query, dir) runs twice and keeps the min: the first execution
-    // pays whole-stage-codegen compilation, which would otherwise be
-    // attributed to whichever scale ran first.
+    // warm both directions once (codegen + file index + the memoized
+    // verification ground truths), then measure. Each (query, dir) runs
+    // twice and keeps the min: the first execution pays whole-stage-codegen
+    // compilation, which would otherwise be attributed to whichever scale
+    // ran first.
     time(spark, "a1_groupby_agg", base); time(spark, "a1_groupby_agg", out)
+    SparkEntry.warm(spark, base); SparkEntry.warm(spark, out)
 
     val rows = ProbeQueries.map { q =>
       val tBig = math.min(time(spark, q, out), time(spark, q, out))

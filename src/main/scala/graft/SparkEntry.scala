@@ -50,4 +50,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
+
+  /** Pre-populate per-dataset verification state (memoized ground-truth
+    * scans) so timed runs measure operators, not their checkers. */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    packs.foreach(_.warm(spark, sfDir))
 }

@@ -56,6 +56,10 @@ object AnnPack extends QueryPack {
     Seq((truth.size.toLong, mean >= bound)).toDF("n_queries", boundCol)
   }
 
+  /** Benchmark warm-up: pay the memoized |Q|·|C| exact-top-k scan shared
+    * by the n3/n4/n5 recall frames outside any timed region. */
+  override def warm(s: SparkSession, dir: String): Unit = { annTruth(s, dir); () }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cosine similarity between consecutive vectors — pins the vector-math
     // primitive (zip_with/aggregate fold in double) to the oracle.
