@@ -19,18 +19,53 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     "a1_groupby_agg", "j1_normalized_key_join", "j7_inner_join_agg",
     "w3_rolling_mean", "w14_time_rolling", "tj1_asof_join",
-    "flagship_refined", "d1_exact_dedup", "d2_minhash_lsh",
+    "flagship_refined", "d1_exact_dedup",
     "o1_sort_topn", "sc4_global_rank", "sc5_topk_exec",
     "t2_quality_score", "x5_grouping_sets", "u4_except",
-    // dedup/ANN family: their ground-truth checkers are memoized per data
-    // fingerprint (graft.Fingerprint), so the min-of-two timing below
-    // measures the bucketed operator, not the one-time n² verification scan
-    "d3_simhash", "n3_ann_lsh", "n4_ann_ivf", "n5_ann_pq")
+    // dedup/ANN family: probed via operator-only variants (below) — the
+    // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
+    // at 10× would measure verification cost, not the bucketed plans
+    "d2_minhash_lsh_op", "d3_simhash_op",
+    "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op")
+
+  /** Operator-only probes for the similarity family: the production
+    * bucketed paths (banded joins, multi-table LSH, inverted lists, ADC)
+    * exactly as the frame queries invoke them, minus the recall/equality
+    * verification harness those queries exist to drive. */
+  private val OpProbes: Map[String, (SparkSession, String) => DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+    def qs(e: DataFrame) = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Map(
+      "d2_minhash_lsh_op" -> ((s, dir) =>
+        graft.text.Dedup.minhashLshPairs(s,
+          graft.queries.DedupPack.withNearDups(s, dir), shingleW = 3,
+          threshold = 0.5).toDF()),
+      "d3_simhash_op" -> ((s, dir) =>
+        graft.text.Dedup.simhashPairs(s,
+          graft.queries.DedupPack.withNearDups(s, dir), maxDist = 3).toDF()),
+      "n3_ann_lsh_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.Similarity.lshTopK(s, e, qs(e), k = 5)
+      }),
+      "n4_ann_ivf_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.Ivf.topK(s, e, qs(e), k = 5)
+      }),
+      "n5_ann_pq_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.Pq.topK(s, e, qs(e), k = 5)
+      }))
+  }
 
   private def shifted(df: DataFrame, cols: Map[String, Long], i: Int): DataFrame =
     cols.foldLeft(df) { case (d, (c, step)) =>
       d.withColumn(c, col(c) + lit(step * i))
     }
+
+  /** Bumped whenever the replica semantics change; a replica built by an
+    * older version (or a killed run) is rebuilt, not measured. */
+  private val BuildVersion = "v3-vocab-renamed"
 
   def build(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
     val plans: Seq[(String, Map[String, Long])] = Seq(
@@ -49,32 +84,69 @@ object ScaleProbe {
       "events" -> Map("event_id" -> 1000000000L, "user_id" -> 1000000000L),
       "documents" -> Map("doc_id" -> 100000000L),
       "embeddings" -> Map("vec_id" -> 100000000L))
+
+    /** Similarity tables need PER-COPY PERTURBATION, not raw duplication:
+      * identical copies make every cross-copy pair a true near-dup, so the
+      * ground-truth pair count grows QUADRATICALLY in `copies` and the probe
+      * would measure data-semantics blow-up, not plan scaling. Production
+      * 10× corpora grow with roughly constant near-dup density, which is
+      * what these transforms reproduce:
+      *  - documents: BIJECTIVE VOCABULARY RENAME — suffix every token with
+      *    a copy tag (copy>0). A token bijection preserves every within-copy
+      *    shingle-Jaccard exactly and keeps the SimHash signature
+      *    distribution equivalent (same token structure under a fresh hash),
+      *    while cross-copy vocabularies are disjoint (zero overlap).
+      *    (An earlier variant interleaved one shared tag token between
+      *    words; with unit-weight token SimHash that one tag became ~half
+      *    of every doc's features and collapsed each copy into a few
+      *    buckets — an 880× probe artifact, not an operator property.)
+      *  - embeddings: cyclically shift dimensions by 7·copy — a rotation
+      *    preserves norms and all within-copy cosines exactly, while
+      *    cross-copy cosines scramble to the isotropic background level. */
+    def perturb(name: String, df: DataFrame, i: Int): DataFrame = name match {
+      case "documents" if i > 0 =>
+        df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_c$i"))
+      case "embeddings" if i > 0 =>
+        val dim = 64
+        val sh = (7 * i) % dim
+        df.withColumn("embedding",
+          concat(slice(col("embedding"), sh + 1, dim - sh),
+            slice(col("embedding"), 1, sh)))
+      case _ => df
+    }
+
     // events.parquet carries TIMESTAMP(NANOS): read raw
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val verFile = java.nio.file.Paths.get(s"$out/_build_version")
+    val verOk = java.nio.file.Files.exists(verFile) &&
+      new String(java.nio.file.Files.readAllBytes(verFile), "UTF-8") ==
+        s"$BuildVersion:$copies"
     plans.foreach { case (name, shifts) =>
       val target = s"$out/$name.parquet"
       val src = spark.read.parquet(s"$base/$name.parquet")
       val n = if (shifts.isEmpty) 1 else copies
       val expected = src.count() * n
-      // row-count validation (not bare existence): a replica left by a
-      // killed run or a different `copies` value must not be measured
-      val valid = java.nio.file.Files.exists(java.nio.file.Paths.get(target)) &&
+      val valid = verOk &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(target)) &&
         (try spark.read.parquet(target).count() == expected
          catch { case _: Throwable => false })
       if (!valid) {
-        val rep = (0 until n).map(i => shifted(src, shifts, i))
+        val rep = (0 until n).map(i => perturb(name, shifted(src, shifts, i), i))
           .reduce(_ unionByName _)
         rep.write.mode("overwrite").parquet(target)
       }
     }
+    java.nio.file.Files.createDirectories(verFile.getParent)
+    java.nio.file.Files.write(verFile, s"$BuildVersion:$copies".getBytes("UTF-8"))
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val fn = OpProbes.getOrElse(name, SparkEntry.queries(name))
     val t0 = System.nanoTime()
     // toRdd materializes every column of the query's own plan; a count()
     // on top would let Catalyst prune the projections/windows being
     // measured down to a parquet-footer row count
-    SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    fn(spark, dir).queryExecution.toRdd.count()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -95,13 +167,12 @@ object ScaleProbe {
 
     build(spark, base, out, copies)
 
-    // warm both directions once (codegen + file index + the memoized
-    // verification ground truths), then measure. Each (query, dir) runs
-    // twice and keeps the min: the first execution pays whole-stage-codegen
-    // compilation, which would otherwise be attributed to whichever scale
-    // ran first.
+    // warm both directions once (codegen + file index), then measure.
+    // Each (query, dir) runs twice and keeps the min: the first execution
+    // pays whole-stage-codegen compilation, which would otherwise be
+    // attributed to whichever scale ran first. (No SparkEntry.warm here:
+    // the similarity probes are operator-only variants with no checker.)
     time(spark, "a1_groupby_agg", base); time(spark, "a1_groupby_agg", out)
-    SparkEntry.warm(spark, base); SparkEntry.warm(spark, out)
 
     val rows = ProbeQueries.map { q =>
       val tBig = math.min(time(spark, q, out), time(spark, q, out))

@@ -14,7 +14,7 @@ object DedupPack extends QueryPack {
   /** documents ∪ synthetic near-duplicates: every 20th doc re-appears with
     * doc_id+1,000,000 and its last two tokens dropped — a deterministic
     * near-dup population so the LSH queries have recall to demonstrate. */
-  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dups = d.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(
