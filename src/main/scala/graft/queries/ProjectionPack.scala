@@ -83,6 +83,32 @@ object ProjectionPack extends QueryPack {
         .toDF("n_input", "sample_subset_of_input", "count_within_4sigma")
     }),
 
+    // P10 variant: STRATIFIED sampling (df.stat.sampleBy) — per-stratum
+    // Bernoulli fractions, the training-data recipe for rebalancing a
+    // skewed source (e.g. per-language document quotas). Invariant frame:
+    // seeded sample ⊆ input, and each stratum's size lands within 4σ of
+    // its binomial expectation. Per-stratum counts are a 3-row collect
+    // (bounded by stratum cardinality, not data size).
+    "p13_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val fracs = Map("O" -> 0.05, "F" -> 0.10, "P" -> 0.20)
+      val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      val sample = orders.stat.sampleBy("o_orderstatus", fracs, 7L)
+      val nonSubset = sample
+        .join(orders, Seq("o_orderkey", "o_orderstatus"), "left_anti").count()
+      val perStratum = orders.groupBy("o_orderstatus").count()
+        .as[(String, Long)].collect().toMap
+      val perSample = sample.groupBy("o_orderstatus").count()
+        .as[(String, Long)].collect().toMap
+      val allWithin = fracs.forall { case (stratum, p) =>
+        val n = perStratum.getOrElse(stratum, 0L)
+        val got = perSample.getOrElse(stratum, 0L).toDouble
+        math.abs(got - n * p) <= 4.0 * math.sqrt(n * p * (1 - p)) + 1
+      }
+      Seq((perStratum.size.toLong, nonSubset == 0L, allWithin))
+        .toDF("n_strata", "sample_subset_of_input", "per_stratum_within_4sigma")
+    }),
+
     // P11: conditional value mask (preprocessing.py:339-340, the RSI
     // gain/loss split).
     "p11_conditional_mask" -> ((s, dir) =>
@@ -125,6 +151,11 @@ object ProjectionPack extends QueryPack {
     "p12_sample" ->
       """SELECT count(*) AS n_input, true AS sample_subset_of_input,
         |       true AS count_within_4sigma
+        |FROM orders""".stripMargin,
+    "p13_stratified_sample" ->
+      """SELECT count(DISTINCT o_orderstatus) AS n_strata,
+        |       true AS sample_subset_of_input,
+        |       true AS per_stratum_within_4sigma
         |FROM orders""".stripMargin,
     "p11_conditional_mask" ->
       """SELECT l_orderkey, l_linenumber, l_discount,

@@ -64,6 +64,28 @@ object TextPack extends QueryPack {
       Tables.documents(s, dir)
         .withColumn("fp", call_function("graft_fnv64", col("text")))
         .select("doc_id", "fp")
+    }),
+
+    // TF-IDF top-3 terms per document (smooth idf, the sklearn convention:
+    // idf = ln((N+1)/(df+1)) + 1). Scores are rounded to 6 decimals BEFORE
+    // ranking so both engines rank identical values; ties break on term asc.
+    // Scale: tf shuffles on (doc_id, term); df is a vocab-sized agg; N is
+    // a broadcast 1-row scalar — nothing driver-side, no corpus collect.
+    "t6_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
+        .withColumn("tfidf", Num.r6(col("tf") *
+          (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1))))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(wd))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     })
   )
 
@@ -120,6 +142,27 @@ object TextPack extends QueryPack {
         |SELECT doc_id,
         |  CAST(CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616
         |            ELSE uh END AS BIGINT) AS fp
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    "t6_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), nd AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    floor((tf.tf * (ln((nd.n_docs + 1.0) / (dfreq.df + 1)) + 1))
+        |          * 1000000 + 0.5) / 1000000 AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM (
+        |  SELECT scored.*, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored
+        |) WHERE rk <= 3""".stripMargin
   )
 }
