@@ -184,6 +184,32 @@ object AggPack extends QueryPack {
       Seq((n.longValue(), heavy.size.toLong, contained, errOk))
         .toDF("n_tokens", "n_true_heavy", "heavy_all_in_sketch",
           "underestimate_within_bound")
+    }),
+
+    // Beyond ref: approximate quantiles via approx_percentile — the
+    // mergeable-sketch path that replaces a7's exact `percentile` at
+    // 100 TB (exact percentile buffers all values per group; the sketch
+    // is bounded by `accuracy`). Invariant frame: the exact RANK of each
+    // approximate quantile (one extra agg pass, the verification harness)
+    // must land within the documented 1/accuracy rank-error bound.
+    "a16_approx_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val acc = 1000 // rank error ≤ n/acc
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val qrow = li.agg(
+        expr(s"approx_percentile(v, array(0.5, 0.9, 0.99), $acc)").as("qs"),
+        count(lit(1)).as("n")).head()
+      val qs = qrow.getSeq[Double](0)
+      val n = qrow.getLong(1)
+      val ranks = li.agg(
+        count(when(col("v") <= qs(0), 1)).as("r50"),
+        count(when(col("v") <= qs(1), 1)).as("r90"),
+        count(when(col("v") <= qs(2), 1)).as("r99")).head()
+      val tol = n.toDouble / acc + 1
+      def ok(r: Long, p: Double) = math.abs(r - p * n) <= tol
+      Seq((n, ok(ranks.getLong(0), 0.5), ok(ranks.getLong(1), 0.9),
+          ok(ranks.getLong(2), 0.99)))
+        .toDF("n_rows", "p50_rank_ok", "p90_rank_ok", "p99_rank_ok")
     })
   )
 
@@ -285,7 +311,11 @@ object AggPack extends QueryPack {
         |)
         |SELECT n.n_tokens, hh.n_true_heavy, true AS heavy_all_in_sketch,
         |       true AS underestimate_within_bound
-        |FROM n, hh""".stripMargin
+        |FROM n, hh""".stripMargin,
+    "a16_approx_quantiles" ->
+      """SELECT count(*) AS n_rows, true AS p50_rank_ok,
+        |       true AS p90_rank_ok, true AS p99_rank_ok
+        |FROM lineitem""".stripMargin
   )
 
   /** Pre-compute the a15 exact-count ground truth so benchmark timings
