@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative min-label propagation —
+  * the clustering step of a dedup pipeline: near-dup PAIRS (d2/d3) become
+  * CLUSTERS, and the pipeline keeps one representative per cluster.
+  *
+  * Algorithm: every node starts labeled with itself; each round, a node
+  * adopts the minimum label among itself and its neighbors; stop when no
+  * label changed. Rounds needed = graph diameter, and each round is one
+  * shuffle (join on the edge key + min-aggregate) — for dedup graphs,
+  * whose components are tiny cliques/chains (diameter ≤ 2–3 in practice),
+  * this converges in 2–3 shuffles regardless of corpus size. For graphs
+  * with LARGE diameter the label-propagation round count is the known
+  * weakness; the production upgrade is the alternating large-star /
+  * small-star contraction of Kiveris et al. ("Connected Components in
+  * MapReduce and Beyond", SoCC 2014), which converges in O(log²) rounds
+  * over the same join/agg primitives.
+  *
+  * Reference behavior anchor: the drop-duplicates-keep-first semantics of
+  * /root/reference/src/data/preprocessing.py (exact duplicates); this
+  * generalizes "keep first" to near-duplicate clusters.
+  */
+object Components {
+
+  /** @param edges DataFrame with two long columns `a`, `b` (undirected).
+    * @return (node, component) where component = min node id reachable.
+    *         Isolated nodes (absent from `edges`) are absent here too.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // symmetrize once: propagation below only needs to look at in-edges
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // min label among each node's neighbors
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("nbr_node"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("nbr_node"), "left")
+        .select(col("node"), col("component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("next_component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("next_component") < col("component")).count()
+      val prev = labels
+      // materialized persist each round truncates the logical plan growth
+      // (the join tree would otherwise deepen linearly with iterations)
+      labels = next.select(col("node"), col("next_component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      prev.unpersist(false)
+      next.unpersist(false)
+      i += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+}

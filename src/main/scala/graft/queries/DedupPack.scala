@@ -104,6 +104,42 @@ object DedupPack extends QueryPack {
         .toDF("n_docs", "banded_equals_bruteforce")
     }),
 
+    // Near-dup CLUSTERS: the pipeline step AFTER pair finding — connected
+    // components over the d2 pair graph (graft.ops.Components: min-label
+    // propagation, one shuffle per round, diameter rounds), then keep-first
+    // per cluster. Invariant frame: the distributed CC labeling must EQUAL
+    // a sequential union-find over the same pair set (an exact,
+    // engine-independent algorithm cross-check — both label every node
+    // with its component's minimum id), every cluster has ≥ 2 members,
+    // and the oracle re-derives the pair-graph anchor (n_true_pairs)
+    // symbolically. Collects are bounded: the pair set and its node set
+    // are near-dup-population-sized, the same bound d2 relies on.
+    "d7_neardup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withNearDups(s, dir)
+      val pairs = Dedup.minhashLshPairs(s, docs, shingleW = 3, threshold = 0.5)
+        .toDF().select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val cc = graft.ops.Components.connectedComponents(s, pairs)
+      val got: Map[Long, Long] = cc.as[(Long, Long)].collect().toMap
+      val found = pairs.as[(Long, Long)].collect()
+      // sequential union-find (union-by-min + path compression): the root
+      // of every set is its minimum member, exactly CC's label semantics
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      found.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = found.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val sizes = got.values.groupBy(identity).map(_._2.size)
+      Seq((jaccardTruth(s, dir).size.toLong, got == want, sizes.forall(_ >= 2)))
+        .toDF("n_true_pairs", "cc_matches_union_find", "clusters_min_size_2")
+    }),
+
     // MLlib-native variant (SURVEY §7.4: MLlib MinHashLSH): tokens →
     // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
     // seed → deterministic within the engine; driver-checked as a recall
@@ -208,6 +244,11 @@ object DedupPack extends QueryPack {
     "d5_mllib_minhash" ->
       s"""$shingleCtes
          |SELECT n_true_pairs, true AS recall_ge_080 FROM truth""".stripMargin,
+    "d7_neardup_clusters" ->
+      s"""$shingleCtes
+         |SELECT n_true_pairs, true AS cc_matches_union_find,
+         |       true AS clusters_min_size_2
+         |FROM truth""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
