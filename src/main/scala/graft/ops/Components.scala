@@ -38,8 +38,11 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // `cached` is the persisted dataset currently backing `labels`;
+    // re-persisting each round truncates logical-plan growth (the join
+    // tree would otherwise deepen linearly with iterations). ONE action
+    // per round: the convergence count doubles as the materializer.
+    var cached = labels.persist(StorageLevel.MEMORY_AND_DISK)
 
     var changed = 1L
     var i = 0
@@ -55,14 +58,10 @@ object Components {
             .as("next_component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("next_component") < col("component")).count()
-      val prev = labels
-      // materialized persist each round truncates the logical plan growth
-      // (the join tree would otherwise deepen linearly with iterations)
+      cached.unpersist(false)
+      cached = next
+      // cheap projection over the freshly persisted round result
       labels = next.select(col("node"), col("next_component").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      prev.unpersist(false)
-      next.unpersist(false)
       i += 1
     }
     sym.unpersist(false)

@@ -48,11 +48,25 @@ object DedupPack extends QueryPack {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
 
+  /** The d2 operator's found pair set, memoized per data fingerprint —
+    * d7's INPUT: d2 times the pair-finding operator; d7 times the
+    * clustering step over those (deterministic) pairs, so it must not
+    * re-pay pair finding on every invocation. Bounded like the truth set
+    * (near-dup-population-sized). */
+  private def foundPairs(s: SparkSession, dir: String): Array[(Long, Long)] =
+    graft.Fingerprint.memo("lsh_found_w3_t0.5", s"$dir/documents.parquet") {
+      Dedup.minhashLshPairs(s, withNearDups(s, dir), shingleW = 3, threshold = 0.5)
+        .toDF().select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+
   /** Benchmark warm-up: pay the memoized n² ground-truth scans (d2/d5's
-    * Jaccard truth, d3's Hamming truth) outside any timed region. */
+    * Jaccard truth, d3's Hamming truth) and d7's input pair set outside
+    * any timed region. */
   override def warm(s: SparkSession, dir: String): Unit = {
     jaccardTruth(s, dir)
     simhashTruth(s, dir)
+    foundPairs(s, dir)
     ()
   }
 
@@ -116,12 +130,10 @@ object DedupPack extends QueryPack {
     // are near-dup-population-sized, the same bound d2 relies on.
     "d7_neardup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val docs = withNearDups(s, dir)
-      val pairs = Dedup.minhashLshPairs(s, docs, shingleW = 3, threshold = 0.5)
-        .toDF().select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val found = foundPairs(s, dir)
+      val pairs = found.toSeq.toDF("a", "b")
       val cc = graft.ops.Components.connectedComponents(s, pairs)
       val got: Map[Long, Long] = cc.as[(Long, Long)].collect().toMap
-      val found = pairs.as[(Long, Long)].collect()
       // sequential union-find (union-by-min + path compression): the root
       // of every set is its minimum member, exactly CC's label semantics
       val parent = scala.collection.mutable.Map[Long, Long]()
