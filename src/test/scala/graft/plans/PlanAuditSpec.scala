@@ -66,4 +66,16 @@ class PlanAuditSpec extends SparkSuite {
     val exchanges = "Exchange ".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
   }
+
+  test("t6: the corpus-size scalar is broadcast, never a shuffled join side") {
+    val plan = executedString("t6_tfidf")
+    // the 1-row n_docs aggregate must attach via a broadcast (nested-loop
+    // for the true cross join), not re-shuffle the tf side; and the
+    // top-3-per-doc ranking is one window sort.
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= 1, plan)
+  }
 }
