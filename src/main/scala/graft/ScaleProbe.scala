@@ -107,7 +107,9 @@ object ScaleProbe {
       case "documents" if i > 0 =>
         df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_c$i"))
       case "embeddings" if i > 0 =>
-        val dim = 64
+        // dimension read from the data, not assumed: a regenerated fixture
+        // with a different dim would otherwise be silently corrupted
+        val dim = df.select(size(col("embedding")).as("d")).head().getInt(0)
         val sh = (7 * i) % dim
         df.withColumn("embedding",
           concat(slice(col("embedding"), sh + 1, dim - sh),

@@ -26,12 +26,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** The persisted dataset backing the PREVIOUS call's result: the result
+    * must stay cached for the caller to consume (its lineage spans every
+    * propagation round), so it can only be released when the next call
+    * starts — a one-slot pool that bounds the leak to a single labeling
+    * regardless of how many times the operator runs in a session. */
+  private var lastResultCache: Option[DataFrame] = None
+
   /** @param edges DataFrame with two long columns `a`, `b` (undirected).
     * @return (node, component) where component = min node id reachable.
     *         Isolated nodes (absent from `edges`) are absent here too.
+    * @throws IllegalStateException if labels still changed at `maxIter` —
+    *         a silently split component is a wrong answer, not a warning.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    synchronized {
+      lastResultCache.foreach(_.unpersist(false))
+      lastResultCache = None
+    }
     // symmetrize once: propagation below only needs to look at in-edges
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -65,6 +78,14 @@ object Components {
       i += 1
     }
     sym.unpersist(false)
+    if (changed > 0) {
+      cached.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the round budget; raise maxIter or switch to star contraction")
+    }
+    synchronized { lastResultCache = Some(cached) }
     labels
   }
 }

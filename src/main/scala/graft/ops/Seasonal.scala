@@ -65,10 +65,16 @@ object Seasonal {
         (0 until p).map(j => col(s"sm_$j")).reduceLeft(_ + _) / p.toDouble)
       .select(col("user_id"), col("adj"))
 
-    val seasonal = sm.join(broadcast(adj), "user_id")
+    // seasonal/adj grow with series cardinality (n_users·p and n_users
+    // rows), so they must NOT be broadcast-hinted: at scale a forced
+    // broadcast of a per-key frame blows the driver/broadcast limit. The
+    // joins key on user_id, the same partitioning the window family
+    // already established — a shuffle join co-locates for free, and AQE
+    // still broadcasts when the actual size is small.
+    val seasonal = sm.join(adj, "user_id")
       .select(col("user_id"), col("pidx"), (col("sm") - col("adj")).as("seasonal"))
 
-    base.join(broadcast(seasonal), Seq("user_id", "pidx"))
+    base.join(seasonal, Seq("user_id", "pidx"))
       .select(col("user_id"), col("event_id"),
         graft.Num.r6(col("trend")).as("trend"),
         graft.Num.r6(col("seasonal")).as("seasonal"),

@@ -92,7 +92,8 @@ object SeriesStats {
     * Q = n(n+2)·Σₖ ρₖ²/(n−k) with ρₖ = cₖ/c₀.
     *
     * One window pass (h lag columns) + one groupBy — the scale-preferred
-    * path; `perSeries` (the typed fold) stays as the cross-check spec.
+    * (and only production) path; the array-based reference fold lives in
+    * SeriesStatsSpec (`SeriesStatsRef`) as its cross-check.
     */
   def adfLjungBoxAgg(events: DataFrame, h: Int = 10): DataFrame = {
     val dec2 = DecimalType(18, 2)
@@ -193,7 +194,8 @@ object SeriesStats {
        |FROM p2""".stripMargin
   }
 
-  case class AcfPacfRow(user_id: Long, n: Long, lag: Int, acf: Double, pacf: Double)
+  case class AcfPacfRow(user_id: Long, n: Long, lag: Int,
+      acf: Option[Double], pacf: Option[Double])
 
   /** PACF via Durbin–Levinson from ACF values ρ₁..ρ_h. Plain double
     * arithmetic whose operation SEQUENCE (ascending-j accumulation,
@@ -272,11 +274,20 @@ object SeriesStats {
     g.select((col("user_id") +: col("n") +: rhoCols): _*)
       .select(col("user_id"), col("n"),
         array((1 to h).map(k => col(s"rho$k")): _*).as("rho"))
-      .as[(Long, Long, Seq[Double])]
+      .as[(Long, Long, Seq[Option[Double]])]
       .flatMap { case (uid, n, rhoSeq) =>
-        val r = rhoSeq.toArray
-        val p = durbinLevinson(r)
-        (1 to h).iterator.map(k => AcfPacfRow(uid, n, k, r(k - 1), p(k - 1)))
+        // rho_k is NULL for degenerate series (n ≤ k leaves no lag-k pairs;
+        // zero variance divides by c0 = 0 → NULL in both engines). The
+        // defined values form a prefix (pair counts shrink with k); PACF
+        // runs Durbin–Levinson over that prefix and is NULL past it —
+        // exactly the oracle's NULL propagation through the φ CTE chain.
+        val defined = rhoSeq.takeWhile(_.isDefined).map(_.get).toArray
+        val p = durbinLevinson(defined)
+        (1 to h).iterator.map { k =>
+          if (k <= defined.length)
+            AcfPacfRow(uid, n, k, Some(defined(k - 1)), Some(p(k - 1)))
+          else AcfPacfRow(uid, n, k, rhoSeq(k - 1), None)
+        }
       }
       .toDF()
       .select(col("user_id"), col("n"), col("lag"),

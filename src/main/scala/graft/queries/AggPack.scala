@@ -165,19 +165,12 @@ object AggPack extends QueryPack {
     // heavy set is ≤ k items by pigeonhole, so the collect is bounded).
     "a15_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      val k = 32
+      val k = HeavyK
       val toks = Tables.documents(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("tok")).as[String]
       val sketch: Map[String, Long] =
         toks.select(new graft.ops.MisraGries(k).toColumn.name("mg")).head()
-      val (n, heavy) = graft.Fingerprint.memo[(java.lang.Long, Map[String, Long])](
-          "a15_truth", s"$dir/documents.parquet") {
-        val n0 = toks.count()
-        val heavy0 = toks.groupBy("tok").count()
-          .filter(col("count") > lit(n0.toDouble / k))
-          .as[(String, Long)].collect().toMap
-        (Long.box(n0), heavy0)
-      }
+      val (n, heavy) = a15Truth(s, dir)
       val contained = heavy.keySet.forall(sketch.contains)
       val errOk = heavy.forall { case (t, c) =>
         c - sketch.getOrElse(t, 0L) <= n.toDouble / (k + 1) + 1e-9 }
@@ -201,14 +194,23 @@ object AggPack extends QueryPack {
         count(lit(1)).as("n")).head()
       val qs = qrow.getSeq[Double](0)
       val n = qrow.getLong(1)
+      // tie-safe: the sketch guarantees SOME rank of the returned value is
+      // within n/acc of p·n; a value's ranks span [count(v<q), count(v<=q)],
+      // so the check is that this interval overlaps [p·n − tol, p·n + tol]
+      // — count(v<=q) alone would false-fail on heavy tie mass at the cut.
       val ranks = li.agg(
-        count(when(col("v") <= qs(0), 1)).as("r50"),
-        count(when(col("v") <= qs(1), 1)).as("r90"),
-        count(when(col("v") <= qs(2), 1)).as("r99")).head()
+        count(when(col("v") < qs(0), 1)).as("lt50"),
+        count(when(col("v") <= qs(0), 1)).as("le50"),
+        count(when(col("v") < qs(1), 1)).as("lt90"),
+        count(when(col("v") <= qs(1), 1)).as("le90"),
+        count(when(col("v") < qs(2), 1)).as("lt99"),
+        count(when(col("v") <= qs(2), 1)).as("le99")).head()
       val tol = n.toDouble / acc + 1
-      def ok(r: Long, p: Double) = math.abs(r - p * n) <= tol
-      Seq((n, ok(ranks.getLong(0), 0.5), ok(ranks.getLong(1), 0.9),
-          ok(ranks.getLong(2), 0.99)))
+      def ok(lt: Long, le: Long, p: Double) =
+        lt <= p * n + tol && le >= p * n - tol
+      Seq((n, ok(ranks.getLong(0), ranks.getLong(1), 0.5),
+          ok(ranks.getLong(2), ranks.getLong(3), 0.9),
+          ok(ranks.getLong(4), ranks.getLong(5), 0.99)))
         .toDF("n_rows", "p50_rank_ok", "p90_rank_ok", "p99_rank_ok")
     })
   )
@@ -318,21 +320,31 @@ object AggPack extends QueryPack {
         |FROM lineitem""".stripMargin
   )
 
-  /** Pre-compute the a15 exact-count ground truth so benchmark timings
-    * measure the one-pass sketch, not the verification harness. */
-  override def warm(s: SparkSession, dir: String): Unit = {
+  /** Misra–Gries counter budget shared by the a15 sketch, its ground
+    * truth, and the oracle SQL's `/ 32.0` threshold. */
+  private val HeavyK = 32
+
+  /** a15's exact-count ground truth (total tokens + heavy-hitter counts):
+    * the VERIFICATION harness, memoized per data fingerprint. The heavy
+    * set is ≤ k items by pigeonhole, so the collect is bounded. */
+  private def a15Truth(s: SparkSession, dir: String): (java.lang.Long, Map[String, Long]) = {
     import s.implicits._
-    val k = 32
     graft.Fingerprint.memo[(java.lang.Long, Map[String, Long])](
         "a15_truth", s"$dir/documents.parquet") {
       val toks = Tables.documents(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("tok")).as[String]
       val n0 = toks.count()
       val heavy0 = toks.groupBy("tok").count()
-        .filter(col("count") > lit(n0.toDouble / k))
+        .filter(col("count") > lit(n0.toDouble / HeavyK))
         .as[(String, Long)].collect().toMap
       (Long.box(n0), heavy0)
     }
+  }
+
+  /** Pre-compute the a15 exact-count ground truth so benchmark timings
+    * measure the one-pass sketch, not the verification harness. */
+  override def warm(s: SparkSession, dir: String): Unit = {
+    a15Truth(s, dir)
     ()
   }
 }

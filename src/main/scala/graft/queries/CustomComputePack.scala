@@ -84,8 +84,8 @@ object CustomComputePack extends QueryPack {
     }),
 
     // §5.2: per-series ADF t-stat + Ljung-Box Q — the declarative
-    // exact-decimal-moment formulation (oracle-exact; the typed-fold
-    // SeriesStats.perSeries is cross-checked against it in SeriesStatsSpec).
+    // exact-decimal-moment formulation (oracle-exact; the test-only
+    // array fold SeriesStatsRef cross-checks it in SeriesStatsSpec).
     "stats_adf_ljungbox" -> ((s, dir) =>
       SeriesStats.adfLjungBoxAgg(Tables.events(s, dir))),
 
