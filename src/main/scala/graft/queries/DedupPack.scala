@@ -152,6 +152,31 @@ object DedupPack extends QueryPack {
         .toDF("n_true_pairs", "cc_matches_union_find", "clusters_min_size_2")
     }),
 
+    // Cross-document shared-n-gram filter (the C4/RefinedWeb recipe:
+    // drop spans seen verbatim elsewhere in the corpus). Per doc: how
+    // many of its word-5-gram occurrences also appear in ANOTHER doc,
+    // and a keep flag at < 50% shared mass. Two shuffles — (doc_id,
+    // gram) then gram — both key-partitioned with map-side partial
+    // aggs; no driver state, no all-pairs anything: the global gram
+    // table IS the dedup index, which is what makes this the recipe
+    // that scales to 100 TB where pairwise comparison cannot.
+    "d8_shared_ngrams" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      val grams = docs.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(words) >= 5 THEN transform(sequence(1, size(words) - 4), " +
+        "i -> concat_ws(' ', slice(words, i, 5))) ELSE array() END")).as("g"))
+      val docGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val gramDocs = docGram.groupBy("g").agg(count(lit(1)).as("ndocs"))
+      docGram.join(gramDocs, "g")
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_grams"),
+          sum(when(col("ndocs") > 1, col("c")).otherwise(lit(0L))).as("shared_occ"))
+        .withColumn("shared_frac", Num.r6(col("shared_occ") / col("n_grams")))
+        .withColumn("keep", col("shared_frac") < lit(0.5))
+        .select("doc_id", "n_grams", "shared_occ", "shared_frac", "keep")
+    }),
+
     // MLlib-native variant (SURVEY §7.4: MLlib MinHashLSH): tokens →
     // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
     // seed → deterministic within the engine; driver-checked as a recall
@@ -265,6 +290,31 @@ object DedupPack extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d8_shared_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words) - 3),
+        |                          i -> array_to_string(words[i:i + 4], ' '))) AS g
+        |  FROM d
+        |), dg AS (
+        |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+        |), gd AS (
+        |  SELECT g, count(*) AS ndocs FROM dg GROUP BY g
+        |), agg AS (
+        |  SELECT dg.doc_id,
+        |    CAST(sum(dg.c) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN gd.ndocs > 1 THEN dg.c ELSE 0 END) AS BIGINT)
+        |      AS shared_occ
+        |  FROM dg JOIN gd ON dg.g = gd.g
+        |  GROUP BY dg.doc_id
+        |)
+        |SELECT doc_id, n_grams, shared_occ,
+        |  floor((shared_occ / n_grams) * 1000000 + 0.5) / 1000000 AS shared_frac,
+        |  floor((shared_occ / n_grams) * 1000000 + 0.5) / 1000000 < 0.5 AS keep
+        |FROM agg""".stripMargin,
     "d4_word_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws

@@ -86,6 +86,60 @@ object TextPack extends QueryPack {
       scored.withColumn("rk", row_number().over(wd))
         .filter(col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    }),
+
+    // Repetition quality signals (the Gopher-rules family): unique-word
+    // ratio, most-frequent-bigram mass, duplicated-bigram mass. Metrics
+    // are count ratios only (no argmax over grams), so ties need no
+    // tie-break. One shuffle on (doc_id, bigram) then a per-doc agg —
+    // the same shape as tf-idf's tf stage, corpus-size scalable. Docs
+    // with < 2 words keep NULL bigram metrics via the left join.
+    "t7_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      val base = docs.select(col("doc_id"), size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_uniq"))
+      val bg = docs.select(col("doc_id"), explode(expr(
+        "zip_with(slice(words, 1, size(words) - 1), " +
+        "slice(words, 2, size(words) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
+      val bgStats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(col("c")).as("top_bg"),
+          sum(col("c")).as("n_bg"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_bg"))
+      base.join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          Num.r6(col("n_uniq") / col("n_words")).as("uniq_word_ratio"),
+          Num.r6(col("top_bg") / col("n_bg")).as("top_bigram_frac"),
+          Num.r6(col("dup_bg") / col("n_bg")).as("dup_bigram_frac"))
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any 8-word
+    // shingle with an eval suite. The deterministic stand-in for the
+    // suite is DERIVED from the corpus — every 97th doc with its last
+    // word dropped — so the leaked originals genuinely fire the flag
+    // (an empty-overlap fixture would leave the predicate untested).
+    // The benchmark shingle set is small by construction (that's the
+    // premise of decontamination), so it broadcast-joins: the 100 TB
+    // corpus side stays map-only until the per-doc agg shuffle.
+    "t8_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(words) >= 8 THEN transform(sequence(1, size(words) - 7), " +
+        "i -> concat_ws(' ', slice(words, i, 8))) ELSE array() END")).as("g"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          expr("slice(words, 1, size(words) - 1)").as("words"))
+      val benchG = grams(bench).select("g").distinct().withColumn("hit", lit(1))
+      grams(docs)
+        .join(broadcast(benchG), Seq("g"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .withColumn("contam_frac", Num.r6(col("n_hits") / col("n_grams")))
+        .withColumn("contaminated", col("contam_frac") > lit(0.05))
+        .select("doc_id", "n_grams", "n_hits", "contam_frac", "contaminated")
     })
   )
 
@@ -163,6 +217,60 @@ object TextPack extends QueryPack {
         |  SELECT scored.*, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
         |  FROM scored
-        |) WHERE rk <= 3""".stripMargin
+        |) WHERE rk <= 3""".stripMargin,
+    "t7_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(words) AS n_words,
+        |         len(list_distinct(words)) AS n_uniq
+        |  FROM d
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words)),
+        |                          i -> words[i] || ' ' || words[i + 1])) AS bg
+        |  FROM d
+        |), bgc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+        |), bgs AS (
+        |  SELECT doc_id,
+        |    CAST(max(c) AS BIGINT) AS top_bg,
+        |    CAST(sum(c) AS BIGINT) AS n_bg,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_bg
+        |  FROM bgc GROUP BY doc_id
+        |)
+        |SELECT base.doc_id, n_words,
+        |  floor((n_uniq / n_words) * 1000000 + 0.5) / 1000000 AS uniq_word_ratio,
+        |  floor((top_bg / n_bg) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+        |  floor((dup_bg / n_bg) * 1000000 + 0.5) / 1000000 AS dup_bigram_frac
+        |FROM base LEFT JOIN bgs USING (doc_id)""".stripMargin,
+    "t8_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words) - 6),
+        |                          i -> array_to_string(words[i:i + 7], ' '))) AS g
+        |  FROM d
+        |), benchg AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, len(words) - 6),
+        |                          i -> array_to_string(words[i:i + 7], ' '))) AS bg
+        |  FROM (SELECT words[1:len(words) - 1] AS words
+        |        FROM d WHERE doc_id % 97 = 0)
+        |), hits AS (
+        |  SELECT cg.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(benchg.bg) AS BIGINT) AS n_hits
+        |  FROM g cg
+        |  LEFT JOIN benchg ON cg.g = benchg.bg
+        |  GROUP BY cg.doc_id
+        |)
+        |SELECT doc_id, n_grams, n_hits,
+        |  floor((n_hits / n_grams) * 1000000 + 0.5) / 1000000 AS contam_frac,
+        |  floor((n_hits / n_grams) * 1000000 + 0.5) / 1000000 > 0.05 AS contaminated
+        |FROM hits""".stripMargin
   )
 }
