@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.TemporalPack,
     graft.queries.ScalePack,
     graft.queries.TypedPack,
+    graft.queries.GraphPack,
     graft.queries.ExtendedPack,
     graft.queries.BreadthPack
   )
