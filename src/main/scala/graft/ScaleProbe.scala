@@ -22,6 +22,11 @@ object ScaleProbe {
     "flagship_refined", "d1_exact_dedup",
     "o1_sort_topn", "sc4_global_rank", "sc5_topk_exec",
     "t2_quality_score", "x5_grouping_sets", "u4_except",
+    // gram-index text ops (the 100 TB-relevant dedup recipe) and the
+    // iterative graph op: no embedded checkers, probed as-is. Replica
+    // key shifts keep the 10× order graph as 10 disjoint copies, and
+    // the bijective vocab rename keeps cross-copy grams disjoint.
+    "t7_repetition", "t8_contamination", "d8_shared_ngrams", "g1_pagerank",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans

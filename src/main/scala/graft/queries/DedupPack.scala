@@ -177,6 +177,53 @@ object DedupPack extends QueryPack {
         .select("doc_id", "n_grams", "shared_occ", "shared_frac", "keep")
     }),
 
+    // Incremental dedup — the daily-append pattern (the reference's
+    // lambda ingests a new batch against an existing lake,
+    // /root/reference/src/etl/lambda_handler.py): new-snapshot docs
+    // (last 20% by doc_id) are checked against the OLD corpus's exact
+    // content-hash set and its 5-gram index. A new doc is a duplicate if
+    // its hash matches an old doc exactly OR ≥ 90% of its 5-gram
+    // occurrences already exist in the old index. Both probes are
+    // key-partitioned joins against indexes that persist between
+    // batches at scale (nothing rescans old raw text); no broadcast
+    // hints — the OLD index side is the big one, and AQE broadcasts
+    // the genuinely small side (the daily batch) at runtime.
+    "d9_incremental_dedup" -> ((s, dir) => {
+      // new batch = the d2 near-dup population (+1M ids, last two tokens
+      // dropped → gram-index hits) plus verbatim re-appearances of every
+      // 50th doc (+2M ids → exact-hash hits); old corpus = base ids
+      val exactCopies = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val docs = withNearDups(s, dir).unionByName(exactCopies).select(
+        col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("words"))
+      val old = docs.filter(col("doc_id") < 1000000L)
+      val fresh = docs.filter(col("doc_id") >= 1000000L)
+      val oldHash = old.select(md5(col("text")).as("h")).distinct()
+        .withColumn("hash_hit", lit(1))
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(words) >= 5 THEN transform(sequence(1, size(words) - 4), " +
+        "i -> concat_ws(' ', slice(words, i, 5))) ELSE array() END")).as("g"))
+      val oldG = grams(old).select("g").distinct().withColumn("gram_hit", lit(1))
+      val gramFrac = grams(fresh)
+        .join(oldG, Seq("g"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("gram_hit"), lit(0))).as("n_known"))
+      fresh.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(oldHash, Seq("h"), "left")
+        .join(gramFrac, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("hash_hit").isNotNull.as("exact_dup"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_known"), lit(0L)).as("n_known"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            Num.r6(col("n_known") / col("n_grams")))
+            .otherwise(lit(0.0)).as("known_frac"))
+        .withColumn("is_dup",
+          col("exact_dup") || col("known_frac") >= lit(0.9))
+    }),
+
     // MLlib-native variant (SURVEY §7.4: MLlib MinHashLSH): tokens →
     // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
     // seed → deterministic within the engine; driver-checked as a recall
@@ -290,6 +337,56 @@ object DedupPack extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d9_incremental_dedup" ->
+      """WITH ws0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(w[1:greatest(len(w) - 2, 1)], ' ') AS text
+        |  FROM ws0 WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM corpus
+        |), oldh AS (
+        |  SELECT DISTINCT md5(text) AS h FROM d WHERE doc_id < 1000000
+        |), og AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, len(words) - 3),
+        |                          i -> array_to_string(words[i:i + 4], ' '))) AS g
+        |  FROM d WHERE doc_id < 1000000
+        |), fg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words) - 3),
+        |                          i -> array_to_string(words[i:i + 4], ' '))) AS g
+        |  FROM d WHERE doc_id >= 1000000
+        |), gf AS (
+        |  SELECT fg.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(og.g) AS BIGINT) AS n_known
+        |  FROM fg LEFT JOIN og ON fg.g = og.g
+        |  GROUP BY fg.doc_id
+        |), scored AS (
+        |  SELECT f.doc_id,
+        |    oldh.h IS NOT NULL AS exact_dup,
+        |    coalesce(gf.n_grams, 0) AS n_grams,
+        |    coalesce(gf.n_known, 0) AS n_known,
+        |    CASE WHEN coalesce(gf.n_grams, 0) > 0
+        |         THEN floor((gf.n_known / gf.n_grams) * 1000000 + 0.5) / 1000000
+        |         ELSE 0.0 END AS known_frac
+        |  FROM (SELECT doc_id, md5(text) AS h FROM d WHERE doc_id >= 1000000) f
+        |  LEFT JOIN oldh ON f.h = oldh.h
+        |  LEFT JOIN gf ON f.doc_id = gf.doc_id
+        |)
+        |SELECT doc_id, exact_dup, n_grams, n_known, known_frac,
+        |       exact_dup OR known_frac >= 0.9 AS is_dup
+        |FROM scored""".stripMargin,
     "d8_shared_ngrams" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words

@@ -140,6 +140,27 @@ object TextPack extends QueryPack {
         .withColumn("contam_frac", Num.r6(col("n_hits") / col("n_grams")))
         .withColumn("contaminated", col("contam_frac") > lit(0.05))
         .select("doc_id", "n_grams", "n_hits", "contam_frac", "contaminated")
+    }),
+
+    // Sequence packing: concatenate documents (per source shard, in
+    // doc_id order) and chunk the token stream into fixed 512-token
+    // training sequences — each doc gets the sequence it STARTS in and
+    // its offset there. One windowed cumsum per shard; all-integer, so
+    // hash-exact. At 100 TB packing is per-shard by construction (the
+    // window partitions by source), never a global sort.
+    "t9_sequence_pack" -> ((s, dir) => {
+      val budget = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start", col("cum") - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"start div $budget").as("seq_id"),
+          expr(s"start % $budget").as("seq_offset"))
     })
   )
 
@@ -271,6 +292,22 @@ object TextPack extends QueryPack {
         |SELECT doc_id, n_grams, n_hits,
         |  floor((n_hits / n_grams) * 1000000 + 0.5) / 1000000 AS contam_frac,
         |  floor((n_hits / n_grams) * 1000000 + 0.5) / 1000000 > 0.05 AS contaminated
-        |FROM hits""".stripMargin
+        |FROM hits""".stripMargin,
+    "t9_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(start // 512 AS BIGINT) AS seq_id,
+        |  CAST(start % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin
   )
 }
