@@ -43,32 +43,45 @@ object PageRank {
     *        deliberately out of scope for parity with the oracle).
     * @param iters fixed iteration count (synchronous rounds).
     * @param dampPct damping factor in percent (85 = the classic 0.85).
+    * @param allReceive set true when every node is guaranteed at least one
+    *        IN-edge (always holds for symmetrized graphs): each round then
+    *        skips the nodes-side left join — the message aggregate already
+    *        covers every node. With general directed edges leave false, or
+    *        message-less nodes would silently drop from the ranking.
     * @return (node, pr) with pr summing to ≈ Unit (minus truncation dust).
     */
   def run(spark: SparkSession, edges: DataFrame, iters: Int = 5,
-      dampPct: Int = 85): DataFrame = {
+      dampPct: Int = 85, allReceive: Boolean = false): DataFrame = {
     synchronized {
       lastCaches.foreach(_.unpersist(false))
       lastCaches = Nil
     }
-    // sym/deg/nodes are referenced by EVERY iteration of the lineage —
-    // uncached, a 5-round run would re-derive the edge build ~15 times
-    val sym = edges.select(col("src"), col("dst")).cache()
+    // symDeg/nodes are referenced by EVERY iteration of the lineage —
+    // uncached, a 5-round run would re-derive the edge build ~15 times.
+    // The edge⋈degree join is iteration-invariant, so it is paid once
+    // here, not once per round; after its build it sits partitioned on
+    // `src`, the key every round joins on.
+    val sym = edges.select(col("src"), col("dst"))
+    val symDeg = sym.join(
+        sym.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .cache()
     val nodes = sym.select(col("src").as("node")).distinct().cache()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val n = nodes.count()
     val teleport = (Unit * (100 - dampPct) / 100) / n
 
     var pr = nodes.withColumn("pr", lit(Unit / n))
     for (_ <- 1 to iters) {
-      val msgs = sym.join(deg, "src").join(pr, sym("src") === pr("node"))
+      val msgs = symDeg.join(pr, symDeg("src") === pr("node"))
         .select(col("dst"), expr("pr div outdeg").as("m"))
         .groupBy("dst").agg(sum(col("m")).as("s"))
-      pr = nodes.join(msgs, nodes("node") === msgs("dst"), "left")
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr(s"($dampPct * s) div 100")).as("pr"))
+      pr = if (allReceive) msgs
+      else nodes.join(msgs, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + expr(s"($dampPct * coalesce(s, 0L)) div 100")).as("pr"))
+          coalesce(col("pr"), lit(teleport)).as("pr"))
     }
-    synchronized { lastCaches = Seq(sym, nodes, deg) }
+    synchronized { lastCaches = Seq(symDeg, nodes) }
     pr
   }
 }

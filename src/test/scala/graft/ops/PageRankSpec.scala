@@ -36,6 +36,25 @@ class PageRankSpec extends SparkSuite {
     assert(pr(sym) == prRef(sym, 5))
   }
 
+  test("allReceive fast path equals the general path on a symmetric graph") {
+    import spark.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val sym = raw ++ raw.map(_.swap)
+    val general = pr(sym)
+    val fast = PageRank.run(spark, sym.toDF("src", "dst"), 5, 85,
+      allReceive = true).as[(Long, Long)].collect().toMap
+    assert(fast == general)
+  }
+
+  test("directed graph with a message-less node falls back to teleport rank") {
+    // 1↔2 cycle plus 3→1: node 3 appears as src (contract holds) but
+    // never as dst, so it receives no messages and must keep teleport
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L))
+    val got = pr(edges)
+    assert(got == prRef(edges, 5))
+    assert(got(3L) == (PageRank.Unit * 15 / 100) / 3)
+  }
+
   test("rank mass is conserved up to truncation dust") {
     val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
     val sym = (raw ++ raw.map(_.swap)).distinct
