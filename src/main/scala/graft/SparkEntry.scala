@@ -29,6 +29,7 @@ object SparkEntry {
     graft.queries.ScalePack,
     graft.queries.TypedPack,
     graft.queries.GraphPack,
+    graft.queries.CurationPack,
     graft.queries.ExtendedPack,
     graft.queries.BreadthPack
   )

@@ -11,7 +11,10 @@ import java.nio.file.{Files, Paths}
   * under a watchdog (Guard), and per-query failures are isolated. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: only run queries whose name starts with the prefix
+    // (local iteration aid; the driver always passes exactly 2 args)
+    val prefix = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +42,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try {
         val done = Guard.timed(spark, name) {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")

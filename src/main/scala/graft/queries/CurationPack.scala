@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Training-data curation operators the reference pipeline implies but never
+  * names: deterministic split assignment, PII redaction, distribution-drift
+  * tests, quantile binning, changepoint scoring. Every query is exact
+  * integer/decimal arithmetic end-to-end so the DuckDB oracle hash-matches
+  * bit-for-bit; every plan is one scan plus at most one shuffle.
+  *
+  * Reference anchors: train/test splitting (/root/reference/src/model/
+  * train.py:56-63 rolling splits), data-quality gating (preprocessing.py's
+  * validation counts), distribution checks (eda.ipynb describe/plot cells).
+  * The curation framing (hash split, redaction, drift, changepoint) is the
+  * 100 TB generalization of those single-node steps.
+  */
+object CurationPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic train/val/test assignment: bucket = first md5 byte of
+    // the DOCUMENT KEY (not the body — membership must survive text edits
+    // upstream), split at 205/230 ≈ 80/10/10. Pure map-side expression:
+    // no shuffle, no RNG state, stable under re-runs and repartitioning —
+    // the property a 100 TB pipeline needs so that re-processing never
+    // migrates a document across splits (train/test contamination).
+    "c1_hash_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 205, "train")
+            .when(col("bucket") < 230, "val")
+            .otherwise("test"))
+        .select("doc_id", "bucket", "split")),
+
+    // PII redaction sweep: synthesize a deterministic contact line per doc
+    // (the fixture corpus is clean word-salad), then regex-redact emails /
+    // phone numbers / bare IPv4s and count each hit class. Conservative
+    // regex subset (no lookarounds, no shorthand classes) runs identically
+    // on Java regex and RE2. Map-only: codegen'd regexp over one scan.
+    "c2_pii_redact" -> ((s, dir) => {
+      val contact = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@corp.example or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+      Tables.documents(s, dir)
+        .withColumn("raw", contact)
+        .withColumn("n_emails",
+          size(expr(s"regexp_extract_all(raw, '$EmailRe', 0)")))
+        .withColumn("n_phones",
+          size(expr(s"regexp_extract_all(raw, '$PhoneRe', 0)")))
+        .withColumn("n_ips",
+          size(expr(s"regexp_extract_all(raw, '$Ipv4Re', 0)")))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(regexp_replace(
+            col("raw"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+            Ipv4Re, "<IP>"))
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov distance between the `click` and
+    // `view` value distributions (drift detection between two cohorts).
+    // EXACT integer arithmetic: with per-value counts c1/c2 and totals
+    // n1/n2, D = max |F1·n2 − F2·n1| / (n1·n2); numerator and denominator
+    // are BIGINTs, so the statistic is engine-independent to the last bit.
+    // One agg shuffle + one ordered cumulative window over DISTINCT values
+    // (≤ 200k cents buckets no matter how many rows feed them — the
+    // cumulative step is bounded by value cardinality, not data volume).
+    "c3_ks_drift" -> ((s, dir) => {
+      val v = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val per = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(v.as("cents"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("cents").rowsBetween(Long.MinValue, 0)
+      per
+        .withColumn("f1", sum(col("ca")).over(w))
+        .withColumn("f2", sum(col("cb")).over(w))
+        .withColumn("n1", sum(col("ca")).over())
+        .withColumn("n2", sum(col("cb")).over())
+        .agg(
+          max(col("n1")).as("n1"),
+          max(col("n2")).as("n2"),
+          max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
+        .withColumn("d_stat",
+          expr("CAST((d_num * 1000000 + (n1 * n2) div 2) div (n1 * n2) AS BIGINT)")
+            .cast("double") / 1000000.0)
+        .select("n1", "n2", "d_num", "d_stat")
+    }),
+
+    // Chi-square test of independence, c_mktsegment × (c_nationkey mod 5):
+    // χ² = Σ (n·o − r·c)² / (n·r·c) over cells — numerators/denominators
+    // exact DECIMAL(38,0), each cell term rounded at 1e-6 by integer
+    // division, then summed exactly. Two small aggs + a broadcast of the
+    // 25-cell contingency table; nothing scales with row count except the
+    // first groupBy.
+    "c4_chi_square" -> ((s, dir) => {
+      val cells = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"),
+          pmod(col("c_nationkey"), lit(5)).as("ng"))
+        .agg(count(lit(1)).as("o"))
+      val withMargins = cells
+        .withColumn("r", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("seg")))
+        .withColumn("c", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ng")))
+        .withColumn("n", sum(col("o")).over())
+      withMargins
+        .withColumn("num",
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"))
+        .withColumn("term_e6",
+          expr("CAST((num * num * 1000000 + (CAST(n AS DECIMAL(38,0)) * r * c) div 2) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          max(col("n")).as("n"),
+          sum(col("term_e6")).as("chi2_e6"))
+        .withColumn("chi2",
+          col("chi2_e6").cast("double") / lit(1000000.0))
+        .select("n_cells", "n", "chi2_e6", "chi2")
+    }),
+
+    // Exact quantile binning (decile assignment) at scale: global rank via
+    // range-partition sort + zipWithIndex (the sc4 shape — never a single-
+    // partition window), then the ANSI ntile() bucket formula applied to
+    // the rank arithmetically. Emits per-bin counts and price bounds.
+    "c5_quantile_bins" -> ((s, dir) => {
+      import s.implicits._
+      val k = 10
+      val ranked = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        .as[(Long, Double)]
+        .rdd.zipWithIndex()
+        .map { case ((key, p), i) => (key, p, i + 1) }
+        .toDF("o_orderkey", "o_totalprice", "r")
+      // row count via a plain (sort-free) scan — only the scalar is needed
+      val n = Tables.orders(s, dir).count()
+      val q = n / k; val rem = n % k
+      val cut = rem * (q + 1)
+      ranked
+        .withColumn("bin",
+          when(col("r") <= cut, expr(s"(r - 1) div ${q + 1} + 1"))
+            .otherwise(expr(s"$rem + (r - $cut - 1) div $q + 1"))
+          .cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bin")
+    }),
+
+    // CUSUM changepoint score per user value-series: with per-series total
+    // T and length n, the scaled deviation dev_i = 100·v_i·n − T·100 is an
+    // exact BIGINT (no mean division); the classic CUSUM⁺ statistic is
+    // cum_i − min(cum_1..i), and its max over the series is the score.
+    // One shuffle (partition by user), two ordered window passes, O(1)
+    // state per row — at 100 TB this is the same one-exchange shape as
+    // every W-family query.
+    "c6_cusum" -> ((s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val ordered = byUser.orderBy(col("ts"), col("event_id"))
+      val prefix = ordered.rowsBetween(Long.MinValue, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .withColumn("total", sum(col("cents")).over(byUser))
+        .withColumn("dev", col("cents") * col("n") - col("total"))
+        .withColumn("cum", sum(col("dev")).over(prefix))
+        .withColumn("runmin", min(col("cum")).over(prefix))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          max(col("cum") - col("runmin")).as("cusum_max_scaled"))
+        .withColumn("cusum_max",
+          expr("CAST((cusum_max_scaled * 10000 + (n_events * 100) div 2) div (n_events * 100) AS BIGINT)").cast("double") / 10000.0)
+        .select("user_id", "n_events", "cusum_max_scaled", "cusum_max")
+    })
+  )
+
+  private val EmailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+  private val PhoneRe = "[+]1-555-[0-9]{4}"
+  private val Ipv4Re = "10[.]0[.][0-9]+[.]7"
+
+  def oracleSql: Map[String, String] = Map(
+    "c1_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS INT) AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "c2_pii_redact" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@corp.example or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' ip 10.0.' || (doc_id % 256) || '.7' AS raw
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(raw, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(raw, '$PhoneRe')) AS n_phones,
+         |  len(regexp_extract_all(raw, '$Ipv4Re')) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS redacted
+         |FROM raw""".stripMargin,
+    "c3_ks_drift" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), per AS (
+        |  SELECT cents, sum(a) AS ca, sum(b) AS cb FROM s GROUP BY cents
+        |), cum AS (
+        |  SELECT
+        |    sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f1,
+        |    sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f2,
+        |    sum(ca) OVER () AS n1,
+        |    sum(cb) OVER () AS n2
+        |  FROM per
+        |)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+        |  CAST((max(abs(f1 * n2 - f2 * n1)) * 1000000 + (max(n1) * max(n2)) // 2)
+        |       // (max(n1) * max(n2)) AS BIGINT) / 1000000.0 AS d_stat
+        |FROM cum""".stripMargin,
+    "c4_chi_square" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey % 5 AS ng, count(*) AS o
+        |  FROM customer GROUP BY 1, 2
+        |), m AS (
+        |  SELECT seg, ng, o,
+        |    sum(o) OVER (PARTITION BY seg) AS r,
+        |    sum(o) OVER (PARTITION BY ng) AS c,
+        |    sum(o) OVER () AS n
+        |  FROM cells
+        |), t AS (
+        |  SELECT n,
+        |    (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c) AS num,
+        |    CAST(n AS HUGEINT) * r * c AS den
+        |  FROM m
+        |)
+        |SELECT count(*) AS n_cells, max(n) AS n,
+        |  CAST(sum((num * num * 1000000 + den // 2) // den) AS BIGINT) AS chi2_e6,
+        |  CAST(CAST(sum((num * num * 1000000 + den // 2) // den) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM t""".stripMargin,
+    "c5_quantile_bins" ->
+      """WITH ranked AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin
+        |  FROM orders
+        |)
+        |SELECT bin, count(*) AS n_rows,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM ranked GROUP BY bin ORDER BY bin""".stripMargin,
+    "c6_cusum" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, ts, event_id, cents,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(cents) OVER (PARTITION BY user_id) AS total
+        |  FROM s
+        |), c0 AS (
+        |  SELECT user_id, n, ts, event_id,
+        |    sum(cents * n - total) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), c AS (
+        |  SELECT user_id, n, cum,
+        |    min(cum) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS runmin
+        |  FROM c0
+        |)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(cum - runmin) AS BIGINT) AS cusum_max_scaled,
+        |  CAST((max(cum - runmin) * 10000 + (max(n) * 100) // 2) // (max(n) * 100) AS BIGINT) / 10000.0 AS cusum_max
+        |FROM c GROUP BY user_id""".stripMargin
+  )
+}

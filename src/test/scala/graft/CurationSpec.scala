@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CurationPack invariants beyond the DuckDB hash-match: split stability,
+  * redaction completeness, statistic bounds, ntile partition sizes, CUSUM
+  * sign. Runs on sf0.001. */
+class CurationSpec extends SparkSuite {
+
+  private val q = graft.queries.CurationPack.queries
+
+  test("c1 hash split is deterministic, total, and roughly 80/10/10") {
+    val a = q("c1_hash_split")(spark, sf).cache()
+    val b = q("c1_hash_split")(spark, sf)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "split assignment must be identical across invocations")
+    val n = a.count()
+    val bySplit = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit.values.sum == n, "every doc gets exactly one split")
+    val trainFrac = bySplit("train").toDouble / n
+    assert(trainFrac > 0.70 && trainFrac < 0.90,
+      s"md5 buckets should put ~80% in train, got $trainFrac")
+    a.unpersist()
+  }
+
+  test("c2 redaction leaves no matchable PII behind and counts each class") {
+    val r = q("c2_pii_redact")(spark, sf).cache()
+    assert(r.filter(col("redacted").rlike("[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"))
+      .count() == 0, "no email survives redaction")
+    assert(r.filter(col("redacted").rlike("[+]1-555-[0-9]{4}")).count() == 0)
+    assert(r.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||
+      col("n_ips") =!= 1).count() == 0,
+      "each synthesized contact line carries exactly one of each PII class")
+    r.unpersist()
+  }
+
+  test("c3 KS statistic is within (0,1] bounds and consistent with counts") {
+    val row = q("c3_ks_drift")(spark, sf).collect().head
+    val (n1, n2, dNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val d = row.getDouble(3)
+    assert(n1 > 0 && n2 > 0)
+    assert(dNum >= 0 && dNum <= n1 * n2, "numerator bounded by n1*n2")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(math.abs(d - dNum.toDouble / (n1 * n2)) < 1e-6,
+      "reported statistic matches its exact rational")
+  }
+
+  test("c4 chi-square is non-negative with the expected cell count") {
+    val row = q("c4_chi_square")(spark, sf).collect().head
+    assert(row.getLong(0) <= 25, "at most 5 segments x 5 nation groups")
+    assert(row.getLong(2) >= 0L, "chi2 is a sum of squares")
+  }
+
+  test("c5 decile sizes differ by at most one and bounds are ordered") {
+    val bins = q("c5_quantile_bins")(spark, sf).collect()
+    assert(bins.length == 10)
+    val sizes = bins.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile balance property")
+    val ordered = bins.sortBy(_.getInt(0))
+    ordered.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2) + 1e-9,
+        "bin price ranges are non-overlapping and ascending")
+    }
+  }
+
+  test("c6 CUSUM scores are non-negative and zero only for flat series") {
+    val r = q("c6_cusum")(spark, sf).cache()
+    assert(r.filter(col("cusum_max_scaled") < 0).count() == 0,
+      "cum - running_min >= 0 by construction")
+    assert(r.filter(col("n_events") <= 0).count() == 0)
+    r.unpersist()
+  }
+}
