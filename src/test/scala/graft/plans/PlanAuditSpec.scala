@@ -78,4 +78,29 @@ class PlanAuditSpec extends SparkSuite {
     val windows = "Window".r.findAllIn(plan).size
     assert(windows >= 1, plan)
   }
+
+  test("c1/c2: split assignment and redaction are map-only, no exchange") {
+    for (q <- Seq("c1_hash_split", "c2_pii_redact")) {
+      val plan = executedString(q)
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+      assert(plan.contains("*("), s"$q lost codegen:\n$plan")
+    }
+  }
+
+  test("c6: per-series CUSUM pays one hash exchange for all window passes") {
+    val plan = executedString("c6_cusum")
+    // count/sum-over-user, the two ordered prefix passes, and the final
+    // groupBy all share hashpartitioning(user_id); AQE may add its own
+    // coalesce reads but there must be exactly one hash exchange of the
+    // fact rows.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("c5: decile binning range-partitions the sort — no one-task window") {
+    val plan = executedString("c5_quantile_bins")
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
+  }
 }
