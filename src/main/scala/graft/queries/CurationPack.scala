@@ -157,6 +157,65 @@ object CurationPack extends QueryPack {
         .orderBy("bin")
     }),
 
+    // Robust per-series outlier detection via median/MAD — the filter rule
+    // that survives the heavy-tailed value distributions mean/stddev dies
+    // on. "Median" is the LOWER median (value at rank ⌈n/2⌉), computed by
+    // rank arithmetic rather than an engine median() builtin, so both
+    // engines produce the identical integer with no interpolation.
+    // Two ordered window passes + final agg, all sharing one hash
+    // exchange on the series key (same partitioning, two sort orders).
+    "c7_mad_outliers" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val byUser = W.partitionBy("user_id")
+      val byVal = byUser.orderBy(col("cents"), col("event_id"))
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), cents.as("cents"))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("med",
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .over(byUser))
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val byDev = byUser.orderBy(col("dev"), col("event_id"))
+      base
+        .withColumn("rn2", row_number().over(byDev))
+        .withColumn("mad",
+          max(when(col("rn2") === expr("(n + 1) div 2"), col("dev")))
+            .over(byUser))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          max(col("med")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
+    // Cohen's kappa between two deterministic annotators (a length-based
+    // and a token-count-based quality label): label agreement is the
+    // curation signal for weak-supervision pipelines. κ = (n·agree − Σ
+    // rA·rB)/(n² − Σ rA·rB) — numerator and denominator exact BIGINTs;
+    // the final κ is ONE IEEE division of exact integers, so bit-equal
+    // cross-engine without any rounding scheme (κ may be negative, which
+    // rules out the trunc-vs-floor integer rounding used elsewhere).
+    "c8_label_kappa" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          (col("n_chars") >= 300).cast("long").as("a"),
+          (size(split(trim(col("text")), "\\s+")) >= 60).cast("long").as("b"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+          sum(col("a")).as("ra1"),
+          sum(col("b")).as("rb1"))
+        .withColumn("pe_num",
+          col("ra1") * col("rb1") + (col("n") - col("ra1")) * (col("n") - col("rb1")))
+        .withColumn("kappa_num", col("n") * col("agree") - col("pe_num"))
+        .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+        .withColumn("kappa",
+          col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+        .select("n", "agree", "kappa_num", "kappa_den", "kappa")),
+
     // CUSUM changepoint score per user value-series: with per-series total
     // T and length n, the scaled deviation dev_i = 100·v_i·n − T·100 is an
     // exact BIGINT (no mean division); the classic CUSUM⁺ statistic is
@@ -263,6 +322,55 @@ object CurationPack extends QueryPack {
         |SELECT bin, count(*) AS n_rows,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM ranked GROUP BY bin ORDER BY bin""".stripMargin,
+    "c7_mad_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, cents,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn
+        |  FROM s
+        |), m AS (
+        |  SELECT user_id, event_id, cents, n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+        |      OVER (PARTITION BY user_id) AS med
+        |  FROM r
+        |), d AS (
+        |  SELECT user_id, event_id, n, med, abs(cents - med) AS dev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY abs(cents - med), event_id) AS rn2
+        |  FROM m
+        |), md AS (
+        |  SELECT user_id, n, med, dev,
+        |    max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |      OVER (PARTITION BY user_id) AS mad
+        |  FROM d
+        |)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(med) AS BIGINT) AS median_cents,
+        |  CAST(max(mad) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM md GROUP BY user_id""".stripMargin,
+    "c8_label_kappa" ->
+      """WITH l AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 60
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM documents
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(sum(a) AS BIGINT) AS ra1, CAST(sum(b) AS BIGINT) AS rb1
+        |  FROM l
+        |)
+        |SELECT n, agree,
+        |  n * agree - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS kappa_num,
+        |  n * n - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS kappa_den,
+        |  CAST(n * agree - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS DOUBLE)
+        |    / CAST(n * n - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS DOUBLE) AS kappa
+        |FROM agg""".stripMargin,
     "c6_cusum" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id,

@@ -65,6 +65,33 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("c7 median/MAD are exact lower-medians and outliers obey the rule") {
+    val r = q("c7_mad_outliers")(spark, sf).cache()
+    assert(r.filter(col("mad_cents") < 0 || col("median_cents") < 0).count() == 0)
+    assert(r.filter(col("n_outliers") > col("n_events")).count() == 0)
+    // cross-check one series against a driver-side sort
+    val row = r.orderBy(col("user_id")).collect().head
+    val uid = row.getLong(0)
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val med = vals((vals.length + 1) / 2 - 1)
+    assert(row.getLong(2) == med, s"lower median mismatch for user $uid")
+    val devs = vals.map(v => math.abs(v - med)).sorted
+    assert(row.getLong(3) == devs((devs.length + 1) / 2 - 1))
+    r.unpersist()
+  }
+
+  test("c8 kappa is a valid agreement coefficient in [-1, 1]") {
+    val row = q("c8_label_kappa")(spark, sf).collect().head
+    val (n, agree) = (row.getLong(0), row.getLong(1))
+    val kappa = row.getDouble(4)
+    assert(agree <= n)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    assert(row.getLong(3) > 0, "denominator n^2 - pe_num must be positive")
+  }
+
   test("c6 CUSUM scores are non-negative and zero only for flat series") {
     val r = q("c6_cusum")(spark, sf).cache()
     assert(r.filter(col("cusum_max_scaled") < 0).count() == 0,

@@ -97,6 +97,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$plan")
   }
 
+  test("c7: both median passes and the final agg share one hash exchange") {
+    val plan = executedString("c7_mad_outliers")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$plan")
+  }
+
   test("c5: decile binning range-partitions the sort — no one-task window") {
     val plan = executedString("c5_quantile_bins")
     assert(plan.contains("rangepartitioning") ||
