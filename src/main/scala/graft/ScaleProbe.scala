@@ -27,6 +27,11 @@ object ScaleProbe {
     // key shifts keep the 10× order graph as 10 disjoint copies, and
     // the bijective vocab rename keeps cross-copy grams disjoint.
     "t7_repetition", "t8_contamination", "d8_shared_ngrams", "g1_pagerank",
+    // curation family: per-series window ops scale with series count
+    // (user_id shifts give 10× series of unchanged length); c3's
+    // cumulative pass is bounded by value cardinality, which the replica
+    // holds fixed — the probe should show sub-linear growth there
+    "c3_ks_drift", "c5_quantile_bins", "c6_cusum", "c7_mad_outliers",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans

@@ -145,6 +145,23 @@ object MlPack extends QueryPack {
         .filter(col("split").isNotNull)
         .groupBy(col("fold"), col("split"))
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_checksum"))
+    }),
+
+    // Group-wise quantile normalization: map each value to its empirical
+    // quantile WITHIN its group (percent_rank over event_type) — the
+    // rank-based feature transform that is robust to per-group scale
+    // differences. percent_rank = (rank−1)/(n−1) is one IEEE division of
+    // exact integers, so it hash-matches cross-engine with no rounding;
+    // ties share a rank (standard rank() semantics) in both engines.
+    // One hash exchange per group key + one sort — the W-family shape.
+    "ml_quantile_norm" -> ((s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cents")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), cents.as("cents"))
+        .withColumn("qn", percent_rank().over(w))
+        .select("event_id", "event_type", "qn")
     })
   )
 
@@ -253,6 +270,12 @@ object MlPack extends QueryPack {
         |)
         |SELECT fold, split, count(*) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum
-        |FROM j WHERE split IS NOT NULL GROUP BY 1, 2""".stripMargin
+        |FROM j WHERE split IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "ml_quantile_norm" ->
+      """SELECT event_id, event_type,
+        |  percent_rank() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qn
+        |FROM events""".stripMargin
   )
 }
