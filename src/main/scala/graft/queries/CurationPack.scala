@@ -241,6 +241,22 @@ object CurationPack extends QueryPack {
         .withColumn("cusum_max",
           expr("CAST((cusum_max_scaled * 10000 + (n_events * 100) div 2) div (n_events * 100) AS BIGINT)").cast("double") / 10000.0)
         .select("user_id", "n_events", "cusum_max_scaled", "cusum_max")
+    }),
+
+    // Dataset mixture resampling: each source gets a target weight
+    // (64..256)/256 derived from its index, and a document survives iff
+    // its SALTED key hash falls under the weight — the deterministic
+    // "data mixture" step of a training pipeline. The salt ('mix:')
+    // decorrelates this hash from c1's split hash; like c1 it is
+    // map-only, reprocessing-stable, and never materializes an RNG state.
+    "c9_source_mix" -> ((s, dir) => {
+      val wnum = (pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4)) + 1) * 64
+      Tables.documents(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 2),
+            16, 10).cast("int"))
+        .filter(col("bucket") < wnum)
+        .select("doc_id", "source")
     })
   )
 
@@ -322,6 +338,11 @@ object CurationPack extends QueryPack {
         |SELECT bin, count(*) AS n_rows,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM ranked GROUP BY bin ORDER BY bin""".stripMargin,
+    "c9_source_mix" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+        |      < (CAST(substring(source, 4) AS INT) % 4 + 1) * 64""".stripMargin,
     "c7_mad_outliers" ->
       """WITH s AS (
         |  SELECT user_id, event_id,

@@ -161,7 +161,42 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"start div $budget").as("seq_id"),
           expr(s"start % $budget").as("seq_offset"))
-    })
+    }),
+
+    // Vocabulary building — the tokenizer-training primitive: explode
+    // tokens, count, keep the top-1000 by (freq desc, token), assign
+    // contiguous ids in that order. The count shuffle is map-side
+    // combined (one row per (token, partition)); the ranking window runs
+    // over the post-limit VOCAB table (≤1000 rows), never the corpus —
+    // at 100 TB only the frequency table ever moves.
+    "t10_vocab_build" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token"))
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(1000)
+        .withColumn("token_id", row_number().over(w) - 1)
+    }),
+
+    // Length-bucketed batching stats: bucket docs by token count (16-wide
+    // ranges) and compute the padding waste a max-length-padded batch of
+    // each bucket would carry — waste = 1 − Σlen/(n·maxlen), held as an
+    // exact 1e-6 fixed-point integer. The batching-efficiency signal for
+    // sequence-packing vs padding decisions; one partial-agg shuffle.
+    "t11_length_buckets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 16"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .withColumn("padding_waste_e6",
+          expr("CAST(((n_docs * max_tokens - sum_tokens) * 1000000 + " +
+            "(n_docs * max_tokens) div 2) div (n_docs * max_tokens) AS BIGINT)"))
+        .orderBy("bucket"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -308,6 +343,33 @@ object TextPack extends QueryPack {
         |SELECT doc_id, source, n_tokens,
         |  CAST(start // 512 AS BIGINT) AS seq_id,
         |  CAST(start % 512 AS BIGINT) AS seq_offset
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "t10_vocab_build" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), f AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+        |), top AS (
+        |  SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 1000
+        |)
+        |SELECT token, freq,
+        |  row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id
+        |FROM top""".stripMargin,
+    "t11_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT n_tokens // 16 AS bucket, count(*) AS n_docs,
+        |    sum(n_tokens) AS sum_tokens, max(n_tokens) AS max_tokens
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(sum_tokens AS BIGINT) AS sum_tokens, max_tokens,
+        |  CAST(((n_docs * max_tokens - sum_tokens) * 1000000 +
+        |        (n_docs * max_tokens) // 2) // (n_docs * max_tokens) AS BIGINT)
+        |    AS padding_waste_e6
+        |FROM b ORDER BY bucket""".stripMargin
   )
 }

@@ -92,6 +92,49 @@ class CurationSpec extends SparkSuite {
     assert(row.getLong(3) > 0, "denominator n^2 - pe_num must be positive")
   }
 
+  test("c9 mixture keep-rates track the per-source target weights") {
+    val kept = q("c9_source_mix")(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      val w = (src.drop(3).toInt % 4 + 1) * 64.0 / 256.0
+      val got = kept.getOrElse(src, 0L).toDouble / n
+      // md5 buckets over small per-source doc counts: allow generous slack
+      assert(math.abs(got - w) < 0.35,
+        s"$src keep-rate $got should be near weight $w")
+    }
+    // weight-1.0 sources keep everything (bucket < 256 always)
+    totals.keys.filter(s => s.drop(3).toInt % 4 == 3).foreach { src =>
+      assert(kept.getOrElse(src, 0L) == totals(src), s"$src must keep all docs")
+    }
+  }
+
+  test("t10 vocabulary ids are contiguous and ordered by (freq desc, token)") {
+    val v = graft.queries.TextPack.queries("t10_vocab_build")(spark, sf)
+      .orderBy(col("token_id")).collect()
+    assert(v.nonEmpty)
+    v.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(2) == i, "ids must be 0..n-1 in rank order")
+    }
+    v.sliding(2).foreach { case Array(a, b) =>
+      val ok = a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+      assert(ok, "rank order is (freq desc, token asc)")
+    }
+  }
+
+  test("t11 padding waste is a valid 1e-6 fraction and zero for tight buckets") {
+    val b = graft.queries.TextPack.queries("t11_length_buckets")(spark, sf).collect()
+    b.foreach { r =>
+      val waste = r.getLong(4)
+      assert(waste >= 0 && waste < 1000000, s"waste_e6 $waste out of range")
+      if (r.getLong(1) == 1) assert(waste == 0, "singleton bucket pads nothing")
+    }
+  }
+
   test("c6 CUSUM scores are non-negative and zero only for flat series") {
     val r = q("c6_cusum")(spark, sf).cache()
     assert(r.filter(col("cusum_max_scaled") < 0).count() == 0,
