@@ -257,6 +257,36 @@ object CurationPack extends QueryPack {
             16, 10).cast("int"))
         .filter(col("bucket") < wnum)
         .select("doc_id", "source")
+    }),
+
+    // The end-to-end curation pipeline, composed from the primitives
+    // above: quality gate (token count in range) → exact near-dup removal
+    // (keep min doc_id per content hash) → deterministic split assignment
+    // (c1's hash) → per-(split, source) survivor counts + id checksum.
+    // This is the query a training-data team actually ships; every stage
+    // is the already-verified operator, so the composition is one plan:
+    // map-side gate, one dedup shuffle, map-side split, one agg shuffle.
+    "c10_curation_pipeline" -> ((s, dir) => {
+      val gated = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 400)
+      val deduped = gated
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("content_hash").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+      deduped
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") < 205, "train")
+            .when(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+              .cast("int") < 230, "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("n_tokens").cast("long")).as("n_tokens_total"))
     })
   )
 
@@ -338,6 +368,27 @@ object CurationPack extends QueryPack {
         |SELECT bin, count(*) AS n_rows,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM ranked GROUP BY bin ORDER BY bin""".stripMargin,
+    "c10_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |), gated AS (
+        |  SELECT * FROM t WHERE n_tokens BETWEEN 20 AND 400
+        |), deduped AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |  FROM gated
+        |  QUALIFY rk = 1
+        |)
+        |SELECT
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        |FROM deduped GROUP BY 1, 2""".stripMargin,
     "c9_source_mix" ->
       """SELECT doc_id, source
         |FROM documents

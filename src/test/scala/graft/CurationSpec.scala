@@ -135,6 +135,20 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("c10 pipeline survivors reconcile with its component stages") {
+    val out = q("c10_curation_pipeline")(spark, sf).cache()
+    val survivors = out.agg(sum(col("n_docs"))).collect().head.getLong(0)
+    val gated = graft.Tables.documents(spark, sf)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 400)
+    val distinctHashes = gated.select(md5(col("text"))).distinct().count()
+    assert(survivors == distinctHashes,
+      "one survivor per distinct content hash within the quality gate")
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    out.unpersist()
+  }
+
   test("c6 CUSUM scores are non-negative and zero only for flat series") {
     val r = q("c6_cusum")(spark, sf).cache()
     assert(r.filter(col("cusum_max_scaled") < 0).count() == 0,
