@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler: times the queries named in args twice each. Not part of
-  * the driver contract. */
+/** Scratch profiler. `runMain graft.Prof <q1> <q2> ...` times each named
+  * query twice (second run is the warm, codegen-amortized number to trust);
+  * `runMain graft.Prof all` sweeps every query once in bench order, which
+  * INCLUDES first-run codegen cost — use it for ordering effects, not for
+  * per-query regression calls. Not part of the driver contract. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

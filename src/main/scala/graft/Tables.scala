@@ -82,4 +82,34 @@ object Num {
     * normalize NaN to NULL for oracle parity. */
   def nanToNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(isnan(c), lit(null)).otherwise(c)
+
+  /** 2-decimal double → exact integer cents (BIGINT). The oracle-parity
+    * conversion every exact-arithmetic query over `events.value` starts
+    * from; SQL twin: `CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)`. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
+}
+
+/** Scalable global total-order rank shared by sc4_global_rank and
+  * c5_quantile_bins: `orderBy` range-partitions + locally sorts (the
+  * scalable total sort), then `zipWithIndex` assigns contiguous 1-based
+  * ranks partition-by-partition — never a single-partition Window. Order
+  * must be pinned by a unique (value, key) pair so ranks are deterministic
+  * regardless of sampled range boundaries. */
+object Ranks {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** df must expose exactly (key: Long, v: Double) under `keyCol`/`valCol`;
+    * returns (keyCol, valCol, rankCol) ranked 1..n in `order`. */
+  def globalRank(df: DataFrame, keyCol: String, valCol: String,
+      rankCol: String, order: Seq[Column]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol), col(valCol))
+      .orderBy(order: _*)
+      .as[(Long, Double)]
+      .rdd.zipWithIndex()
+      .map { case ((k, v), i) => (k, v, i + 1) }
+      .toDF(keyCol, valCol, rankCol)
+  }
 }

@@ -119,16 +119,10 @@ object BreadthPack extends QueryPack {
     // order is pinned by (price desc, key), so ranks are deterministic
     // regardless of sampled range boundaries. A Window over no partition
     // key would funnel 100 TB through one task; this never does.
-    "sc4_global_rank" -> ((s, dir) => {
-      import s.implicits._
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .as[(Long, Double)]
-        .rdd.zipWithIndex()
-        .map { case ((k, p), i) => (k, p, i + 1) }
-        .toDF("o_orderkey", "o_totalprice", "global_rank")
-    }),
+    "sc4_global_rank" -> ((s, dir) =>
+      graft.Ranks.globalRank(
+        Tables.orders(s, dir), "o_orderkey", "o_totalprice", "global_rank",
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))),
 
     // Bigram frequency over documents: generator-expression n-grams,
     // explode, one count shuffle, pinned top-20.

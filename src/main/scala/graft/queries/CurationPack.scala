@@ -18,6 +18,17 @@ import graft.{QueryPack, Tables}
   */
 object CurationPack extends QueryPack {
 
+  /** First md5 byte of the document KEY — the split-assignment hash shared
+    * by c1 and c10 (and mirrored, salted, by c9). One definition so the
+    * split rule can never diverge between the standalone op and the
+    * composed pipeline. */
+  private def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** 205/230 thresholds ≈ 80/10/10 over the 0..255 bucket space. */
+  private def splitFromBucket(b: org.apache.spark.sql.Column) =
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic train/val/test assignment: bucket = first md5 byte of
@@ -28,13 +39,8 @@ object CurationPack extends QueryPack {
     // migrates a document across splits (train/test contamination).
     "c1_hash_split" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("bucket",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-            .cast("int"))
-        .withColumn("split",
-          when(col("bucket") < 205, "train")
-            .when(col("bucket") < 230, "val")
-            .otherwise("test"))
+        .withColumn("bucket", splitBucket)
+        .withColumn("split", splitFromBucket(col("bucket")))
         .select("doc_id", "bucket", "split")),
 
     // PII redaction sweep: synthesize a deterministic contact line per doc
@@ -72,7 +78,7 @@ object CurationPack extends QueryPack {
     // (≤ 200k cents buckets no matter how many rows feed them — the
     // cumulative step is bounded by value cardinality, not data volume).
     "c3_ks_drift" -> ((s, dir) => {
-      val v = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val v = graft.Num.cents(col("value"))
       val per = Tables.events(s, dir)
         .filter(col("event_type").isin("click", "view"))
         .groupBy(v.as("cents"))
@@ -86,14 +92,21 @@ object CurationPack extends QueryPack {
         .withColumn("f2", sum(col("cb")).over(w))
         .withColumn("n1", sum(col("ca")).over())
         .withColumn("n2", sum(col("cb")).over())
+        // intermediates in DECIMAL(38,0): f1·n2 and d_num·1e6 wrap LONG
+        // once cohorts reach ~3e9 rows (ANSI off wraps SILENTLY) — the
+        // oracle's HUGEINT does the same widening. Outputs stay BIGINT
+        // (exact until d_num itself exceeds 9.2e18).
         .agg(
           max(col("n1")).as("n1"),
           max(col("n2")).as("n2"),
-          max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
+          max(abs(col("f1").cast("decimal(38,0)") * col("n2") -
+                  col("f2").cast("decimal(38,0)") * col("n1"))).as("d_dec"))
+        .withColumn("den", col("n1").cast("decimal(38,0)") * col("n2"))
         .withColumn("d_stat",
-          expr("CAST((d_num * 1000000 + (n1 * n2) div 2) div (n1 * n2) AS BIGINT)")
+          expr("CAST((d_dec * 1000000 + den div 2) div den AS BIGINT)")
             .cast("double") / 1000000.0)
-        .select("n1", "n2", "d_num", "d_stat")
+        .select(col("n1"), col("n2"),
+          col("d_dec").cast("long").as("d_num"), col("d_stat"))
     }),
 
     // Chi-square test of independence, c_mktsegment × (c_nationkey mod 5):
@@ -132,15 +145,10 @@ object CurationPack extends QueryPack {
     // partition window), then the ANSI ntile() bucket formula applied to
     // the rank arithmetically. Emits per-bin counts and price bounds.
     "c5_quantile_bins" -> ((s, dir) => {
-      import s.implicits._
       val k = 10
-      val ranked = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-        .as[(Long, Double)]
-        .rdd.zipWithIndex()
-        .map { case ((key, p), i) => (key, p, i + 1) }
-        .toDF("o_orderkey", "o_totalprice", "r")
+      val ranked = graft.Ranks.globalRank(
+        Tables.orders(s, dir), "o_orderkey", "o_totalprice", "r",
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc))
       // row count via a plain (sort-free) scan — only the scalar is needed
       val n = Tables.orders(s, dir).count()
       val q = n / k; val rem = n % k
@@ -166,7 +174,7 @@ object CurationPack extends QueryPack {
     // exchange on the series key (same partitioning, two sort orders).
     "c7_mad_outliers" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val cents = graft.Num.cents(col("value"))
       val byUser = W.partitionBy("user_id")
       val byVal = byUser.orderBy(col("cents"), col("event_id"))
       val base = Tables.events(s, dir)
@@ -208,13 +216,21 @@ object CurationPack extends QueryPack {
           sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
           sum(col("a")).as("ra1"),
           sum(col("b")).as("rb1"))
-        .withColumn("pe_num",
-          col("ra1") * col("rb1") + (col("n") - col("ra1")) * (col("n") - col("rb1")))
-        .withColumn("kappa_num", col("n") * col("agree") - col("pe_num"))
-        .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+        // products in DECIMAL(38,0): n² wraps LONG silently at n ≈ 3e9
+        // docs with ANSI off; outputs cast back to BIGINT (exact at any
+        // corpus a BIGINT count can describe)
+        .withColumn("pe_num", expr(
+          "CAST(ra1 AS DECIMAL(38,0)) * rb1 + " +
+            "(CAST(n AS DECIMAL(38,0)) - ra1) * (CAST(n AS DECIMAL(38,0)) - rb1)"))
+        .withColumn("kappa_num",
+          expr("CAST(n AS DECIMAL(38,0)) * agree - pe_num"))
+        .withColumn("kappa_den",
+          expr("CAST(n AS DECIMAL(38,0)) * n - pe_num"))
         .withColumn("kappa",
           col("kappa_num").cast("double") / col("kappa_den").cast("double"))
-        .select("n", "agree", "kappa_num", "kappa_den", "kappa")),
+        .select(col("n"), col("agree"),
+          col("kappa_num").cast("long").as("kappa_num"),
+          col("kappa_den").cast("long").as("kappa_den"), col("kappa"))),
 
     // CUSUM changepoint score per user value-series: with per-series total
     // T and length n, the scaled deviation dev_i = 100·v_i·n − T·100 is an
@@ -224,7 +240,7 @@ object CurationPack extends QueryPack {
     // state per row — at 100 TB this is the same one-exchange shape as
     // every W-family query.
     "c6_cusum" -> ((s, dir) => {
-      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val cents = graft.Num.cents(col("value"))
       val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
       val ordered = byUser.orderBy(col("ts"), col("event_id"))
       val prefix = ordered.rowsBetween(Long.MinValue, 0)
@@ -277,12 +293,7 @@ object CurationPack extends QueryPack {
             .partitionBy("content_hash").orderBy("doc_id")))
         .filter(col("rk") === 1)
       deduped
-        .withColumn("split",
-          when(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-            .cast("int") < 205, "train")
-            .when(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-              .cast("int") < 230, "val")
-            .otherwise("test"))
+        .withColumn("split", splitFromBucket(splitBucket))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_checksum"),

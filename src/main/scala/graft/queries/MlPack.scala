@@ -155,7 +155,7 @@ object MlPack extends QueryPack {
     // ties share a rank (standard rank() semantics) in both engines.
     // One hash exchange per group key + one sort — the W-family shape.
     "ml_quantile_norm" -> ((s, dir) => {
-      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val cents = graft.Num.cents(col("value"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("cents")
       Tables.events(s, dir)

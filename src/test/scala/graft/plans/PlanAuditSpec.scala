@@ -103,10 +103,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$plan")
   }
 
-  test("c5: decile binning range-partitions the sort — no one-task window") {
+  test("c5: decile binning ranks via the RDD sort path — no one-task window") {
     val plan = executedString("c5_quantile_bins")
-    assert(plan.contains("rangepartitioning") ||
-      plan.contains("Exchange rangepartitioning"), plan)
+    // the global sort lives inside the zipWithIndex RDD lineage, which the
+    // SQL plan can only show as an ExistingRDD scan — asserting on that
+    // scan plus the ABSENCE of any Window is what proves no single-task
+    // funnel exists (a rangepartitioning exchange in this plan would only
+    // be the trivial 10-row orderBy("bin"), so it proves nothing)
+    assert(plan.contains("SerializeFromObject"),
+      s"rank must come from the RDD sort:\n$plan")
     assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
   }
 }
