@@ -23,6 +23,12 @@ object StreamingPack extends QueryPack {
     // (the reference's idempotent lookback upsert); reads the sink back.
     "st6_foreachbatch_sink" -> ((s, dir) => Streams.foreachBatchSink(s, dir)),
 
+    // transformWithState (Spark 4 arbitrary-state API): same running
+    // totals as st3's flatMapGroupsWithState — the two stateful APIs
+    // cross-check against the identical batch oracle.
+    "st7_transform_with_state" -> ((s, dir) =>
+      Streams.transformWithStateTotals(s, dir)),
+
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
     // (tj3), which is what the oracle expresses. Boundary semantics: an
@@ -46,6 +52,10 @@ object StreamingPack extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st3_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+    "st7_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY user_id""".stripMargin,

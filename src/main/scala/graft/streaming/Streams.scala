@@ -106,6 +106,62 @@ object Streams {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** [[org.apache.spark.sql.streaming.StatefulProcessor]] for
+    * [[transformWithStateTotals]]: the Spark 4 arbitrary-state API
+    * (successor to flatMapGroupsWithState) — explicit named state handles
+    * (ValueState/ListState/MapState), per-state TTL, and timers. Keeps the
+    * same per-user running Totals as the legacy-API query (st3), so the
+    * two APIs cross-check each other against one batch oracle. */
+  private class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Totals](
+        "totals", org.apache.spark.sql.Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var t = Option(state.get()).getOrElse(Totals(0L, 0L))
+      rows.foreach { e =>
+        t = Totals(t.n + 1, t.sum_value_cents + math.round(e.value * 100))
+      }
+      state.update(t)
+      Iterator.single((uid, t.n, t.sum_value_cents))
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` — requires the
+    * RocksDB state store provider (the API is rejected on the default
+    * HDFS-backed store), which is also the provider a production
+    * deployment wants: state spills to disk instead of executor heap. */
+  def transformWithStateTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updated = eventStream(spark, sfDir)
+        .select(col("user_id"), col("value")).as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "sum_value_cents")
+      val all = runToTable(updated, spark, "graft_stream_tws", "update")
+      import org.apache.spark.sql.expressions.Window
+      all.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-stream inner join under watermarks: clicks joined to the
     * purchases that follow them within one hour for the same user. Both
     * sides carry a 1-day watermark and the join has a two-sided time-range
