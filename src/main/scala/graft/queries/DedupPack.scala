@@ -161,11 +161,18 @@ object DedupPack extends QueryPack {
     // table IS the dedup index, which is what makes this the recipe
     // that scales to 100 TB where pairwise comparison cannot.
     "d8_shared_ngrams" -> ((s, dir) => {
+      graft.functions.Fnv64.register(s)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      // shuffle the 8-byte FNV of each gram, never the gram STRING — the
+      // d1 digest principle applied to the index: both shuffles carry
+      // fixed-width keys (~4x fewer key bytes at 100 TB). Grouping by
+      // hash equals grouping by gram unless FNV collides on observed
+      // grams (P ≈ n²/2⁶⁵; the string-keyed oracle would expose any
+      // collision as a hash mismatch).
       val grams = docs.select(col("doc_id"), explode(expr(
         "CASE WHEN size(words) >= 5 THEN transform(sequence(1, size(words) - 4), " +
-        "i -> concat_ws(' ', slice(words, i, 5))) ELSE array() END")).as("g"))
+        "i -> graft_fnv64(concat_ws(' ', slice(words, i, 5)))) ELSE array() END")).as("g"))
       val docGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val gramDocs = docGram.groupBy("g").agg(count(lit(1)).as("ndocs"))
       docGram.join(gramDocs, "g")
@@ -201,9 +208,13 @@ object DedupPack extends QueryPack {
       val fresh = docs.filter(col("doc_id") >= 1000000L)
       val oldHash = old.select(md5(col("text")).as("h")).distinct()
         .withColumn("hash_hit", lit(1))
+      // gram join keys are 8-byte FNV hashes, not gram strings (see d8) —
+      // the persisted old-corpus gram index at scale stores fixed-width
+      // longs, and the daily probe join shuffles the same
+      graft.functions.Fnv64.register(s)
       def grams(d: DataFrame): DataFrame = d.select(col("doc_id"), explode(expr(
         "CASE WHEN size(words) >= 5 THEN transform(sequence(1, size(words) - 4), " +
-        "i -> concat_ws(' ', slice(words, i, 5))) ELSE array() END")).as("g"))
+        "i -> graft_fnv64(concat_ws(' ', slice(words, i, 5)))) ELSE array() END")).as("g"))
       val oldG = grams(old).select("g").distinct().withColumn("gram_hit", lit(1))
       val gramFrac = grams(fresh)
         .join(oldG, Seq("g"), "left")
