@@ -111,10 +111,40 @@ object AnnPack extends QueryPack {
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
     "d6_embedding_neardup" -> ((s, dir) =>
-      Similarity.neardupPairs(s, Tables.embeddings(s, dir), threshold = 0.45))
+      Similarity.neardupPairs(s, Tables.embeddings(s, dir), threshold = 0.45)),
+
+    // Per-label mean-pooled centroids — the class-centroid primitive (IVF
+    // coarse-quantizer init, topic averages, per-source embedding drift).
+    // Float sums are order-dependent, so each element is first rounded to
+    // a 1e-6 fixed-point BIGINT (float→double widening is exact; the
+    // floor-round is pure IEEE, identical cross-engine); the per-(label,
+    // dim) sums are then exact integers and the centroid is one IEEE
+    // division. One partial-agg shuffle keyed by (label, dim): at 100 TB
+    // the exchange carries |labels|·dim·|partitions| counters, never rows.
+    "n6_embedding_centroid" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "el")))
+        .withColumn("el_e6",
+          expr("CAST(floor(CAST(el AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("el_e6")).as("sum_e6"))
+        .withColumn("centroid",
+          col("sum_e6").cast("double") / (col("n").cast("double") * 1000000.0))
+        .select("label", "pos", "n", "sum_e6", "centroid"))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "n6_embedding_centroid" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      AS el_e6
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |)
+        |SELECT label, pos, count(*) AS n,
+        |  CAST(sum(el_e6) AS BIGINT) AS sum_e6,
+        |  CAST(sum(el_e6) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "n1_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  floor((list_cosine_similarity(

@@ -45,4 +45,19 @@ class AnnRecallSpec extends SparkSuite {
     info(f"pq mean recall@5 = $r%.3f (bound 0.30)")
     assert(r >= 0.30, f"pq recall $r%.3f below driver-frame bound")
   }
+
+  test("n6 centroids are convex: each lies within its label's per-dim range") {
+    val cent = graft.queries.AnnPack.queries("n6_embedding_centroid")(spark, sf)
+    val bounds = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "el")))
+      .groupBy("label", "pos")
+      .agg(min(col("el").cast("double")).as("lo"),
+        max(col("el").cast("double")).as("hi"))
+    val out = cent.join(bounds, Seq("label", "pos"))
+      // 1e-6 slack: centroid averages ROUNDED elements, so it can sit
+      // half an ulp-of-rounding outside the raw min/max
+      .filter(col("centroid") < col("lo") - 1e-6 ||
+              col("centroid") > col("hi") + 1e-6)
+    assert(out.count() == 0, "mean of members must lie inside their range")
+  }
 }
