@@ -97,6 +97,20 @@ object SourcesPack extends QueryPack {
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     }),
 
+    // XML roundtrip — Spark 4's built-in XML datasource (spark-xml merged
+    // into core): row-per-element write + schema-pinned read-back. The
+    // semi-structured ingest path for feed/export-style sources; schema
+    // is supplied, never inferred (inference would double the scan).
+    "s10_xml_roundtrip" -> ((s, dir) => {
+      val out = tmp("s10_xml")
+      val staged = Tables.nation(s, dir)
+      staged.write.mode("overwrite")
+        .option("rowTag", "nation").xml(out)
+      s.read.schema(staged.schema)
+        .option("rowTag", "nation").xml(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // S7: catalog registration + partition recovery — saveAsTable on a
     // partitioned table, recoverPartitions, then SQL over the catalog
     // table (glue.py:244-281 → spark.catalog equivalent).
@@ -165,6 +179,8 @@ object SourcesPack extends QueryPack {
         |FROM orders""".stripMargin,
     "s6_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "s10_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s7_catalog_table" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
