@@ -115,6 +115,12 @@ object CurationPack extends QueryPack {
     // division, then summed exactly. Two small aggs + a broadcast of the
     // 25-cell contingency table; nothing scales with row count except the
     // first groupBy.
+    // Validity range: |num| ≤ n², so num²·1e6 needs ~4·log₁₀(n)+6 digits
+    // and overflows DECIMAL(38,0) at n ≈ 1e8 rows. Past that, Spark with
+    // ANSI off NULLs the overflowed terms SILENTLY (dropping cells from
+    // the sum) while the DuckDB oracle's HUGEINT raises — at larger n,
+    // rescale num (divide num and den by n before squaring, costing ≤1e-6
+    // per-cell accuracy) instead of widening. c3/c8 carry the same note.
     "c4_chi_square" -> ((s, dir) => {
       val cells = Tables.customer(s, dir)
         .groupBy(col("c_mktsegment").as("seg"),
@@ -149,14 +155,21 @@ object CurationPack extends QueryPack {
       val ranked = graft.Ranks.globalRank(
         Tables.orders(s, dir), "o_orderkey", "o_totalprice", "r",
         Seq(col("o_totalprice").asc, col("o_orderkey").asc))
-      // row count via a plain (sort-free) scan — only the scalar is needed
-      val n = Tables.orders(s, dir).count()
-      val q = n / k; val rem = n % k
-      val cut = rem * (q + 1)
+      // n as a LAZY broadcast scalar (count-only parquet scan, folded into
+      // the plan) rather than an eager driver .count() — constructing the
+      // query must not run a job, and the ntile arithmetic below is plain
+      // column math so the scalar never leaves the executors. (globalRank's
+      // zipWithIndex still runs its offset job on first use; that cost is
+      // intrinsic to the contiguous-rank shape, not a second scan.)
+      val nDf = Tables.orders(s, dir).agg(count(lit(1)).as("n"))
       ranked
+        .crossJoin(broadcast(nDf))
+        .withColumn("q", expr(s"n div $k"))
+        .withColumn("rem", expr(s"n % $k"))
+        .withColumn("cut", expr("rem * (q + 1)"))
         .withColumn("bin",
-          when(col("r") <= cut, expr(s"(r - 1) div ${q + 1} + 1"))
-            .otherwise(expr(s"$rem + (r - $cut - 1) div $q + 1"))
+          when(col("r") <= col("cut"), expr("(r - 1) div (q + 1) + 1"))
+            .otherwise(expr("rem + (r - cut - 1) div q + 1"))
           .cast("int"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_rows"),
@@ -226,8 +239,13 @@ object CurationPack extends QueryPack {
           expr("CAST(n AS DECIMAL(38,0)) * agree - pe_num"))
         .withColumn("kappa_den",
           expr("CAST(n AS DECIMAL(38,0)) * n - pe_num"))
+        // kappa_den = 0 iff both annotators emit one constant label each
+        // (pe_num = n²) — κ is undefined (0/0), so emit NULL rather than
+        // NaN; the oracle guards the same case.
         .withColumn("kappa",
-          col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+          when(col("kappa_den") === 0, lit(null).cast("double"))
+            .otherwise(
+              col("kappa_num").cast("double") / col("kappa_den").cast("double")))
         .select(col("n"), col("agree"),
           col("kappa_num").cast("long").as("kappa_num"),
           col("kappa_den").cast("long").as("kappa_den"), col("kappa"))),
@@ -366,7 +384,7 @@ object CurationPack extends QueryPack {
         |    CAST(n AS HUGEINT) * r * c AS den
         |  FROM m
         |)
-        |SELECT count(*) AS n_cells, max(n) AS n,
+        |SELECT count(*) AS n_cells, CAST(max(n) AS BIGINT) AS n,
         |  CAST(sum((num * num * 1000000 + den // 2) // den) AS BIGINT) AS chi2_e6,
         |  CAST(CAST(sum((num * num * 1000000 + den // 2) // den) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
         |FROM t""".stripMargin,
@@ -447,13 +465,24 @@ object CurationPack extends QueryPack {
         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
         |    CAST(sum(a) AS BIGINT) AS ra1, CAST(sum(b) AS BIGINT) AS rb1
         |  FROM l
+        |), k AS (
+        |  -- products in HUGEINT (the DuckDB twin of Spark's DECIMAL(38,0)
+        |  -- path) so n² does not overflow BIGINT at n ≈ 3e9 docs
+        |  SELECT n, agree,
+        |    CAST(n AS HUGEINT) * agree
+        |      - (CAST(ra1 AS HUGEINT) * rb1
+        |         + (CAST(n AS HUGEINT) - ra1) * (CAST(n AS HUGEINT) - rb1)) AS knum,
+        |    CAST(n AS HUGEINT) * n
+        |      - (CAST(ra1 AS HUGEINT) * rb1
+        |         + (CAST(n AS HUGEINT) - ra1) * (CAST(n AS HUGEINT) - rb1)) AS kden
+        |  FROM agg
         |)
         |SELECT n, agree,
-        |  n * agree - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS kappa_num,
-        |  n * n - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS kappa_den,
-        |  CAST(n * agree - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS DOUBLE)
-        |    / CAST(n * n - (ra1 * rb1 + (n - ra1) * (n - rb1)) AS DOUBLE) AS kappa
-        |FROM agg""".stripMargin,
+        |  CAST(knum AS BIGINT) AS kappa_num,
+        |  CAST(kden AS BIGINT) AS kappa_den,
+        |  CASE WHEN kden = 0 THEN NULL
+        |       ELSE CAST(knum AS DOUBLE) / CAST(kden AS DOUBLE) END AS kappa
+        |FROM k""".stripMargin,
     "c6_cusum" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id,
