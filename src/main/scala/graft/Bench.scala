@@ -47,6 +47,48 @@ object Bench {
         .partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
       li.withColumn("rn", row_number().over(w)).count()
     }
+    // first-use family costs r5's bench attributed to whichever query ran
+    // first (VERDICT r5 "what's wrong" #2) — each block is a TINY in-memory
+    // replica of a heavy family's plan shape, paying classloading + janino
+    // codegen, never sfDir data work:
+    // (a) MLlib pipeline (Tokenizer→NGram→HashingTF→MinHashLSH fit + join)
+    {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = (0 until 24)
+        .map(i => (i.toLong, s"warm doc $i tok${i % 5} a b c d e f"))
+        .toDF("doc_id", "text")
+      val f = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 10)
+        .transform(new NGram().setN(3).setInputCol("words").setOutputCol("shingles")
+          .transform(new Tokenizer().setInputCol("text").setOutputCol("words")
+            .transform(docs)))
+        .filter(size(col("shingles")) > 0)
+      val m = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(2).setSeed(1L).fit(f)
+      m.approxSimilarityJoin(f, f, 0.9, "d").count()
+    }
+    // (b) the multi-lag window + exact-decimal moment chain (ACF/PACF family)
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val ts = (1 to 40).map(i => (i % 2, i, (i * 37 % 101).toDouble))
+        .toDF("k", "t", "v")
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("t")
+      val lagged = (1 to 10).foldLeft(ts) { (d, l) =>
+        d.withColumn(s"lag_$l", lag(col("v"), l).over(wk))
+      }
+      val ms = (1 to 10).map(l =>
+        sum((col("v") * col(s"lag_$l")).cast("decimal(38,6)")).as(s"m$l"))
+      lagged.groupBy("k").agg(ms.head, ms.tail: _*).count()
+    }
+    // (c) typed Dataset path (encoders, typed flatMap, groupByKey/mapGroups)
+    {
+      import spark.implicits._
+      spark.range(100).as[Long].flatMap(x => Iterator(x, x + 1))
+        .groupByKey(_ % 7).mapGroups((k, it) => (k, it.size)).count()
+    }
     // pre-pay the memoized ground-truth scans behind the invariant-frame
     // queries (d2/d3/d5 near-dup, n3/n4/n5 recall): those n² checkers
     // verify the operators and are not part of any production pipeline,
