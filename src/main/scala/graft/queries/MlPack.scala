@@ -147,6 +147,84 @@ object MlPack extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_checksum"))
     }),
 
+    // Rolling-forecast backtest (metrics_visualizer.py:632-684: per
+    // TimeSeriesSplit fold, fit on train, predict the test span, score):
+    // the engine counterpart consumes ml_cv_splits' exact fold geometry
+    // and scores two deterministic 1-step/trend forecasters per fold —
+    // naive (ŷ_t = y_{t−1}, the walk-forward baseline) and OLS linear
+    // trend (y ~ r fitted on the fold's train rows only). All moments are
+    // exact integer/decimal sums in cents; the OLS slope/intercept and
+    // the final MAE/RMSE are each one IEEE expression over those exact
+    // sums (the ml_metrics recipe), so every fold row hash-matches.
+    // Shape: one global-order exchange (shared by rank and lag), one
+    // broadcast of 5 fold coefficient rows — same scale story as
+    // ml_cv_splits (range-partitioned rank at 100 TB).
+    "ml_backtest" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      val ranked = Tables.events(s, dir)
+        .select(col("ts"), col("event_id"), graft.Num.cents(col("value")).as("y"))
+        .withColumn("r", row_number().over(w) - 1)
+        .withColumn("y_prev", lag(col("y"), 1).over(w))
+      val t = ranked.agg(count(lit(1)).as("n"),
+        (count(lit(1)) / lit(6)).cast("long").as("ts_sz"))
+      val folds = s.range(0, 5).toDF("fold")
+      val tagged = ranked.crossJoin(broadcast(t)).crossJoin(broadcast(folds))
+        .withColumn("start", col("n") - (lit(5) - col("fold")) * col("ts_sz"))
+      val coef = tagged.filter(col("r") < col("start"))
+        .groupBy("fold").agg(
+          count(lit(1)).as("n_train"),
+          sum(col("r").cast(d38)).as("sr"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("r").cast(d38) * col("y")).cast(d38)).as("sry"),
+          sum((col("r").cast(d38) * col("r")).cast(d38)).as("srr"))
+        .withColumn("b",
+          (col("n_train").cast(d38) * col("sry") - col("sr") * col("sy")).cast(DoubleType) /
+          (col("n_train").cast(d38) * col("srr") - col("sr") * col("sr")).cast(DoubleType))
+        .withColumn("a",
+          (col("sy").cast(DoubleType) - col("b") * col("sr").cast(DoubleType)) /
+            col("n_train").cast(DoubleType))
+      tagged
+        .filter(col("r") >= col("start") && col("r") < col("start") + col("ts_sz"))
+        .join(broadcast(coef), "fold")
+        .withColumn("e_naive", col("y") - col("y_prev"))
+        .withColumn("e_trend",
+          (col("y").cast(DoubleType) - (col("a") + col("b") * col("r").cast(DoubleType)))
+            .cast(DecimalType(24, 6)))
+        .groupBy("fold").agg(
+          max(col("n_train")).as("n_train"),
+          count(lit(1)).as("n_test"),
+          Num.r6(sum(abs(col("e_naive")).cast(d38)).cast(DoubleType) / count(lit(1)))
+            .as("naive_mae_cents"),
+          Num.r6(sqrt(sum((col("e_naive").cast(d38) * col("e_naive")).cast(d38))
+            .cast(DoubleType) / count(lit(1)))).as("naive_rmse_cents"),
+          Num.r6(sum(abs(col("e_trend"))).cast(DoubleType) / count(lit(1)))
+            .as("trend_mae_cents"),
+          Num.r6(sqrt(sum((col("e_trend") * col("e_trend")).cast(DecimalType(38, 10)))
+            .cast(DoubleType) / count(lit(1)))).as("trend_rmse_cents"))
+    }),
+
+    // One-hot encoding (train.py:165-180's OneHotEncoder branch):
+    // deterministic category→index from the SORTED distinct category set,
+    // plus a 0/1 indicator column per category. The fitted vocabulary is
+    // a bounded driver collect (|categories| rows — the IVF-centroid
+    // bound), exactly sklearn's fit step; the transform is then map-only
+    // codegen'd CASE expressions, no shuffle at any corpus size.
+    "ml_onehot" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val cats = c.select(col("c_mktsegment")).distinct()
+        .collect().map(_.getString(0)).sorted // bounded: |categories|
+      val idx = when(lit(false), lit(null)) // seg_idx = position in sorted vocab
+      val segIdx = cats.zipWithIndex.foldLeft(idx) { case (e, (v, i)) =>
+        e.when(col("c_mktsegment") === v, lit(i))
+      }.cast("int")
+      val ohCols = cats.map(v =>
+        when(col("c_mktsegment") === v, 1).otherwise(0)
+          .as(s"oh_${v.toLowerCase}"))
+      c.select(Seq(col("c_custkey"), col("c_mktsegment"),
+        segIdx.as("seg_idx")) ++ ohCols: _*)
+    }),
+
     // Group-wise quantile normalization: map each value to its empirical
     // quantile WITHIN its group (percent_rank over event_type) — the
     // rank-based feature transform that is robust to per-group scale
@@ -276,6 +354,74 @@ object MlPack extends QueryPack {
         |  percent_rank() OVER (
         |    PARTITION BY event_type
         |    ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qn
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "ml_backtest" ->
+      """WITH r0 AS (
+        |  SELECT event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+        |    lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 1)
+        |      OVER (ORDER BY ts, event_id) AS y_prev
+        |  FROM events
+        |), t AS (
+        |  SELECT count(*) AS n, count(*) // 6 AS ts_sz FROM r0
+        |), f AS (
+        |  SELECT unnest(range(0, 5)) AS fold
+        |), tagged AS (
+        |  SELECT fold, r0.y, r0.y_prev, r0.r, ts_sz,
+        |    n - (5 - fold) * ts_sz AS fstart
+        |  FROM r0 CROSS JOIN t CROSS JOIN f
+        |), coef AS (
+        |  SELECT fold,
+        |    count(*) AS n_train,
+        |    sum(CAST(r AS HUGEINT)) AS sr,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(r AS HUGEINT) * y) AS sry,
+        |    sum(CAST(r AS HUGEINT) * r) AS srr
+        |  FROM tagged WHERE r < fstart GROUP BY fold
+        |), coef2 AS (
+        |  SELECT fold, n_train, sr, sy,
+        |    CAST(CAST(n_train AS HUGEINT) * sry - sr * sy AS DOUBLE)
+        |      / CAST(CAST(n_train AS HUGEINT) * srr - sr * sr AS DOUBLE) AS b
+        |  FROM coef
+        |), coef3 AS (
+        |  SELECT fold, n_train, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sr AS DOUBLE))
+        |      / CAST(n_train AS DOUBLE) AS a
+        |  FROM coef2
+        |), e AS (
+        |  SELECT g.fold, c.n_train,
+        |    g.y - g.y_prev AS e_naive,
+        |    CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
+        |         AS DECIMAL(24,6)) AS e_trend
+        |  FROM tagged g JOIN coef3 c ON g.fold = c.fold
+        |  WHERE g.r >= g.fstart AND g.r < g.fstart + g.ts_sz
+        |)
+        |SELECT fold, CAST(max(n_train) AS BIGINT) AS n_train,
+        |  count(*) AS n_test,
+        |  floor(CAST(sum(CAST(abs(e_naive) AS HUGEINT)) AS DOUBLE) / count(*)
+        |        * 1000000 + 0.5) / 1000000 AS naive_mae_cents,
+        |  floor(sqrt(CAST(sum(CAST(e_naive AS HUGEINT) * e_naive) AS DOUBLE)
+        |             / count(*)) * 1000000 + 0.5) / 1000000 AS naive_rmse_cents,
+        |  floor(CAST(sum(abs(e_trend)) AS DOUBLE) / count(*)
+        |        * 1000000 + 0.5) / 1000000 AS trend_mae_cents,
+        |  floor(sqrt(CAST(sum(CAST(e_trend * e_trend AS DECIMAL(38,10))) AS DOUBLE)
+        |             / count(*)) * 1000000 + 0.5) / 1000000 AS trend_rmse_cents
+        |FROM e GROUP BY fold""".stripMargin,
+    // the oracle pins the fitted vocabulary the Spark side derives from
+    // sorted-distinct — the five TPC-H segments; a regenerated fixture
+    // with different categories would surface as a schema mismatch
+    "ml_onehot" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE c_mktsegment
+        |    WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+        |    WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+        |    WHEN 'MACHINERY' THEN 4 END AS seg_idx,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS oh_automobile,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS oh_building,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS oh_furniture,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS oh_household,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS oh_machinery
+        |FROM customer""".stripMargin
   )
 }

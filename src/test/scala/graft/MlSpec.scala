@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the r6 ML-boundary additions (driver hash-parity is the
+  * Verify gate; these pin the semantics the hashes can't explain). */
+class MlSpec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ml_backtest: 5 folds, growing train spans, RMSE ≥ MAE per forecaster") {
+    val rows = q("ml_backtest").orderBy("fold").collect()
+    assert(rows.length === 5)
+    val nTrain = rows.map(_.getAs[Long]("n_train"))
+    assert(nTrain.sliding(2).forall(p => p(0) < p(1)), "rolling origin must grow")
+    val nTest = rows.map(_.getAs[Long]("n_test")).distinct
+    assert(nTest.length === 1, "every fold tests the same span (n // 6)")
+    for (r <- rows) {
+      assert(r.getAs[Double]("naive_rmse_cents") >= r.getAs[Double]("naive_mae_cents") - 1e-9)
+      assert(r.getAs[Double]("trend_rmse_cents") >= r.getAs[Double]("trend_mae_cents") - 1e-9)
+    }
+  }
+
+  test("ml_backtest folds reuse ml_cv_splits geometry exactly") {
+    val cv = q("ml_cv_splits").collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[String]("split")) -> r.getAs[Long]("n_rows"))
+      .toMap
+    val bt = q("ml_backtest").collect()
+    for (r <- bt) {
+      val f = r.getAs[Long]("fold")
+      assert(r.getAs[Long]("n_train") === cv((f, "train")), s"fold $f train size")
+      assert(r.getAs[Long]("n_test") === cv((f, "test")), s"fold $f test size")
+    }
+  }
+
+  test("ml_onehot: indicators are a partition of unity and match seg_idx") {
+    val df = q("ml_onehot")
+    val ohCols = df.columns.filter(_.startsWith("oh_")).sorted
+    assert(ohCols.length >= 2, "at least two fitted categories")
+    val rowSum = ohCols.map(col).reduce(_ + _)
+    assert(df.filter(rowSum =!= 1).count() === 0, "exactly one hot per row")
+    // the hot column's position in the sorted vocabulary IS seg_idx
+    val mismatch = ohCols.zipWithIndex.foldLeft(df.withColumn("want", lit(-1))) {
+      case (d, (c, i)) => d.withColumn("want", when(col(c) === 1, lit(i)).otherwise(col("want")))
+    }.filter(col("want") =!= col("seg_idx"))
+    assert(mismatch.count() === 0, "seg_idx must be the sorted-vocab position")
+  }
+}
