@@ -36,9 +36,13 @@ object Components {
   /** @param edges DataFrame with two long columns `a`, `b` (undirected).
     * @return (node, component) where component = min node id reachable.
     *         Isolated nodes (absent from `edges`) are absent here too.
-    * @throws IllegalStateException if labels still changed at `maxIter` —
-    *         a silently split component is a wrong answer, not a warning.
-    */
+    *
+    * If labels still change at `maxIter` (component diameter exceeds the
+    * round budget — NOT the dedup-graph regime this propagation is tuned
+    * for), the call falls back to [[connectedComponentsStar]], whose round
+    * count is O(log²) in component size regardless of diameter. Either
+    * way the labeling returned is exact; the budget only picks the
+    * algorithm. */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     synchronized {
@@ -80,12 +84,105 @@ object Components {
     sym.unpersist(false)
     if (changed > 0) {
       cached.unpersist(false)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds " +
-          "the round budget; raise maxIter or switch to star contraction")
+      // diameter blew the propagation budget: hand the SAME edge set to
+      // the O(log²)-round star contraction rather than guessing a bigger
+      // budget (or worse, returning a silently split labeling)
+      return connectedComponentsStar(spark, edges)
     }
     synchronized { lastResultCache = Some(cached) }
+    labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (SoCC 2014): the production path for graphs whose diameter is
+    * unknown or large, where per-round min-label propagation would need
+    * diameter-many shuffles.
+    *
+    * Edges are kept canonical (u > v, deduped, self-loops dropped).
+    * Per round:
+    *   - LARGE-STAR: for every node x over its full neighborhood Γ(x),
+    *     m = min(Γ(x) ∪ x); rewrite each edge (w, x) with w > x to (w, m).
+    *   - SMALL-STAR: group canonical edges by their LARGER endpoint u over
+    *     neighbors N (all < u), m = min(N); rewrite to (w, m) for
+    *     w ∈ N ∪ {u} \ {m}.
+    * Both are single groupBy-join shuffles; each strictly bends edges
+    * toward component minima, and the edge set reaches a star forest in
+    * O(log² n) rounds for ANY diameter (a 2^k-node path halves in ~1
+    * round pair). Fixpoint test is exact set equality (size + anti-join),
+    * not a hash.
+    *
+    * @return (node, component), component = the min node id reachable —
+    *         identical labeling semantics to [[connectedComponents]]. */
+  def connectedComponentsStar(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint, not persist: every round references `cur` several
+    // times (symmetrize, two star joins), so the logical plan multiplies
+    // ~6× per round — after ~10 rounds planning alone OOMs. Checkpointing
+    // truncates the lineage each round (on a cluster: checkpoint to
+    // reliable storage; the round structure is identical).
+    var cur = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var curCnt = cur.count()
+
+    var converged = curCnt == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the symmetrized neighborhood
+      val sym = cur.select(col("u").as("x"), col("v").as("w"))
+        .union(cur.select(col("v").as("x"), col("u").as("w")))
+      val mins = sym.groupBy(col("x"))
+        .agg(least(min(col("w")), first(col("x"))).as("m"))
+      val large = sym.join(mins, "x")
+        .filter(col("w") > col("x"))
+        .select(col("w").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR over the larger-endpoint groups
+      val sMins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(sMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextCnt = small.count()
+      converged = nextCnt == curCnt &&
+        small.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      cur.unpersist(false)
+      cur = small
+      curCnt = nextCnt
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not reach a fixpoint in $maxIter rounds — " +
+          "raise maxIter (expected O(log² n) rounds)")
+
+    // fixpoint edge set is a star forest: (node → component min); roots
+    // and isolated-in-canonical-form nodes label themselves
+    val labels = nodes
+      .join(cur.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    nodes.unpersist(false)
+    synchronized {
+      lastResultCache.foreach(_.unpersist(false))
+      lastResultCache = Some(labels)
+    }
     labels
   }
 }

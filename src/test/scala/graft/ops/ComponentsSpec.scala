@@ -30,4 +30,34 @@ class ComponentsSpec extends SparkSuite {
     assert(got(100L) == 7L && got(8L) == 7L && got(9L) == 7L)
     assert(Seq(50L, 51L, 52L, 53L).forall(got(_) == 50L))
   }
+
+  private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponentsStar(spark, edges.toDF("a", "b"), maxIter)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("star contraction labels a 1024-node path in O(log²) rounds") {
+    // diameter 1023 would need 1023 min-label rounds; the contraction
+    // budget of 20 is the log² claim, not a tuned constant
+    val edges = (0L until 1023L).map(i => (i, i + 1))
+    val got = ccStar(edges, maxIter = 20)
+    assert(got.size == 1024 && got.values.forall(_ == 0L))
+  }
+
+  test("star contraction matches min-label propagation on mixed shapes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+      (100L, 7L), (100L, 8L), (100L, 9L),                   // star
+      (50L, 51L), (51L, 52L), (52L, 53L), (53L, 50L),       // cycle
+      (200L, 200L))                                         // self-loop
+    assert(ccStar(edges) == cc(edges))
+  }
+
+  test("propagation with a too-small budget falls back to contraction, not a split") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(spark, edges, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+  }
 }
