@@ -51,7 +51,62 @@ object CustomComputePack extends QueryPack {
       |  SELECT user_id, event_id, value AS v_interp FROM r WHERE value IS NOT NULL
       |)""".stripMargin
 
+  /** Acklam's rational approximation of the inverse normal CDF Φ⁻¹(p)
+    * (max abs error ~1.15e-9), emitted as ONE SQL scalar expression that
+    * Spark (`expr`) and DuckDB evaluate VERBATIM — same literals, same
+    * parenthesization, so the IEEE op sequence (and therefore the double)
+    * is identical cross-engine, the lagrangeOracleCtes trick applied to a
+    * special function neither engine ships. */
+  private def probitSql(p: String): String = {
+    def tail(arg: String): String = {
+      val q = s"sqrt(-2.0 * ln($arg))"
+      s"((((((-7.784894002430293e-03*$q-3.223964580411365e-01)*$q-2.400758277161838e+00)*$q-2.549732539343734e+00)*$q+4.374664141464968e+00)*$q+2.938163982698783e+00)" +
+        s" / ((((7.784695709041462e-03*$q+3.224671290700398e-01)*$q+2.445134137142996e+00)*$q+3.754408661907416e+00)*$q+1.0))"
+    }
+    val central = {
+      val q = s"($p - 0.5)"
+      val r = s"($q*$q)"
+      s"((((((-3.969683028665376e+01*$r+2.209460984245205e+02)*$r-2.759285104469687e+02)*$r+1.383577518672690e+02)*$r-3.066479806614716e+01)*$r+2.506628277459239e+00)*$q" +
+        s" / (((((-5.447609879822406e+01*$r+1.615858368580409e+02)*$r-1.556989798598866e+02)*$r+6.680131188771972e+01)*$r-1.328068155288572e+01)*$r+1.0))"
+    }
+    s"(CASE WHEN $p < 0.02425 THEN ${tail(p)}" +
+      s" WHEN $p > 0.97575 THEN -${tail(s"(1.0 - $p)")}" +
+      s" ELSE $central END)"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // QQ-plot quantile pairs (metrics_visualizer.py:140-174: sorted
+    // empirical quantiles vs normal-theoretical): for p = 1%..99%, the
+    // empirical quantile is the value at global rank ⌈p·n⌉ (exact rank
+    // arithmetic over the sc4 range-partitioned sort — no interpolation,
+    // both engines pick the identical row) and the theoretical quantile
+    // is mean + sd·Φ⁻¹(p) with exact-decimal moments and the shared
+    // probit expression. One sort + one tiny broadcast; the 99-row grid
+    // is constant at any corpus size.
+    "stats_qq_plot" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val dec2 = DecimalType(18, 2)
+      val ranked = graft.Ranks.globalRank(o, "o_orderkey", "o_totalprice", "r",
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc))
+      val m = o.agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("sx"),
+          sum((col("o_totalprice").cast(dec2) * col("o_totalprice").cast(dec2))
+            .cast(DecimalType(28, 4))).cast("double").as("sxx"))
+        .select(col("n"), (col("sx") / col("n")).as("mean"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+               (col("n") * (col("n") - lit(1)))).as("sd"))
+      s.range(1, 100).toDF("i")
+        .crossJoin(broadcast(m))
+        .withColumn("p", col("i").cast("double") / 100.0)
+        .withColumn("target_rank", expr("(i * n + 99) div 100")) // ⌈i·n/100⌉
+        .join(ranked.select(col("r").as("target_rank"),
+          col("o_totalprice").as("emp_q")), "target_rank")
+        .withColumn("theo_q",
+          Num.r6(col("mean") + col("sd") * expr(probitSql("p"))))
+        .select("i", "p", "emp_q", "theo_q")
+    }),
+
     // W8: EWM(12/26) → MACD → signal(9), pandas adjust=True semantics.
     // Oracle-checked via the closed form ewm_t = Σr^(t-i)x_i / Σr^(t-i)
     // (the r^t factors cancel, so windowed sums of x·r^(-i) express it).
@@ -167,6 +222,31 @@ object CustomComputePack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stats_qq_plot" ->
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |                  CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+         |  FROM orders
+         |), mm AS (
+         |  SELECT n, sx / n AS mean,
+         |    sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+         |  FROM m
+         |), ranked AS (
+         |  SELECT o_totalprice,
+         |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+         |  FROM orders
+         |), grid AS (
+         |  SELECT unnest(range(1, 100)) AS i
+         |), g AS (
+         |  SELECT i, CAST(i AS DOUBLE) / 100.0 AS p, n, mean, sd,
+         |    (i * n + 99) // 100 AS target_rank
+         |  FROM grid CROSS JOIN mm
+         |)
+         |SELECT g.i, g.p, ranked.o_totalprice AS emp_q,
+         |  floor((g.mean + g.sd * ${probitSql("g.p")}) * 1000000 + 0.5) / 1000000 AS theo_q
+         |FROM g JOIN ranked ON ranked.r = g.target_rank""".stripMargin,
     // W10: the quadratic-through-3-known-points fill is closed-form — the
     // oracle reproduces Interpolate.series exactly (left-2/left-1/right
     // known points per null run via knownness-prefix counts).
