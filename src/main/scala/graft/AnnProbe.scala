@@ -3,23 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Knob-tuning harness for the sign-LSH scale path: measures recall@5 (on
-  * a query sample, vs exact brute force) and wall-clock (on the full query
-  * set) for candidate (bitsPerTable, probeDepth, numTables) settings at a
-  * given corpus — typically the 10× ScaleProbe replica, where the adaptive
-  * knobs actually engage. Evidence behind the defaults in
-  * [[graft.ann.Similarity.lshTopK]]; not part of the driver contract.
+/** Knob-tuning harness for the ANN scale paths: measures recall@5 (on a
+  * query sample, vs exact brute force) and wall-clock (on the full query
+  * set) for candidate knob settings at a given corpus — typically the 10×
+  * ScaleProbe replica, where the adaptive knobs actually engage. Evidence
+  * behind the defaults in [[graft.ann.Similarity.lshTopK]] and
+  * [[graft.ann.Ivf.topK]]; not part of the driver contract.
   *
-  * `runMain graft.AnnProbe [dir] [bits,depth,tables ...]`  (0 = auto)
+  * `runMain graft.AnnProbe [dir] [lsh:bits,depth,tables | ivf:nlist,nprobe ...]`
+  * (0 = auto)
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
-    val variants: Seq[(Int, Int, Int)] =
-      if (args.length > 1) args.drop(1).toSeq.map { a =>
-        val p = a.split(","); (p(0).toInt, p(1).toInt, p(2).toInt)
-      }
-      else Seq((0, 0, 6), (0, 1, 6), (8, 1, 6), (0, 1, 12))
+    val variants: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("lsh:0,0,6", "lsh:8,1,6", "ivf:0,0", "ivf:16,4")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -39,24 +38,29 @@ object AnnProbe {
     val truth = sets(graft.ann.Similarity.bruteForceTopK(e, qSample, 5))
     println(s"[annprobe] corpus=$n, recall sample=${truth.size} queries")
 
-    for ((bits, depth, tables) <- variants) {
-      val found = sets(graft.ann.Similarity.lshTopK(
-        spark, e, qSample, 5, numTables = tables,
-        bitsPerTable = bits, probeDepth = depth))
+    for (v <- variants) {
+      val Array(family, knobStr) = v.split(":", 2)
+      val knobs = knobStr.split(",").map(_.toInt)
+      def run(queries: org.apache.spark.sql.DataFrame) = family match {
+        case "lsh" => graft.ann.Similarity.lshTopK(spark, e, queries, 5,
+          numTables = knobs(2), bitsPerTable = knobs(0), probeDepth = knobs(1))
+        case "ivf" => graft.ann.Ivf.topK(spark, e, queries, 5,
+          nLists = knobs(0), nProbe = knobs(1))
+        case other => sys.error(s"unknown family $other")
+      }
+      val found = sets(run(qSample))
       val recall = truth.map { case (q, t) =>
         found.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
       }.sum / truth.size
       // warm once, then time the full query set twice, keep min
       def t(): Double = {
         val t0 = System.nanoTime()
-        graft.ann.Similarity.lshTopK(spark, e, qAll, 5, numTables = tables,
-          bitsPerTable = bits, probeDepth = depth)
-          .queryExecution.toRdd.count()
+        run(qAll).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       t()
       val sec = math.min(t(), t())
-      println(f"[annprobe] bits=$bits depth=$depth tables=$tables -> recall@5=$recall%.3f time=$sec%.2f s")
+      println(f"[annprobe] $v -> recall@5=$recall%.3f time=$sec%.2f s")
     }
     spark.stop()
   }

@@ -49,11 +49,28 @@ object Ivf {
       .take(nProbe).map(_._1).toSeq
 
   /** Top-k via IVF lists: corpus assigned to 1 list each, queries probe
-    * `nProbe` lists; exact cosine only within probed lists. */
+    * `nProbe` lists; exact cosine only within probed lists.
+    *
+    * Knobs (the n4 analog of lshTopK's adaptive bits): `nLists = 0` derives
+    * nlist = max(16, ⌈√n⌉) and nprobe = max(4, ⌈√nlist⌉) from the corpus
+    * count — the standard IVF sizing, which keeps candidates/query at
+    * nprobe·n/nlist ≈ n^(3/4) instead of the linear n/4 of fixed 16/4.
+    * The recall trade is explicit: the probed FRACTION shrinks as the
+    * corpus grows, which real clustered corpora absorb (neighbors
+    * concentrate in few cells) but the isotropic fixture pays linearly —
+    * measured at the 10× replica by graft.AnnProbe and bounded at fixture
+    * scale by the n4 recall frame. Centroid scoring stays a broadcast of
+    * nlist·dim floats (≈ √n·dim — driver-bounded well past 10⁹ vectors). */
   def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nLists: Int = 0, nProbe: Int = 0): DataFrame = {
     import spark.implicits._
-    val cents = centroids(corpus, nLists)
+    val nl =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    val np =
+      if (nProbe > 0) nProbe
+      else math.max(4, math.ceil(math.sqrt(nl.toDouble)).toInt)
+    val cents = centroids(corpus, nl)
     val bc = spark.sparkContext.broadcast(cents)
 
     val assigned = corpus.select(col("vec_id"), col("embedding"))
@@ -63,7 +80,7 @@ object Ivf {
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        nearestCentroids(v, bc.value, nProbe).map(c => (id, c))
+        nearestCentroids(v, bc.value, np).map(c => (id, c))
       }
       .toDF("qid", "centroid")
 
