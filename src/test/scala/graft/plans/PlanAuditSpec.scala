@@ -114,4 +114,28 @@ class PlanAuditSpec extends SparkSuite {
       s"rank must come from the RDD sort:\n$plan")
     assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
   }
+
+  test("ml_onehot: fitted transform is map-only — no exchange, codegen intact") {
+    val plan = executedString("ml_onehot")
+    assert(!plan.contains("Exchange"), s"one-hot transform shuffles:\n$plan")
+    assert(plan.contains("*("), s"one-hot transform lost codegen:\n$plan")
+  }
+
+  test("ml_backtest: fold coefficients attach via broadcast, never a shuffle of the fact side") {
+    val plan = executedString("ml_backtest")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stats_qq_plot: probit + quantile join are broadcast-side, rank via RDD sort") {
+    val plan = executedString("stats_qq_plot")
+    // the 99-row grid×moments side must broadcast onto the ranked values
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SerializeFromObject"),
+      s"rank must come from the RDD sort:\n$plan")
+    assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
