@@ -33,6 +33,22 @@ class MlSpec extends SparkSuite {
     }
   }
 
+  test("ml_grid_search: full grid per fold, ranks are a permutation, one winner") {
+    val rows = q("ml_grid_search").collect()
+    val byFold = rows.groupBy(_.getAs[Long]("fold"))
+    assert(byFold.size === 5)
+    for ((f, rs) <- byFold) {
+      assert(rs.length === 6, s"fold $f must score the whole grid")
+      assert(rs.map(_.getAs[Int]("rank_in_fold")).sorted.toSeq === (1 to 6),
+        s"fold $f ranks must be a permutation")
+      assert(rs.count(_.getAs[Boolean]("is_best")) === 1, s"fold $f winners")
+      // rank order must agree with the scores it claims to rank
+      val byRank = rs.sortBy(_.getAs[Int]("rank_in_fold"))
+        .map(_.getAs[Double]("rmse_cents"))
+      assert(byRank.sliding(2).forall(p => p(0) <= p(1)), s"fold $f rank/score order")
+    }
+  }
+
   test("ml_onehot: indicators are a partition of unity and match seg_idx") {
     val df = q("ml_onehot")
     val ohCols = df.columns.filter(_.startsWith("oh_")).sorted
