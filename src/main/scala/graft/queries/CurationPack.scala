@@ -293,6 +293,37 @@ object CurationPack extends QueryPack {
         .select("doc_id", "source")
     }),
 
+    // URL canonicalization + domain blocklist + URL-level dedup — the
+    // RefinedWeb/C4 front gate (before any content-based dedup runs):
+    // synthesize a deterministic crawl URL per doc (mixed-case host,
+    // tracking params; the fixture corpus carries none), canonicalize
+    // (lowercase host, strip the query string), flag blocklisted
+    // domains, and keep the min doc_id per canonical URL. Map-only
+    // expressions plus ONE window keyed by the canonical-URL hash —
+    // at 100 TB the shuffle carries the canonical string's md5, and the
+    // blocklist is a broadcast literal set (real pipelines: a broadcast
+    // table), never a join against the corpus.
+    "c11_url_canonicalize" -> ((s, dir) => {
+      val host = when(pmod(col("doc_id"), lit(4)) === 0, "News.Example.COM")
+        .when(pmod(col("doc_id"), lit(4)) === 1, "blog.example.org")
+        .when(pmod(col("doc_id"), lit(4)) === 2, "SPAM.example.com")
+        .otherwise("docs.example.net")
+      val path = concat(lit("/p/"), expr("doc_id div 5"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("canon_url")))
+      Tables.documents(s, dir)
+        .withColumn("url",
+          concat(lit("https://"), host, path, lit("?utm_source=feed&ref="),
+            pmod(col("doc_id"), lit(7))))
+        .withColumn("canon_url",
+          concat(lit("https://"), lower(host), path))
+        .withColumn("blocked",
+          lower(host).isin("spam.example.com", "ads.example.net"))
+        .withColumn("keep_doc_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("url"), col("canon_url"), col("blocked"),
+          (!col("blocked") && col("doc_id") === col("keep_doc_id")).as("keep"))
+    }),
+
     // The end-to-end curation pipeline, composed from the primitives
     // above: quality gate (token count in range) → exact near-dup removal
     // (keep min doc_id per content hash) → deterministic split assignment
@@ -418,6 +449,26 @@ object CurationPack extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
         |FROM deduped GROUP BY 1, 2""".stripMargin,
+    "c11_url_canonicalize" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'News.Example.COM'
+        |         WHEN 1 THEN 'blog.example.org'
+        |         WHEN 2 THEN 'SPAM.example.com'
+        |         ELSE 'docs.example.net' END AS host,
+        |    '/p/' || (doc_id // 5) AS path
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    'https://' || host || path || '?utm_source=feed&ref=' || (doc_id % 7) AS url,
+        |    'https://' || lower(host) || path AS canon_url,
+        |    lower(host) IN ('spam.example.com', 'ads.example.net') AS blocked
+        |  FROM h
+        |)
+        |SELECT doc_id, url, canon_url, blocked,
+        |  NOT blocked AND doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+        |    AS keep
+        |FROM u""".stripMargin,
     "c9_source_mix" ->
       """SELECT doc_id, source
         |FROM documents

@@ -94,6 +94,22 @@ object FunctionsPack extends QueryPack {
         .select(col("event_id"), col("p.k").as("k"),
           (col("p.k") * 2).as("k2"))),
 
+    // Spark 4 VARIANT: parse the JSON payload once into the binary
+    // semi-structured type, then typed-path extraction (variant_get) and
+    // the try_ missing-path form — the open-schema column a lakehouse
+    // keeps when event payloads evolve. Unlike f7's per-path string
+    // re-parse, the VARIANT is decoded once and each extraction is a
+    // binary path walk. Outputs are plain typed columns, so the frame
+    // hash-matches the oracle's JSON-function extraction.
+    "f11_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'string')").as("absent"),
+          expr("CAST(is_variant_null(variant_get(v, '$.k')) AS BOOLEAN)")
+            .as("k_is_null"))),
+
     // Higher-order array functions (transform/filter/aggregate) — the
     // codegen-friendly per-row collection surface; everything casts to
     // BIGINT so both engines agree on integer width.
@@ -120,6 +136,12 @@ object FunctionsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "f11_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(NULL AS VARCHAR) AS absent,
+        |  json_extract(props, '$.k') = 'null' AS k_is_null
+        |FROM events""".stripMargin,
     "f1_strings" ->
       """SELECT p_partkey,
         |  lower(trim(p_name)) AS name_norm,
