@@ -112,4 +112,22 @@ object Ranks {
       .map { case ((k, v), i) => (k, v, i + 1) }
       .toDF(keyCol, valCol, rankCol)
   }
+
+  /** Row-preserving variant: appends 1-based contiguous `rankCol` to ALL
+    * of df's columns under the total order `order` — the same
+    * range-partitioned sort + zipWithIndex shape for frames that need
+    * more than a (key, value) pair (the ml_* fold queries), replacing
+    * the single-partition `row_number() OVER (ORDER BY …)` funnel. Like
+    * globalRank, zipWithIndex runs its partition-offset job at
+    * construction. */
+  def globalRankRows(df: DataFrame, rankCol: String, order: Seq[Column]): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(rankCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(rdd, schema)
+  }
 }

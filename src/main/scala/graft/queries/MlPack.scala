@@ -126,14 +126,14 @@ object MlPack extends QueryPack {
     // 18): fold i trains on the first test_start(i) rows of the global
     // (ts, event_id) order and tests on the next n//6; emitted as per
     // (fold, split) row counts + id checksums so the whole assignment is
-    // hash-checked. The global row_number is the same single-exchange
-    // pattern as sc4_global_rank; at 100 TB the fold boundary would come
-    // from a count() + range-partitioned rank instead.
+    // hash-checked. The global rank comes from the range-partitioned
+    // sort + zipWithIndex (the sc4/c5 shape) — never a single-partition
+    // row_number window.
     "ml_cv_splits" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-      val ranked = Tables.events(s, dir)
-        .select(col("ts"), col("event_id"))
-        .withColumn("r", row_number().over(w) - 1)
+      val ranked = graft.Ranks.globalRankRows(
+          Tables.events(s, dir).select(col("ts"), col("event_id")),
+          "r1", Seq(col("ts"), col("event_id")))
+        .withColumn("r", col("r1") - 1)
       val t = ranked.agg(count(lit(1)).as("n"),
         (count(lit(1)) / lit(6)).cast("long").as("ts_sz"))
       val folds = s.range(0, 5).toDF("fold")
@@ -156,16 +156,20 @@ object MlPack extends QueryPack {
     // exact integer/decimal sums in cents; the OLS slope/intercept and
     // the final MAE/RMSE are each one IEEE expression over those exact
     // sums (the ml_metrics recipe), so every fold row hash-matches.
-    // Shape: one global-order exchange (shared by rank and lag), one
-    // broadcast of 5 fold coefficient rows — same scale story as
-    // ml_cv_splits (range-partitioned rank at 100 TB).
+    // Shape: range-partitioned global rank (the sc4/c5 shape, no
+    // single-partition window), lag-1 via a self-join keyed on the rank
+    // (at 100 TB the ranked table persists once and both uses read it),
+    // one broadcast of 5 fold coefficient rows.
     "ml_backtest" -> ((s, dir) => {
       val d38 = DecimalType(38, 0)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-      val ranked = Tables.events(s, dir)
-        .select(col("ts"), col("event_id"), graft.Num.cents(col("value")).as("y"))
-        .withColumn("r", row_number().over(w) - 1)
-        .withColumn("y_prev", lag(col("y"), 1).over(w))
+      val ranked0 = graft.Ranks.globalRankRows(
+          Tables.events(s, dir).select(col("ts"), col("event_id"),
+            graft.Num.cents(col("value")).as("y")),
+          "r1", Seq(col("ts"), col("event_id")))
+        .withColumn("r", col("r1") - 1)
+      val ranked = ranked0.join(
+        ranked0.select((col("r") + 1).as("r"), col("y").as("y_prev")),
+        Seq("r"), "left")
       val t = ranked.agg(count(lit(1)).as("n"),
         (count(lit(1)) / lit(6)).cast("long").as("ts_sz"))
       val folds = s.range(0, 5).toDF("fold")
@@ -217,10 +221,11 @@ object MlPack extends QueryPack {
     "ml_grid_search" -> ((s, dir) => {
       import s.implicits._
       val d38 = DecimalType(38, 0)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-      val ranked = Tables.events(s, dir)
-        .select(col("ts"), col("event_id"), graft.Num.cents(col("value")).as("y"))
-        .withColumn("r", row_number().over(w) - 1)
+      val ranked = graft.Ranks.globalRankRows(
+          Tables.events(s, dir).select(col("ts"), col("event_id"),
+            graft.Num.cents(col("value")).as("y")),
+          "r1", Seq(col("ts"), col("event_id")))
+        .withColumn("r", col("r1") - 1)
       val t = ranked.agg(count(lit(1)).as("n"),
         (count(lit(1)) / lit(6)).cast("long").as("ts_sz"))
       val folds = s.range(0, 5).toDF("fold")

@@ -126,6 +126,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // rank + lag come from the RDD sort path and a rank-keyed self-join —
+    // no single-partition window funnel anywhere in the fold machinery
+    // (the Row-based globalRankRows scan prints as ExistingRDD, unlike
+    // the typed globalRank's SerializeFromObject)
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
   }
 
   test("stats_qq_plot: probit + quantile join are broadcast-side, rank via RDD sort") {
