@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float> columns in double; sequential fold
-    * order matches DuckDB's list functions → deterministic cross-engine. */
-  def dot(x: Column, y: Column): Column = aggregate(
-    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float> columns in double; the native
+    * codegen expression [[graft.functions.DotF]] (HOF zip_with/aggregate
+    * folds are CodegenFallback — interpreted per element). The ascending
+    * accumulation order matches DuckDB's list functions → deterministic
+    * cross-engine. Registration is idempotent and bound to the active
+    * session (one session per JVM everywhere this library runs). */
+  def dot(x: Column, y: Column): Column = {
+    graft.functions.DotF.register(SparkSession.active)
+    call_function("graft_dotf", x, y)
+  }
 
   /** Cosine similarity of two array<float> columns, computed in double. */
   def cosine(a: Column, b: Column): Column =
