@@ -102,6 +102,55 @@ object Similarity {
       .toDF("vec_a", "vec_b", "cos_sim")
   }
 
+  /** Embedding near-dup PAIRS via sign-LSH bucketing — the scale path
+    * behind the d6 exhaustive baseline: corpus vectors land in one bucket
+    * per table (map-only signatures, same multi-table construction as
+    * lshTopK), candidate pairs come from per-(table, bucket) self-joins,
+    * and ONLY candidates pay the exact cosine (graft_dotf codegen + the
+    * same r6 rounding as the exhaustive form, so emitted pairs are a
+    * subset of the exhaustive result by construction). Never all-pairs:
+    * cost is Σ|bucket|² per table, and bits scale with log₂(n) exactly
+    * like lshTopK. High-cosine pairs (θ small) collide per table with
+    * probability (1−θ/π)^b, so recall rises steeply with similarity —
+    * the regime near-DUP detection cares about. */
+  def neardupPairsLsh(spark: SparkSession, corpus: DataFrame,
+      threshold: Double, numTables: Int = 6, bitsPerTable: Int = 0): DataFrame = {
+    import spark.implicits._
+    val dimRow = corpus.select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("vec_a", "vec_b", "cos_sim")
+    val dim = dimRow.head.getInt(0)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = math.max(corpus.count() / 8, 2L)
+        math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(n - 1)))
+      }
+    val pool = planes(numTables * bits, dim)
+    val tables = Array.tabulate(numTables)(t => pool.slice(t * bits, (t + 1) * bits))
+    val sig = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        tables.iterator.zipWithIndex.map { case (pl, t) => SigRow(id, t, signature(v, pl)) }
+      }
+      .toDF("vec_id", "table", "bucket")
+    val cand = sig.toDF("vec_a", "table", "bucket")
+      .join(sig.toDF("vec_b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim",
+        graft.Num.r6(dot(col("ea"), col("eb")) / col("na") / col("nb")))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
   // ---- sign LSH -----------------------------------------------------------
 
   /** Deterministic pseudo-random hyperplanes: planes(p)(d) from splitmix64
