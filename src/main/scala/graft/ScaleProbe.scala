@@ -36,7 +36,7 @@ object ScaleProbe {
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans
     "d2_minhash_lsh_op", "d3_simhash_op",
-    "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op")
+    "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "d10_neardup_lsh_op")
 
   /** Operator-only probes for the similarity family: the production
     * bucketed paths (banded joins, multi-table LSH, inverted lists, ADC)
@@ -65,7 +65,10 @@ object ScaleProbe {
       "n5_ann_pq_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.Pq.topK(s, e, qs(e), k = 5)
-      }))
+      }),
+      "d10_neardup_lsh_op" -> ((s, dir) =>
+        graft.ann.Similarity.neardupPairsLsh(s,
+          graft.queries.AnnPack.withVectorNearDups(s, dir), threshold = 0.9)))
   }
 
   private def shifted(df: DataFrame, cols: Map[String, Long], i: Int): DataFrame =
