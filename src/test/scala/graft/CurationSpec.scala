@@ -156,4 +156,23 @@ class CurationSpec extends SparkSuite {
     assert(r.filter(col("n_events") <= 0).count() == 0)
     r.unpersist()
   }
+
+  test("c11 URL gate: blocked never kept, exactly one keeper per unblocked canon group") {
+    val r = q("c11_url_canonicalize")(spark, sf).cache()
+    assert(r.filter(col("blocked") && col("keep")).count() == 0,
+      "blocklisted domains must never survive")
+    val groups = r.filter(!col("blocked"))
+      .groupBy("canon_url")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        min(col("doc_id")).as("min_id"),
+        max(when(col("keep"), col("doc_id"))).as("kept_id"))
+    assert(groups.filter(col("n_keep") =!= 1).count() == 0,
+      "URL dedup keeps exactly one doc per canonical URL")
+    assert(groups.filter(col("kept_id") =!= col("min_id")).count() == 0,
+      "the keeper is the minimum doc_id (deterministic)")
+    // canonicalization actually collapses something: at least one multi-doc group
+    val multi = r.groupBy("canon_url").count().filter(col("count") > 1).count()
+    assert(multi > 0, "fixture must exercise real URL collisions")
+    r.unpersist()
+  }
 }

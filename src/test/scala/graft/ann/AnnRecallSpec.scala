@@ -46,6 +46,20 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.30, f"pq recall $r%.3f below driver-frame bound")
   }
 
+  test("LSH near-dup pair mining recalls ≥ 0.80 of the planted population") {
+    val aug = graft.queries.AnnPack.withVectorNearDups(spark, sf)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.neardupPairs(spark, aug, threshold = 0.9))
+    val found = pairs(Similarity.neardupPairsLsh(spark, aug, threshold = 0.9))
+    assert(truth.nonEmpty, "fixture must contain planted near-dups")
+    assert(found.subsetOf(truth), "exact-cosine verify ⇒ found ⊆ truth")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    info(f"d10 planted-pair recall = $recall%.3f over ${truth.size} pairs (bound 0.80)")
+    assert(recall >= 0.80, f"planted recall $recall%.3f below driver-frame bound")
+  }
+
   test("n6 centroids are convex: each lies within its label's per-dim range") {
     val cent = graft.queries.AnnPack.queries("n6_embedding_centroid")(spark, sf)
     val bounds = emb
