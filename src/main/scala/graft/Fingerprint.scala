@@ -43,12 +43,27 @@ object Fingerprint {
     * The cache holds ONE entry per (label, dataPath): a changed fingerprint
     * REPLACES the stale value (regenerated fixtures are picked up within
     * one JVM, and superseded multi-MB truth sets don't pile up on the
-    * driver heap). */
-  def memo[T <: AnyRef](label: String, dataPath: String)(compute: => T): T = {
+    * driver heap). `onEvict` runs on the value being replaced — values
+    * that pin EXECUTOR resources (a cached DataFrame's storage blocks)
+    * release them there instead of leaking for the JVM lifetime
+    * (ADVICE r6); plain driver-heap truth sets don't need it. */
+  def memo[T <: AnyRef](label: String, dataPath: String)(compute: => T): T =
+    memoEvict[T](label, dataPath, _ => ())(compute)
+
+  /** [[memo]] with a release hook for values pinning executor resources. */
+  def memoEvict[T <: AnyRef](label: String, dataPath: String,
+      onEvict: T => Unit)(compute: => T): T = {
     val key = label + "|" + dataPath
     val fp = dir(dataPath)
     cache.compute(key, (_, prev) =>
-      if (prev != null && prev._1 == fp) prev else (fp, compute))._2
+      if (prev != null && prev._1 == fp) prev
+      else {
+        if (prev != null) {
+          try onEvict(prev._2.asInstanceOf[T])
+          catch { case _: Throwable => () } // a dead session must not block the rebuild
+        }
+        (fp, compute)
+      })._2
       .asInstanceOf[T]
   }
 }

@@ -21,11 +21,15 @@ object Similarity {
     * codegen expression [[graft.functions.DotF]] (HOF zip_with/aggregate
     * folds are CodegenFallback — interpreted per element). The ascending
     * accumulation order matches DuckDB's list functions → deterministic
-    * cross-engine. Registration is idempotent and bound to the active
-    * session (one session per JVM everywhere this library runs). */
+    * cross-engine. The Column wraps [[graft.functions.DotFExpr]] directly
+    * (no session-registry round-trip), so construction needs no active
+    * session and the plan resolves under whichever session analyzes it;
+    * `graft_dotf` stays available to SQL text via [[graft.functions.DotF
+    * .register]]. */
   def dot(x: Column, y: Column): Column = {
-    graft.functions.DotF.register(SparkSession.active)
-    call_function("graft_dotf", x, y)
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(graft.functions.DotFExpr(
+      GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
   }
 
   /** Cosine similarity of two array<float> columns, computed in double. */
@@ -112,7 +116,19 @@ object Similarity {
     * cost is Σ|bucket|² per table, and bits scale with log₂(n) exactly
     * like lshTopK. High-cosine pairs (θ small) collide per table with
     * probability (1−θ/π)^b, so recall rises steeply with similarity —
-    * the regime near-DUP detection cares about. */
+    * the regime near-DUP detection cares about.
+    *
+    * Multi-probe (ADVICE r6): each extra bit multiplies a true pair's
+    * per-table collision probability by p_bit ≈ 0.9 (cos 0.95), so as the
+    * adaptive bits grow past 8 the 6-table OR alone decays — ≈0.96 at
+    * b=8 but ≈0.70 at b=16 and ≈0.38 at b=24, silently under the d10
+    * recall ≥ 0.80 frame exactly on the corpora the adaptive default
+    * targets. Like lshTopK's probe deepening, ONE join side probes
+    * Hamming-⌈(b−8)/8⌉ neighbor buckets (depth 0 at b≤8, 1 at b≤16,
+    * 2 at b≤24), which admits pairs at signature Hamming distance ≤
+    * depth: per-table collision back to ≈0.96/0.99/0.99 at b=8/16/24,
+    * for a probe fan-out of 1+b+b(b−1)/2 = O(log²n) rows on one
+    * map-only side — never all-pairs. */
   def neardupPairsLsh(spark: SparkSession, corpus: DataFrame,
       threshold: Double, numTables: Int = 6, bitsPerTable: Int = 0): DataFrame = {
     import spark.implicits._
@@ -126,6 +142,16 @@ object Similarity {
         val n = math.max(corpus.count() / 8, 2L)
         math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(n - 1)))
       }
+    val depth = math.max(0, (bits - 1) / 8) // 0 @ b≤8, 1 @ b≤16, 2 @ b≤24
+    val probeMasks: Array[Int] = {
+      val m = Array.newBuilder[Int]
+      m += 0
+      if (depth >= 1) for (i <- 0 until bits) m += (1 << i)
+      if (depth >= 2)
+        for (i <- 0 until bits; j <- (i + 1) until bits)
+          m += (1 << i) | (1 << j)
+      m.result()
+    }
     val pool = planes(numTables * bits, dim)
     val tables = Array.tabulate(numTables)(t => pool.slice(t * bits, (t + 1) * bits))
     val sig = corpus.select(col("vec_id"), col("embedding"))
@@ -134,7 +160,18 @@ object Similarity {
         tables.iterator.zipWithIndex.map { case (pl, t) => SigRow(id, t, signature(v, pl)) }
       }
       .toDF("vec_id", "table", "bucket")
-    val cand = sig.toDF("vec_a", "table", "bucket")
+    val sigProbed =
+      if (depth == 0) sig
+      else corpus.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          tables.iterator.zipWithIndex.flatMap { case (pl, t) =>
+            val s = signature(v, pl)
+            probeMasks.iterator.map(mask => SigRow(id, t, s ^ mask))
+          }
+        }
+        .toDF("vec_id", "table", "bucket")
+    val cand = sigProbed.toDF("vec_a", "table", "bucket")
       .join(sig.toDF("vec_b", "table", "bucket"), Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()

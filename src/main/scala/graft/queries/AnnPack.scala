@@ -56,15 +56,25 @@ object AnnPack extends QueryPack {
     Seq((truth.size.toLong, mean >= bound)).toDF("n_queries", boundCol)
   }
 
+  /** Planted-duplicate id offset: bit 40 (≈1.1e12). A RESERVED HIGH BIT,
+    * not a fixed additive constant (ADVICE r6): genuine vec_ids — fixture
+    * ids and ScaleProbe replica copies spaced 100M apart — stay far below
+    * 2⁴⁰ (1000 copies ≈ 1e11), so planted ids are disjoint from every
+    * genuine id by construction; an id at/above the bit raises a loud
+    * runtime error instead of silently corrupting the truth set. */
+  private[graft] val DupIdOffset: Long = 1L << 40
+
   /** embeddings ∪ deterministic planted near-dups: every 20th vector
-    * re-appears with vec_id+1,000,000 and every 10th element zeroed —
-    * cos(v, v') = 0.9/√0.9 ≈ 0.949 on near-isotropic vectors, i.e. a
-    * population in the genuine near-duplicate regime (the d2
+    * re-appears with bit 40 set in its vec_id and every 10th element
+    * zeroed — cos(v, v') = 0.9/√0.9 ≈ 0.949 on near-isotropic vectors,
+    * i.e. a population in the genuine near-duplicate regime (the d2
     * withNearDups recipe for the embedding table). */
   private[graft] def withVectorNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val dups = e.filter(pmod(col("vec_id"), lit(20)) === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select(when(col("vec_id") < lit(DupIdOffset), col("vec_id") + lit(DupIdOffset))
+          .otherwise(raise_error(concat(lit("genuine vec_id collides with the "
+            + "planted-dup bit-40 range: "), col("vec_id")))).as("vec_id"),
         expr("transform(embedding, (x, i) -> IF(i % 10 = 0, CAST(0.0 AS FLOAT), x))")
           .as("embedding"))
     e.unionByName(dups)
@@ -148,7 +158,7 @@ object AnnPack extends QueryPack {
     // pairs top out at cos ≈ 0.51 — the regime where ANY LSH pair-mining
     // degenerates (per-table collision (1−θ/π)^b ≈ 0.03 at θ=63°, b=8) —
     // so like d2's withNearDups the corpus is augmented with DETERMINISTIC
-    // planted near-dups (every 20th vector re-appears at +1M with every
+    // planted near-dups (every 20th vector re-appears with bit 40 set, with every
     // 10th element zeroed ⇒ cos ≈ 0.95, the actual near-duplicate regime,
     // where p_table ≈ 0.4 and 6 tables recall ≈ 0.96). Bucket self-joins
     // generate candidates, exact cosine (d6's arithmetic) verifies them,
@@ -240,7 +250,7 @@ object AnnPack extends QueryPack {
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
+        |  SELECT vec_id + 1099511627776 AS vec_id,
         |    list_transform(embedding,
         |      (x, i) -> CASE WHEN (i - 1) % 10 = 0
         |                     THEN CAST(0.0 AS FLOAT) ELSE x END) AS embedding

@@ -70,12 +70,17 @@ object DedupPack extends QueryPack {
     * Memory bound: corpus-sized sparse vectors (~n_shingles entries each),
     * the same order as the memoized truth sets. The memo label carries the
     * session identity because the cached plan is session-bound (a Set
-    * survives a session swap; a cached DataFrame does not); superseded
-    * entries are bounded by sessions-per-JVM (one, outside tests). */
+    * survives a session swap; a cached DataFrame does not); a REPLACED
+    * entry (regenerated fixture) unpersists its featurized corpus on
+    * eviction so superseded cache blocks don't pin executor storage for
+    * the JVM lifetime (ADVICE r6 — non-blocking, and memo eviction
+    * tolerates a dead session's plan). */
   private def mllibLshIndex(s: SparkSession, dir: String)
       : (org.apache.spark.ml.feature.MinHashLSHModel, DataFrame) =
-    graft.Fingerprint.memo(s"d5_mllib_fit_${System.identityHashCode(s)}",
-        s"$dir/documents.parquet") {
+    graft.Fingerprint.memoEvict(s"d5_mllib_fit_${System.identityHashCode(s)}",
+        s"$dir/documents.parquet",
+        (prev: (org.apache.spark.ml.feature.MinHashLSHModel, DataFrame)) =>
+          { prev._2.unpersist(blocking = false); () }) {
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
       val docs = withNearDups(s, dir)
       val tok = new Tokenizer().setInputCol("text").setOutputCol("words")

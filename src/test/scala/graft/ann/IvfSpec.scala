@@ -34,7 +34,7 @@ class IvfSpec extends SparkSuite {
 
   test("centroid assignment is deterministic and probe lists are bounded") {
     val df = clustered(4, 8, 16)
-    val cents = Ivf.centroids(df, 8)
+    val cents = Ivf.centroids(df, 8, df.count())
     assert(cents.length === 8)
     val v = Array.tabulate(16)(i => i / 16.0f)
     val p1 = Ivf.nearestCentroids(v, cents, 3)
