@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-series AR(1)-with-drift fit (SURVEY §2.10, §7.6).
+  *
+  * The reference fits one SARIMAX model per ticker series in a sequential
+  * loop over groups (/root/reference/src/model/train.py:250-291). The full
+  * MLE machinery is a declared non-goal, but the engine pattern — a
+  * per-group SEQUENTIAL model fit over an ordered series, emitting one
+  * parameter row per group — is demonstrated here with its closed-form
+  * little sibling: x_t = c + φ·x_{t-1} + ε_t, estimated by conditional
+  * least squares (the Yule-Walker/OLS normal equations on lag-1 pairs).
+  *
+  * Engine choice mirrors [[Ewm]]: `groupByKey(key).flatMapSortedGroups(time)`
+  * — Spark secondary-sorts inside the exchange and hands each series as an
+  * ordered iterator; the fold keeps O(1) state (six moment accumulators +
+  * the previous observation), so a skewed key can never buffer its series
+  * in memory. One shuffle total; at 1000 executors each series fits on one
+  * task and groups parallelize freely. This is exactly the shape a real
+  * per-series SARIMAX/Prophet fit would use — swap the closed-form solve
+  * for an in-fold optimizer and nothing about the plan changes.
+  *
+  * Cross-engine exactness (the [[graft.Num]] discipline): observations are
+  * 2-decimal doubles, so the fold accumulates EXACT integer moments — cent
+  * units (x·100) for linear sums, 1e-4 units for product sums — and only
+  * converts to double at the very end, with the same operation order the
+  * DuckDB oracle uses on its DECIMAL sums. Long never overflows: series
+  * are bounded (~100 rows/key in the fixtures; 2^63 ≈ 9e18 leaves room for
+  * |x| up to ~3e7 at 1e4-row series).
+  *
+  * Estimators (n = number of lag-1 pairs, requires n ≥ 3):
+  *   φ  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  *   c  = (Σy − φ·Σx) / n
+  *   σ² = ((Σy² − (Σy)²/n) − φ·(Σxy − Σx·Σy/n)) / (n − 2)
+  */
+object Ar1 {
+
+  case class Point(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      value: Double)
+  case class Ar1Row(user_id: Long, n: Long, phi: Double, drift: Double,
+      sigma2: Double)
+
+  /** Fit one AR(1)+drift per `user_id` over `value` ordered by
+    * (ts, event_id). Emits nothing for series with fewer than 4
+    * observations (< 3 lag-1 pairs — σ² undefined). */
+  def fit(spark: SparkSession, events: DataFrame): Dataset[Ar1Row] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Point]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"ts", $"event_id") { (uid: Long, rows: Iterator[Point]) =>
+        var prev = 0L; var has = false
+        var n = 0L; var sx = 0L; var sy = 0L
+        var sxy = 0L; var sxx = 0L; var syy = 0L // 1e-4 units
+        rows.foreach { p =>
+          val c = math.round(p.value * 100.0) // exact: 2-decimal source
+          if (has) {
+            n += 1; sx += prev; sy += c
+            sxy += prev * c; sxx += prev * prev; syy += c * c
+          }
+          prev = c; has = true
+        }
+        if (n < 3) Iterator.empty
+        else {
+          val nd = n.toDouble
+          val sxd = sx.toDouble / 100.0
+          val syd = sy.toDouble / 100.0
+          val sxyd = sxy.toDouble / 10000.0
+          val sxxd = sxx.toDouble / 10000.0
+          val syyd = syy.toDouble / 10000.0
+          val phi = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+          val drift = (syd - phi * sxd) / nd
+          val sigma2 = ((syyd - syd * syd / nd) -
+            phi * (sxyd - sxd * syd / nd)) / (nd - 2.0)
+          Iterator.single(Ar1Row(uid, n, phi, drift, sigma2))
+        }
+      }
+  }
+}

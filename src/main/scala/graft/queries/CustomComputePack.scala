@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Num, QueryPack, Tables}
-import graft.ops.{Ewm, Interpolate, SeriesStats}
+import graft.ops.{Ar1, Ewm, Interpolate, SeriesStats}
 
 /** Custom per-series compute (SURVEY §2.9, §7.4): operators with no
   * frame-window equivalent, run as typed sorted-group folds.
@@ -181,6 +181,17 @@ object CustomComputePack extends QueryPack {
             .otherwise(col("v_interp"))).as("v_interp"))
     }),
 
+    // Per-series AR(1)+drift fit (train.py:250-291's per-ticker SARIMAX
+    // loop, closed-form sibling): one sequential conditional-least-squares
+    // fit per ordered series via flatMapSortedGroups, one parameter row
+    // per key. Exact integer moments inside the fold → oracle-exact.
+    "stats_ar1_fit" -> ((s, dir) =>
+      Ar1.fit(s, Tables.events(s, dir)).toDF()
+        .select(col("user_id"), col("n"),
+          Num.r6(col("phi")).as("phi"),
+          Num.r6(col("drift")).as("drift"),
+          Num.r6(col("sigma2")).as("sigma2"))),
+
     // Multi-lag ACF (1..10) + PACF via Durbin–Levinson per series — the
     // reference's plot_acf/plot_pacf inputs (visualize.py:122-131; the eda
     // cells read up to lag 40). ACF from exact decimal moments; the PACF
@@ -292,6 +303,34 @@ object CustomComputePack extends QueryPack {
          |        * 1000000 + 0.5) / 1000000 AS v_interp
          |FROM interp CROSS JOIN gm""".stripMargin,
     "stats_adf_ljungbox" -> SeriesStats.adfLjungBoxOracle(10),
+    // Same lag-1 pair moments as stats_autocorr; the estimator arithmetic
+    // mirrors Ar1.fit's double op-order exactly.
+    "stats_ar1_fit" ->
+      """WITH paired AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS yd,
+        |    CAST(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS DECIMAL(18,2)) AS xd
+        |  FROM events
+        |), sums AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(xd) AS DOUBLE) AS sx,
+        |    CAST(sum(yd) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xd * yd AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(xd * xd AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(yd * yd AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM paired WHERE xd IS NOT NULL GROUP BY user_id
+        |), est AS (
+        |  SELECT user_id, n, sx, sy, sxy, sxx, syy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS phi
+        |  FROM sums WHERE n >= 3
+        |)
+        |SELECT user_id, n,
+        |  floor(phi * 1000000 + 0.5) / 1000000 AS phi,
+        |  floor(((sy - phi * sx) / n) * 1000000 + 0.5) / 1000000 AS drift,
+        |  floor((((syy - sy * sy / n) - phi * (sxy - sx * sy / n)) / (n - 2))
+        |        * 1000000 + 0.5) / 1000000 AS sigma2
+        |FROM est""".stripMargin,
     "stats_acf_pacf" -> SeriesStats.acfPacfOracle(10),
     "stats_seasonal_decompose" -> graft.ops.Seasonal.decomposeOracle(7),
     // EWM closed form: with rn the 0-based position in the (ts, event_id)
