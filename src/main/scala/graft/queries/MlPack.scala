@@ -285,6 +285,74 @@ object MlPack extends QueryPack {
           "rmse_cents", "rank_in_fold", "is_best")
     }),
 
+    // Successive-halving search (m_eval cell 41's HalvingRandomSearchCV):
+    // the same ridge-shrinkage candidates as ml_grid_search, but evaluated
+    // under the halving schedule — round i fits every SURVIVING candidate
+    // on a train prefix of (n_train_full / 2^(R-1-i)) rows, scores it on
+    // the fixed held-out tail, and keeps the top ⌈k/2⌉ by (rmse, α) rank
+    // for round i+1. The culling is real: culled candidates never touch
+    // the larger prefixes. Each round is one prefix-moment scan + one
+    // test-span scan with the candidate set on a broadcast; the per-round
+    // rank/cull operates on ≤|grid| score rows collected to the driver —
+    // the sklearn fit-step pattern (ml_onehot's bounded-collect analog;
+    // halving is inherently sequential, each round's candidate set is an
+    // output of the previous round's ACTION in sklearn too). At 100 TB the
+    // prefixes are partition-pruned scans of the ranked fact table and the
+    // candidate grid never leaves the driver+broadcast.
+    "ml_halving_search" -> ((s, dir) => {
+      import s.implicits._
+      val d38 = DecimalType(38, 0)
+      val ranked = graft.Ranks.globalRankRows(
+          Tables.events(s, dir).select(col("ts"), col("event_id"),
+            graft.Num.cents(col("value")).as("y")),
+          "r1", Seq(col("ts"), col("event_id")))
+        .withColumn("r", col("r1") - 1)
+      val n = ranked.agg(count(lit(1))).head.getLong(0)
+      val tsSz = n / 6
+      val ntf = n - tsSz
+      val test = ranked.filter(col("r") >= n - tsSz)
+      val rounds = 3
+      var survivors: Seq[Long] = GridAlphasPpm
+      val out = Seq.newBuilder[(Int, Long, Long, Int, Double, Int, Boolean)]
+      for (i <- 0 until rounds) {
+        val nTr = ntf / (1L << (rounds - 1 - i))
+        val al = survivors.toDF("alpha_ppm")
+        val coef = ranked.filter(col("r") < nTr).agg(
+            count(lit(1)).as("n_train"),
+            sum(col("r").cast(d38)).as("sr"),
+            sum(col("y").cast(d38)).as("sy"),
+            sum((col("r").cast(d38) * col("y")).cast(d38)).as("sry"),
+            sum((col("r").cast(d38) * col("r")).cast(d38)).as("srr"))
+          .crossJoin(broadcast(al))
+          .withColumn("b",
+            (col("n_train").cast(d38) * col("sry") - col("sr") * col("sy")).cast(DoubleType) /
+            ((col("n_train").cast(d38) * col("srr") - col("sr") * col("sr")).cast(DoubleType) *
+              (lit(1.0) + col("alpha_ppm").cast(DoubleType) / lit(1000000.0))))
+          .withColumn("a",
+            (col("sy").cast(DoubleType) - col("b") * col("sr").cast(DoubleType)) /
+              col("n_train").cast(DoubleType))
+        val scored = test.crossJoin(broadcast(coef))
+          .withColumn("e",
+            (col("y").cast(DoubleType) - (col("a") + col("b") * col("r").cast(DoubleType)))
+              .cast(DecimalType(24, 6)))
+          .groupBy("alpha_ppm").agg(
+            max(col("n_train")).as("n_train"),
+            Num.r6(sqrt(sum((col("e") * col("e")).cast(DecimalType(38, 10)))
+              .cast(DoubleType) / count(lit(1)))).as("rmse_cents"))
+        val local = scored.collect() // bounded: ≤|grid| rows (fit step)
+          .map(row => (row.getAs[Long]("alpha_ppm"),
+            row.getAs[Long]("n_train"), row.getAs[Double]("rmse_cents")))
+          .sortBy { case (a, _, m) => (m, a) }
+        val keep = if (i < rounds - 1) (local.length + 1) / 2 else 1
+        local.zipWithIndex.foreach { case ((a, nt, m), idx) =>
+          out += ((i, a, nt, local.length, m, idx + 1, idx + 1 <= keep))
+        }
+        survivors = local.take(keep).map(_._1).toSeq
+      }
+      out.result().toDF("round", "alpha_ppm", "n_train", "n_candidates",
+        "rmse_cents", "rank_in_round", "survives")
+    }),
+
     // One-hot encoding (train.py:165-180's OneHotEncoder branch):
     // deterministic category→index from the SORTED distinct category set,
     // plus a 0/1 indicator column per category. The fitted vocabulary is
@@ -332,6 +400,46 @@ object MlPack extends QueryPack {
     * OLS denominator (shared with the oracle SQL). */
   private val GridAlphasPpm =
     Seq(0L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+
+  /** One halving round as a DuckDB CTE chain: moments on the round's train
+    * prefix (`r < $div`), ridge coefficients per surviving candidate
+    * (`$alphaSrc`), test-span RMSE, rank. Mirrors the Spark loop body of
+    * ml_halving_search term for term (same IEEE op order as the
+    * ml_grid_search oracle, which hash-matches). */
+  private def halvingRoundSql(i: Int, div: String, alphaSrc: String): String =
+    s"""m$i AS (
+       |  SELECT count(*) AS n_train,
+       |    sum(CAST(r AS HUGEINT)) AS sr,
+       |    sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(r AS HUGEINT) * y) AS sry,
+       |    sum(CAST(r AS HUGEINT) * r) AS srr
+       |  FROM r0 CROSS JOIN t WHERE r0.r < $div
+       |), c${i}a AS (
+       |  SELECT n_train, sr, sy, alpha_ppm,
+       |    CAST(CAST(n_train AS HUGEINT) * sry - sr * sy AS DOUBLE)
+       |      / (CAST(CAST(n_train AS HUGEINT) * srr - sr * sr AS DOUBLE)
+       |         * (1.0 + CAST(alpha_ppm AS DOUBLE) / 1000000.0)) AS b
+       |  FROM m$i CROSS JOIN ($alphaSrc) AS al$i
+       |), c$i AS (
+       |  SELECT n_train, alpha_ppm, b,
+       |    (CAST(sy AS DOUBLE) - b * CAST(sr AS DOUBLE))
+       |      / CAST(n_train AS DOUBLE) AS a
+       |  FROM c${i}a
+       |), s$i AS (
+       |  SELECT c.alpha_ppm, CAST(max(c.n_train) AS BIGINT) AS n_train,
+       |    floor(sqrt(CAST(sum(CAST(
+       |        CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
+       |             AS DECIMAL(24,6))
+       |        * CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
+       |               AS DECIMAL(24,6)) AS DECIMAL(38,10))) AS DOUBLE)
+       |        / count(*)) * 1000000 + 0.5) / 1000000 AS rmse_cents
+       |  FROM test g CROSS JOIN c$i c GROUP BY c.alpha_ppm
+       |), k$i AS (
+       |  SELECT alpha_ppm, n_train, rmse_cents,
+       |    row_number() OVER (ORDER BY rmse_cents, alpha_ppm) AS rk,
+       |    count(*) OVER () AS n_candidates
+       |  FROM s$i
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ml_target_encode" ->
@@ -549,6 +657,36 @@ object MlPack extends QueryPack {
          |  row_number() OVER (PARTITION BY fold ORDER BY rmse_cents, alpha_ppm) = 1
          |    AS is_best
          |FROM scored""".stripMargin,
+    "ml_halving_search" ->
+      s"""WITH r0 AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         |    row_number() OVER (ORDER BY ts, event_id) - 1 AS r
+         |  FROM events
+         |), t AS (
+         |  SELECT count(*) AS n, count(*) // 6 AS ts_sz,
+         |    count(*) - count(*) // 6 AS ntf
+         |  FROM r0
+         |), test AS (
+         |  SELECT r0.y, r0.r FROM r0 CROSS JOIN t WHERE r0.r >= n - ts_sz
+         |), ${halvingRoundSql(0, "ntf // 4",
+             s"SELECT unnest([${GridAlphasPpm.mkString(", ")}]) AS alpha_ppm")},
+         |${halvingRoundSql(1, "ntf // 2",
+             "SELECT alpha_ppm FROM k0 WHERE rk <= (n_candidates + 1) // 2")},
+         |${halvingRoundSql(2, "ntf",
+             "SELECT alpha_ppm FROM k1 WHERE rk <= (n_candidates + 1) // 2")}
+         |SELECT CAST(0 AS INT) AS round, alpha_ppm, n_train,
+         |  CAST(n_candidates AS INT) AS n_candidates, rmse_cents,
+         |  CAST(rk AS INT) AS rank_in_round,
+         |  rk <= (n_candidates + 1) // 2 AS survives
+         |FROM k0
+         |UNION ALL
+         |SELECT CAST(1 AS INT), alpha_ppm, n_train, CAST(n_candidates AS INT),
+         |  rmse_cents, CAST(rk AS INT), rk <= (n_candidates + 1) // 2
+         |FROM k1
+         |UNION ALL
+         |SELECT CAST(2 AS INT), alpha_ppm, n_train, CAST(n_candidates AS INT),
+         |  rmse_cents, CAST(rk AS INT), rk = 1
+         |FROM k2""".stripMargin,
     // the oracle pins the fitted vocabulary the Spark side derives from
     // sorted-distinct — the five TPC-H segments; a regenerated fixture
     // with different categories would surface as a schema mismatch

@@ -49,6 +49,34 @@ class MlSpec extends SparkSuite {
     }
   }
 
+  test("ml_halving_search: culling chain, doubling resource, real survivors") {
+    val rows = q("ml_halving_search").collect()
+    val byRound = rows.groupBy(_.getAs[Int]("round"))
+    assert(byRound.keySet === Set(0, 1, 2))
+    // candidate counts halve: 6 → 3 → 2; resource doubles each round
+    assert(byRound(0).length === 6 && byRound(1).length === 3 &&
+      byRound(2).length === 2)
+    val res = (0 to 2).map(i => byRound(i).head.getAs[Long]("n_train"))
+    assert(res(1) / res(0) >= 2 - 1 && res(2) >= 2 * res(1) - 2,
+      s"train prefix must ~double per round, got $res")
+    for ((i, rs) <- byRound) {
+      assert(rs.map(_.getAs[Int]("rank_in_round")).sorted.toSeq ===
+        (1 to rs.length), s"round $i ranks are a permutation")
+      val byRank = rs.sortBy(_.getAs[Int]("rank_in_round"))
+        .map(_.getAs[Double]("rmse_cents"))
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"round $i rank/score order")
+    }
+    // round i+1's candidate set IS round i's survivor set — culling is real
+    for (i <- 0 to 1) {
+      val surv = byRound(i).filter(_.getAs[Boolean]("survives"))
+        .map(_.getAs[Long]("alpha_ppm")).toSet
+      val next = byRound(i + 1).map(_.getAs[Long]("alpha_ppm")).toSet
+      assert(surv === next, s"round ${i + 1} must evaluate exactly round $i's survivors")
+    }
+    assert(byRound(2).count(_.getAs[Boolean]("survives")) === 1, "one winner")
+  }
+
   test("ml_onehot: indicators are a partition of unity and match seg_idx") {
     val df = q("ml_onehot")
     val ohCols = df.columns.filter(_.startsWith("oh_")).sorted
