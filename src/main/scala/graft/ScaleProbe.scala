@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * as data grows; anything super-linear is a red flag the probe surfaces.
   *
   * Not part of the driver contract — a design-validation tool
-  * (`runMain graft.ScaleProbe [baseDir] [outDir] [copies]`).
+  * (`runMain graft.ScaleProbe [baseDir] [outDir] [copies] [q1,q2,…]`).
+  * The optional 4th arg restricts the probe to the named queries — the
+  * "isolated exclusive re-probe" the noise protocol (SCALE.md) prescribes
+  * when a single cell reads suspicious in a full shared-box run.
   */
 object ScaleProbe {
 
@@ -169,6 +172,8 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -189,7 +194,7 @@ object ScaleProbe {
     // the similarity probes are operator-only variants with no checker.)
     time(spark, "a1_groupby_agg", base); time(spark, "a1_groupby_agg", out)
 
-    val rows = ProbeQueries.map { q =>
+    val rows = ProbeQueries.filter(q => only.isEmpty || only(q)).map { q =>
       val tBig = math.min(time(spark, q, out), time(spark, q, out))
       val tBase = math.min(time(spark, q, base), time(spark, q, base))
       val ratio = tBig / tBase

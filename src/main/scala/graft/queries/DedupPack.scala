@@ -198,11 +198,18 @@ object DedupPack extends QueryPack {
     // Cross-document shared-n-gram filter (the C4/RefinedWeb recipe:
     // drop spans seen verbatim elsewhere in the corpus). Per doc: how
     // many of its word-5-gram occurrences also appear in ANOTHER doc,
-    // and a keep flag at < 50% shared mass. Two shuffles — (doc_id,
-    // gram) then gram — both key-partitioned with map-side partial
-    // aggs; no driver state, no all-pairs anything: the global gram
-    // table IS the dedup index, which is what makes this the recipe
-    // that scales to 100 TB where pairwise comparison cannot.
+    // and a keep flag at < 50% shared mass. Key-partitioned shuffles
+    // with map-side partial aggs; no driver state, no all-pairs
+    // anything: the global gram table IS the dedup index, which is what
+    // makes this the recipe that scales to 100 TB where pairwise
+    // comparison cannot. Two plan facts keep the heavy stream short
+    // (r7, after the exclusive 10× re-probe read a reproducible 4×):
+    //  - n_grams is size(words)−4 — MAP-ONLY arithmetic on the doc row,
+    //    so the full gram stream is never re-shuffled just to count it;
+    //  - only grams with ndocs > 1 can contribute to shared_occ, so the
+    //    gram join is a LEFT SEMI against the shared-gram minority and
+    //    everything downstream of it carries shared occurrences only
+    //    (the unique-gram majority dies at the semi join).
     "d8_shared_ngrams" -> ((s, dir) => {
       graft.functions.Fnv64.register(s)
       val docs = Tables.documents(s, dir)
@@ -217,11 +224,14 @@ object DedupPack extends QueryPack {
         "CASE WHEN size(words) >= 5 THEN transform(sequence(1, size(words) - 4), " +
         "i -> graft_fnv64(concat_ws(' ', slice(words, i, 5)))) ELSE array() END")).as("g"))
       val docGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val gramDocs = docGram.groupBy("g").agg(count(lit(1)).as("ndocs"))
-      docGram.join(gramDocs, "g")
-        .groupBy("doc_id").agg(
-          sum(col("c")).as("n_grams"),
-          sum(when(col("ndocs") > 1, col("c")).otherwise(lit(0L))).as("shared_occ"))
+      val sharedGrams = docGram.groupBy("g").agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") > 1).select("g")
+      val sharedOcc = docGram.join(sharedGrams, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(sum(col("c")).as("shared_occ"))
+      docs.filter(size(col("words")) >= 5)
+        .select(col("doc_id"), (size(col("words")) - 4).cast("long").as("n_grams"))
+        .join(sharedOcc, Seq("doc_id"), "left")
+        .withColumn("shared_occ", coalesce(col("shared_occ"), lit(0L)))
         .withColumn("shared_frac", Num.r6(col("shared_occ") / col("n_grams")))
         .withColumn("keep", col("shared_frac") < lit(0.5))
         .select("doc_id", "n_grams", "shared_occ", "shared_frac", "keep")
