@@ -352,11 +352,18 @@ object MlPack extends QueryPack {
     "ml_halving_search" -> ((s, dir) => {
       import s.implicits._
       val d38 = DecimalType(38, 0)
+      // the ranked fact table persists for the query's lifetime: the
+      // halving rounds are sequential by nature, and without the cache
+      // each round's prefix-moment and test-span scans would re-run the
+      // global rank (sort + zipWithIndex) — six rank computations for a
+      // three-round search (at 100 TB: persist once, filter many)
       val ranked = graft.Ranks.globalRankRows(
           Tables.events(s, dir).select(col("ts"), col("event_id"),
             graft.Num.cents(col("value")).as("y")),
           "r1", Seq(col("ts"), col("event_id")))
         .withColumn("r", col("r1") - 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val n = ranked.agg(count(lit(1))).head.getLong(0)
       val tsSz = n / 6
       val ntf = n - tsSz
@@ -401,6 +408,7 @@ object MlPack extends QueryPack {
       }
       out.result().toDF("round", "alpha_ppm", "n_train", "n_candidates",
         "rmse_cents", "rank_in_round", "survives")
+      } finally ranked.unpersist(false)
     }),
 
     // Boosted-regressor stand-in (m_eval cells 17/40 run XGB/LGBM/CatBoost
