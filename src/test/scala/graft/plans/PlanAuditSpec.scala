@@ -144,4 +144,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("d8: gram join is a left-semi and per-doc totals never re-shuffle grams") {
+    val plan = executedString("d8_shared_ngrams")
+    // the r7 reshape this pins (exclusive 10x probe read 4x before it):
+    // shared-gram pruning must be a semi join, so the unique-gram
+    // majority dies at the join instead of riding to the final agg
+    assert(plan.contains("LeftSemi"), s"gram join must be left-semi:\n$plan")
+    // n_grams is size(words)-4 on the doc row — if a plan change re-counts
+    // it from the gram stream, the doc-side scan grows a gram explode;
+    // cheap proxy: the full-gram stream feeds exactly TWO wide exchanges
+    // ((doc_id, g) partial agg and the reused g-keyed exchange), so the
+    // total exchange count stays small. 5 = 2 gram-keyed + shared-occ
+    // doc_id + doc-side doc_id + final join alignment.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 5, s"expected <=5 hash exchanges, got $exchanges:\n$plan")
+  }
 }
