@@ -50,20 +50,26 @@ object Fingerprint {
   def memo[T <: AnyRef](label: String, dataPath: String)(compute: => T): T =
     memoEvict[T](label, dataPath, _ => ())(compute)
 
-  /** [[memo]] with a release hook for values pinning executor resources. */
+  /** [[memo]] with a release hook for values pinning executor resources.
+    * The hook runs AFTER the map update, outside the bin lock — a slow or
+    * blocking unpersist must not stall unrelated memo lookups — and only
+    * NonFatal hook failures are swallowed (a dead session must not block
+    * the rebuild, but a dying JVM must not be masked; code-review r7). */
   def memoEvict[T <: AnyRef](label: String, dataPath: String,
       onEvict: T => Unit)(compute: => T): T = {
     val key = label + "|" + dataPath
     val fp = dir(dataPath)
-    cache.compute(key, (_, prev) =>
+    var evictedVal: AnyRef = null
+    val out = cache.compute(key, (_, prev) =>
       if (prev != null && prev._1 == fp) prev
       else {
-        if (prev != null) {
-          try onEvict(prev._2.asInstanceOf[T])
-          catch { case _: Throwable => () } // a dead session must not block the rebuild
-        }
+        if (prev != null) evictedVal = prev._2
         (fp, compute)
       })._2
-      .asInstanceOf[T]
+    if (evictedVal != null) {
+      try onEvict(evictedVal.asInstanceOf[T])
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    out.asInstanceOf[T]
   }
 }

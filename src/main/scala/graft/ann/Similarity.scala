@@ -160,16 +160,17 @@ object Similarity {
         tables.iterator.zipWithIndex.map { case (pl, t) => SigRow(id, t, signature(v, pl)) }
       }
       .toDF("vec_id", "table", "bucket")
+    // the probed side is derived from sig by XOR-expanding the masks —
+    // one signature definition instead of two parallel flatMaps that
+    // must agree (code-review r7). Spark still evaluates the sig subplan
+    // once per join side (lazy, no auto-cache; measured cost-neutral at
+    // the 10× probe) — a caller that mines pairs repeatedly should
+    // persist the signature table and pass it in, which this derivation
+    // makes possible where the duplicated-computation form did not.
     val sigProbed =
       if (depth == 0) sig
-      else corpus.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (id, v) =>
-          tables.iterator.zipWithIndex.flatMap { case (pl, t) =>
-            val s = signature(v, pl)
-            probeMasks.iterator.map(mask => SigRow(id, t, s ^ mask))
-          }
-        }
+      else sig.as[SigRow]
+        .flatMap(r => probeMasks.iterator.map(m => r.copy(bucket = r.bucket ^ m)))
         .toDF("vec_id", "table", "bucket")
     val cand = sigProbed.toDF("vec_a", "table", "bucket")
       .join(sig.toDF("vec_b", "table", "bucket"), Seq("table", "bucket"))

@@ -70,11 +70,16 @@ object AnnPack extends QueryPack {
     * i.e. a population in the genuine near-duplicate regime (the d2
     * withNearDups recipe for the embedding table). */
   private[graft] def withVectorNearDups(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val dups = e.filter(pmod(col("vec_id"), lit(20)) === 0)
-      .select(when(col("vec_id") < lit(DupIdOffset), col("vec_id") + lit(DupIdOffset))
+    // the disjointness guard runs on EVERY genuine row, not just the
+    // dup sources — a non-source id at/above bit 40 would otherwise
+    // collide with some planted id silently (code-review r7)
+    val e = Tables.embeddings(s, dir)
+      .select(when(col("vec_id") < lit(DupIdOffset), col("vec_id"))
           .otherwise(raise_error(concat(lit("genuine vec_id collides with the "
             + "planted-dup bit-40 range: "), col("vec_id")))).as("vec_id"),
+        col("embedding"))
+    val dups = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+      .select((col("vec_id") + lit(DupIdOffset)).as("vec_id"),
         expr("transform(embedding, (x, i) -> IF(i % 10 = 0, CAST(0.0 AS FLOAT), x))")
           .as("embedding"))
     e.unionByName(dups)

@@ -57,7 +57,7 @@ class MlSpec extends SparkSuite {
     assert(byRound(0).length === 6 && byRound(1).length === 3 &&
       byRound(2).length === 2)
     val res = (0 to 2).map(i => byRound(i).head.getAs[Long]("n_train"))
-    assert(res(1) / res(0) >= 2 - 1 && res(2) >= 2 * res(1) - 2,
+    assert(res(1) >= 2 * res(0) - 2 && res(2) >= 2 * res(1) - 2,
       s"train prefix must ~double per round, got $res")
     for ((i, rs) <- byRound) {
       assert(rs.map(_.getAs[Int]("rank_in_round")).sorted.toSeq ===
