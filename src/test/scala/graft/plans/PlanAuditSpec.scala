@@ -145,6 +145,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("stats_ar1_fit: one exchange, secondary sort inside it, no window") {
+    val plan = executedString("stats_ar1_fit")
+    // the typed sorted-group fold: ONE hash exchange on the series key,
+    // the (ts, event_id) order produced by a sort WITHIN the exchange
+    // (secondary sort), the fit itself an object fold — never a Window,
+    // never a second shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+    assert(plan.contains("Sort "), s"secondary sort must be present:\n$plan")
+    assert(!plan.contains("Window"), s"must not use a window:\n$plan")
+    assert(plan.contains("SerializeFromObject"),
+      s"fit must be the typed object fold:\n$plan")
+  }
+
   test("d8: gram join is a left-semi and per-doc totals never re-shuffle grams") {
     val plan = executedString("d8_shared_ngrams")
     // the r7 reshape this pins (exclusive 10x probe read 4x before it):
