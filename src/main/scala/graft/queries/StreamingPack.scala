@@ -19,6 +19,10 @@ object StreamingPack extends QueryPack {
     // Stream-stream inner join (watermarked, time-range-bounded state).
     "st5_stream_stream_join" -> ((s, dir) => Streams.clickPurchaseJoin(s, dir)),
 
+    // Stream-static broadcast enrichment (stateless dimension join per
+    // micro-batch feeding a stateful aggregation).
+    "st8_stream_static_join" -> ((s, dir) => Streams.streamStaticEnrich(s, dir)),
+
     // foreachBatch → day-partitioned parquet, dynamic partition overwrite
     // (the reference's idempotent lookback upsert); reads the sink back.
     "st6_foreachbatch_sink" -> ((s, dir) => Streams.foreachBatchSink(s, dir)),
@@ -67,6 +71,11 @@ object StreamingPack extends QueryPack {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
     "st6_foreachbatch_sink" ->
       "SELECT event_id, user_id, CAST(ts AS DATE) AS day, value FROM events",
+    "st8_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "st4_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

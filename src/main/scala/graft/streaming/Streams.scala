@@ -61,6 +61,28 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-static broadcast enrichment — the standard streaming
+    * dimension-join shape (st5 covers stream×stream; this is the
+    * STATELESS one): each micro-batch joins the event stream against the
+    * static customer dimension via broadcast (no state store, no
+    * watermark needed on the join itself) and feeds a streaming
+    * aggregation. At scale the static side is the slowly-changing
+    * dimension re-resolved per micro-batch — updates between batches are
+    * picked up without restarting the query — and broadcast keeps the
+    * enrichment shuffle-free; only the post-join aggregation carries
+    * state. Bounded input ⇒ final result equals the batch join+GROUP BY,
+    * which is the oracle. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    runToTable(enriched, spark, "graft_stream_static", "complete")
+  }
+
   /** Stateful streaming dedup on (user_id, day) under a 10-day watermark —
     * the reference's lookback-window dedup as incremental state. Output is
     * the distinct key set (which concrete row survives is arrival-order
