@@ -92,20 +92,34 @@ object ScalePack extends QueryPack {
         keyCols = Seq("l_returnflag"), scoreCol = "l_extendedprice",
         tieCols = Seq("l_orderkey", "l_linenumber"), k = 5)),
 
-    // Bloom pre-filter semi-join: a ~24 KB broadcast bloom of the build
-    // side's keys drops ~non-matching probe rows BEFORE the shuffle (the
-    // manual form of runtime row-level filtering); the exact semi-join
-    // after it removes the false positives, so the result is exactly the
-    // plain semi-join — which is what the oracle asserts.
+    // Bloom pre-filter semi-join: a broadcast bloom of the build side's
+    // keys drops ~non-matching probe rows BEFORE the shuffle (the manual
+    // form of runtime row-level filtering); the exact semi-join after it
+    // removes the false positives, so the result is exactly the plain
+    // semi-join — which is what the oracle asserts. r7: built with the
+    // NATIVE BloomFilterAggregate / BloomFilterMightContain expression
+    // pair (what Spark's own InjectRuntimeFilter emits) instead of a
+    // driver-assembled sketch probed through a Scala UDF — the build is
+    // a distributed partial agg (one ~120 KB sketch row to the driver,
+    // the same bounded materialization the runtime filter's scalar
+    // subquery performs), and the probe is a codegen expression inside
+    // the scan's WholeStageCodegen span, no per-row boxing.
     "sc6_bloom_prefilter" -> ((s, dir) => {
       val urgent = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
-      val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val bcast = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
+      import org.apache.spark.sql.GraftSqlShim.{column, expression}
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val bfAgg = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(new XxHash64(Seq(expression(col("o_orderkey")))),
+          Literal(100000L), Literal(959158L)).toAggregateExpression()
+      val bfBytes = urgent.agg(column(bfAgg).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
       Tables.lineitem(s, dir)
-        .filter(mightContain(col("l_orderkey")))
+        .filter(column(org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(
+            Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+            new XxHash64(Seq(expression(col("l_orderkey")))))))
         .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     }),
