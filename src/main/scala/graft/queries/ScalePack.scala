@@ -124,6 +124,31 @@ object ScalePack extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     }),
 
+    // Skew mitigation for JOINS: salt-and-replicate. When the probe side
+    // has hot keys that overwhelm one reducer and the build side is too
+    // big to broadcast, salt the fact's key with a deterministic S-way
+    // salt and replicate each build row across all S salt values; the
+    // join on (key, salt) spreads every hot key over S reducers at the
+    // cost of an S× build-side blow-up (chosen because build ≪ fact).
+    // Result ≡ the plain join — which is what the oracle asserts. AQE's
+    // skew split rebalances sort-merge partitions post-hoc; salting is
+    // the declarative fix when one key exceeds split granularity, and it
+    // works under any join strategy.
+    "sc8_salted_skew_join" -> ((s, dir) => {
+      val S = 8L
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_quantity"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S))
+            .as("salt"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          explode(sequence(lit(0L), lit(S - 1L))).as("salt_r"))
+      li.join(sup,
+          li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt_r"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
     // Z-order layout: repartition+sort by the Morton interleave of two
     // dimension keys, so file-level min/max stats prune on EITHER
     // dimension. Data content is unchanged — the oracle is a projection.
@@ -159,6 +184,10 @@ object ScalePack extends QueryPack {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     "sc7_zorder_layout" ->
-      "SELECT event_id, user_id, value FROM events"
+      "SELECT event_id, user_id, value FROM events",
+    "sc8_salted_skew_join" ->
+      """SELECT s.s_nationkey, sum(l.l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1""".stripMargin
   )
 }

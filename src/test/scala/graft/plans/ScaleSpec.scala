@@ -22,6 +22,27 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted skew join shuffles on (key, salt) and equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = graft.queries.ScalePack.queries("sc8_salted_skew_join")(spark, sf)
+      val physical = salted.queryExecution.executedPlan.toString
+      // the join inputs must be hash-partitioned on BOTH the key and the
+      // salt — that compound partitioning is what spreads a hot key
+      assert("hashpartitioning\\(l_suppkey[^)]*salt".r.findFirstIn(physical).isDefined,
+        s"fact side must shuffle on (l_suppkey, salt):\n$physical")
+      val li = graft.Tables.lineitem(spark, sf)
+      val sup = graft.Tables.supplier(spark, sf)
+      val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      assert(salted.exceptAll(plain).count() === 0L)
+      assert(plain.exceptAll(salted).count() === 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted aggregation equals plain aggregation") {
     import org.apache.spark.sql.functions._
     val salted = graft.queries.ScalePack.queries("sc1_salted_agg")(spark, sf)
