@@ -174,6 +174,12 @@ object ScaleProbe {
     val copies = if (args.length > 2) args(2).toInt else 10
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    // fail fast on a typo'd allowlist: a silently-ignored name would make
+    // an "exclusive re-probe" run zero queries yet read as clean (ADVICE r7)
+    val unknown = only.diff(ProbeQueries.toSet)
+    require(unknown.isEmpty,
+      s"unknown probe queries: ${unknown.mkString(", ")}; " +
+        s"known: ${ProbeQueries.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

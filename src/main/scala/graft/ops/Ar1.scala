@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * 2-decimal doubles, so the fold accumulates EXACT integer moments — cent
   * units (x·100) for linear sums, 1e-4 units for product sums — and only
   * converts to double at the very end, with the same operation order the
-  * DuckDB oracle uses on its DECIMAL sums. Long never overflows: series
-  * are bounded (~100 rows/key in the fixtures; 2^63 ≈ 9e18 leaves room for
-  * |x| up to ~3e7 at 1e4-row series).
+  * DuckDB oracle uses on its DECIMAL sums. Long never overflows in the
+  * supported envelope: the binding term is Σc² with c = x·100, so a
+  * 1e4-row series stays under 2^63 for |x| ≲ 3e5 (c² ≈ 9e14 per row;
+  * a single c² at x = 3e7 would already sit at Long.MaxValue). The
+  * fixtures are 2-decimal values ≪ that bound (~100 rows/key).
   *
   * Estimators (n = number of lag-1 pairs, requires n ≥ 3):
   *   φ  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)

@@ -367,8 +367,14 @@ object MlPack extends QueryPack {
       val n = ranked.agg(count(lit(1))).head.getLong(0)
       val tsSz = n / 6
       val ntf = n - tsSz
-      val test = ranked.filter(col("r") >= n - tsSz)
       val rounds = 3
+      // fail loudly on a degenerate fixture (ADVICE r7): an empty round-0
+      // train prefix would make the moment row 0/0 → NaN coefficients and
+      // arbitrarily-ranked NaN rmse, silently. n ≥ 24 guarantees tsSz ≥ 4
+      // and a non-empty smallest prefix ntf/2^(rounds-1).
+      require(n >= 24 && ntf / (1L << (rounds - 1)) > 0,
+        s"ml_halving_search needs >= 24 events rows, got $n")
+      val test = ranked.filter(col("r") >= n - tsSz)
       var survivors: Seq[Long] = GridAlphasPpm
       val out = Seq.newBuilder[(Int, Long, Long, Int, Double, Int, Boolean)]
       for (i <- 0 until rounds) {

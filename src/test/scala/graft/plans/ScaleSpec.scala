@@ -65,11 +65,17 @@ class ScaleSpec extends SparkSuite {
   // Everything is deterministic (seeded planes, fixed fixture, r6-rounded
   // tiebreaks), so tight bounds carry no flake risk.
 
-  private lazy val x10dir: String = {
-    val out = "/tmp/graft_scalespec_x10"
-    graft.ScaleProbe.build(spark, sf, out, 10)
+  // per-run temp dir (ADVICE r7): a fixed shared path lets two concurrent
+  // test JVMs race ScaleProbe.build (one reads the other's partial write);
+  // the build-version file guards staleness, not concurrency. The rebuild
+  // is cheap at sf0.001 and the JVM-unique dir removes the race entirely.
+  private def buildReplica(copies: Int): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_scalespec_x$copies").toString
+    graft.ScaleProbe.build(spark, sf, out, copies)
     out
   }
+  private lazy val x10dir: String = buildReplica(10)
 
   test("n3 adaptive lshTopK holds its recall frame at the 10× replica") {
     import org.apache.spark.sql.functions._
