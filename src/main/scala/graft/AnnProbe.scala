@@ -29,8 +29,16 @@ object AnnProbe {
 
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
-    val qAll = e.filter(pmod(col("vec_id"), lit(50)) === 0)   // timing set
-    val qSample = e.filter(pmod(col("vec_id"), lit(500)) === 0) // recall set
+    // Query sets come from the BASE copy only (ScaleProbe replicas shift
+    // copy i by 1e8·i), so |Q| is identical at every scale point and the
+    // timing column measures per-query scaling, not |Q|·n growth
+    // (VERDICT r7 #3). Recall is still judged against the FULL corpus.
+    val base = e.filter(col("vec_id") < lit(100000000L))
+    // denser pmod than the old corpus-wide sets: the base copy is ~n/copies
+    // vectors, and these densities recover roughly the old sample SIZES
+    // (≈n/500 recall queries, ≈n/50 timing queries at a 10× replica)
+    val qAll = base.filter(pmod(col("vec_id"), lit(5)) === 0)    // timing set
+    val qSample = base.filter(pmod(col("vec_id"), lit(50)) === 0) // recall set
 
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("qid", "cid").collect().groupBy(_.getLong(0))

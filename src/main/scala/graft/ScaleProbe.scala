@@ -35,6 +35,11 @@ object ScaleProbe {
     // cumulative pass is bounded by value cardinality, which the replica
     // holds fixed — the probe should show sub-linear growth there
     "c3_ks_drift", "c5_quantile_bins", "c6_cusum", "c7_mad_outliers",
+    // ml/stats family (VERDICT r7 #5): the r7 adds had never been
+    // ratio-probed. All three read the replica like any other query;
+    // min-of-2 keeps gbt's memoized fit out of the measured pass (the
+    // same fits-paid-in-warm accounting Bench uses).
+    "stats_ar1_fit", "ml_halving_search", "ml_gbt_backtest",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans
@@ -48,7 +53,15 @@ object ScaleProbe {
   private val OpProbes: Map[String, (SparkSession, String) => DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
-    def qs(e: DataFrame) = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    // Probe fairness (VERDICT r7 #3): the query set is drawn from the
+    // BASE copy only (replica copies shift vec_id by 1e8·i), so |Q| is
+    // identical at every scale point and the n3/n4/n5 ratios measure
+    // per-query scaling — the old |Q| = n/50 grew the query set with the
+    // corpus and made every ANN cell quadratic-shaped by construction.
+    // d10 stays corpus-scaled: it mines pairs over the whole corpus, so
+    // total work is the honest metric there.
+    def qs(e: DataFrame) = e.filter(
+      col("vec_id") < lit(100000000L) && pmod(col("vec_id"), lit(50)) === 0)
     Map(
       "d2_minhash_lsh_op" -> ((s, dir) =>
         graft.text.Dedup.minhashLshPairs(s,
@@ -83,7 +96,16 @@ object ScaleProbe {
     * older version (or a killed run) is rebuilt, not measured. */
   private val BuildVersion = "v3-vocab-renamed"
 
-  def build(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+  def build(spark: SparkSession, base: String, out: String, copies: Int): Unit =
+    build(spark, base, out, copies, Set.empty)
+
+  /** `only` restricts the build to a table subset (e.g. just `embeddings`
+    * for the 30× recall CI pin — replicating every fact table to assert
+    * one ANN bound would pay an order of magnitude more build I/O). The
+    * version file records the subset so a partial replica is never
+    * mistaken for (or reused as) a full one. */
+  def build(spark: SparkSession, base: String, out: String, copies: Int,
+      only: Set[String]): Unit = {
     val plans: Seq[(String, Map[String, Long])] = Seq(
       "lineitem" -> Map("l_orderkey" -> 1000000000L, "l_partkey" -> 1000000000L,
         "l_suppkey" -> 1000000000L),
@@ -135,11 +157,12 @@ object ScaleProbe {
 
     // events.parquet carries TIMESTAMP(NANOS): read raw
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val verTag = s"$BuildVersion:$copies" +
+      (if (only.isEmpty) "" else s":${only.toSeq.sorted.mkString("+")}")
     val verFile = java.nio.file.Paths.get(s"$out/_build_version")
     val verOk = java.nio.file.Files.exists(verFile) &&
-      new String(java.nio.file.Files.readAllBytes(verFile), "UTF-8") ==
-        s"$BuildVersion:$copies"
-    plans.foreach { case (name, shifts) =>
+      new String(java.nio.file.Files.readAllBytes(verFile), "UTF-8") == verTag
+    plans.filter(p => only.isEmpty || only(p._1)).foreach { case (name, shifts) =>
       val target = s"$out/$name.parquet"
       val src = spark.read.parquet(s"$base/$name.parquet")
       val n = if (shifts.isEmpty) 1 else copies
@@ -155,7 +178,7 @@ object ScaleProbe {
       }
     }
     java.nio.file.Files.createDirectories(verFile.getParent)
-    java.nio.file.Files.write(verFile, s"$BuildVersion:$copies".getBytes("UTF-8"))
+    java.nio.file.Files.write(verFile, verTag.getBytes("UTF-8"))
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {

@@ -29,14 +29,21 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw long nanos
-    * (`legacy.parquet.nanosAsLong`) and truncate to microsecond timestamps —
-    * exactly what DuckDB 1.x does at scan time, so oracle values align. */
+  /** `events.ts` has shipped as two physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw long nanos via
+    * `legacy.parquet.nanosAsLong` — and plain TIMESTAMP(MICROS), which
+    * Spark infers as TIMESTAMP_NTZ. Normalize BOTH to the same micros
+    * TimestampType (truncation for nanos is exactly what DuckDB 1.x does
+    * at scan time; the NTZ→LTZ cast is value-preserving under the pinned
+    * UTC session) so every downstream query and oracle sees one schema. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

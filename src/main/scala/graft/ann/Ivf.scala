@@ -65,17 +65,21 @@ object Ivf {
     * `nProbe` lists; exact cosine only within probed lists.
     *
     * Knobs (the n4 analog of lshTopK's adaptive bits): `nLists = 0` derives
-    * nlist = max(16, ⌈√n⌉) and nprobe = max(4, ⌈√nlist⌉, ⌈nlist/8⌉) from
+    * nlist = max(16, ⌈√n⌉) and nprobe = max(4, ⌈√nlist⌉, ⌈nlist/6⌉) from
     * the corpus count. The √nlist term is the standard IVF sizing
-    * (candidates/query ≈ n^(3/4)); the nlist/8 term is the RECALL FLOOR
-    * (VERDICT r6 #1): the probed fraction never drops below 1/8, which on
+    * (candidates/query ≈ n^(3/4)); the nlist/6 term is the RECALL FLOOR
+    * (VERDICT r6 #1): the probed fraction never drops below 1/6, which on
     * the isotropic fixture — the worst case, where measured recall tracks
     * (nprobe/nlist)^0.32 (AnnProbe: 6.5% → 0.41, 25% → 0.64) — keeps
-    * recall@5 ≥ ~0.5 at any n. The floor's cost is explicit: it bounds
-    * candidates/query at n/8 (linear, not n^(3/4)) on corpora where the
-    * fraction term engages — real clustered corpora concentrate neighbors
-    * in few cells, engage the √nlist regime instead, and keep the
-    * sub-linear cost. Centroid scoring stays a broadcast of nlist·dim
+    * recall@5 ≥ ~0.55 at any n. (r8: the floor was 1/8, whose predicted
+    * recall 0.125^0.32 ≈ 0.51 sits exactly AT the ≥0.5 contract with zero
+    * margin — the 30× CI pin measured 0.488 on a 15k isotropic replica;
+    * 1/6 buys the margin back for +33% candidates in the floor regime
+    * only.) The floor's cost is explicit: it bounds candidates/query at
+    * n/6 (linear, not n^(3/4)) on corpora where the fraction term
+    * engages — real clustered corpora concentrate neighbors in few
+    * cells, engage the √nlist regime instead, and keep the sub-linear
+    * cost. Centroid scoring stays a broadcast of nlist·dim
     * floats (≈ √n·dim — driver-bounded well past 10⁹ vectors); the one
     * count() action is the analog of AQE's runtime statistics and feeds
     * both the knobs and the centroid sample (one scan, not two). */
@@ -89,7 +93,7 @@ object Ivf {
     val np =
       if (nProbe > 0) nProbe
       else math.max(math.max(4, math.ceil(math.sqrt(nl.toDouble)).toInt),
-        (nl + 7) / 8)
+        (nl + 5) / 6)
     val cents = centroids(corpus, nl, if (n >= 0) n else corpus.count())
     val bc = spark.sparkContext.broadcast(cents)
 

@@ -128,18 +128,31 @@ object Similarity {
     * 2 at b≤24), which admits pairs at signature Hamming distance ≤
     * depth: per-table collision back to ≈0.96/0.99/0.99 at b=8/16/24,
     * for a probe fan-out of 1+b+b(b−1)/2 = O(log²n) rows on one
-    * map-only side — never all-pairs. */
+    * map-only side — never all-pairs.
+    *
+    * Sharded self-join (VERDICT r7): the candidate join's shuffle key was
+    * (table, bucket), so one hot bucket's |bucket|² pair work landed on a
+    * single task — Σ|bucket|² was the right TOTAL but had no parallelism
+    * within a bucket. Fragment-and-replicate fixes that: the probed side
+    * keeps its own shard s = hash(id) mod S, the other side replicates to
+    * all S shards, and the join key becomes (table, bucket, shard) — each
+    * pair still meets exactly once (in the probed row's shard), total work
+    * is unchanged, and a hot bucket spreads across S tasks. Cost: S×
+    * replication of the UNprobed signature rows (12-byte rows, the cheap
+    * side — the probed side already carries the O(b²) mask fan-out). */
   def neardupPairsLsh(spark: SparkSession, corpus: DataFrame,
-      threshold: Double, numTables: Int = 6, bitsPerTable: Int = 0): DataFrame = {
+      threshold: Double, numTables: Int = 6, bitsPerTable: Int = 0,
+      shards: Int = 8): DataFrame = {
     import spark.implicits._
     val dimRow = corpus.select(size(col("embedding"))).head(1)
     if (dimRow.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("vec_a", "vec_b", "cos_sim")
     val dim = dimRow.head.getInt(0)
+    val nCorpus = corpus.count()
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
-        val n = math.max(corpus.count() / 8, 2L)
+        val n = math.max(nCorpus / 8, 2L)
         math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(n - 1)))
       }
     val depth = math.max(0, (bits - 1) / 8) // 0 @ b≤8, 1 @ b≤16, 2 @ b≤24
@@ -172,21 +185,50 @@ object Similarity {
       else sig.as[SigRow]
         .flatMap(r => probeMasks.iterator.map(m => r.copy(bucket = r.bucket ^ m)))
         .toDF("vec_id", "table", "bucket")
-    val cand = sigProbed.toDF("vec_a", "table", "bucket")
-      .join(sig.toDF("vec_b", "table", "bucket"), Seq("table", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    val candJoin =
+      if (shards <= 1)
+        sigProbed.toDF("vec_a", "table", "bucket")
+          .join(sig.toDF("vec_b", "table", "bucket"), Seq("table", "bucket"))
+      else
+        sigProbed.toDF("vec_a", "table", "bucket")
+          .withColumn("shard", pmod(xxhash64(col("vec_a")), lit(shards)).cast("int"))
+          .join(
+            sig.toDF("vec_b", "table", "bucket")
+              .withColumn("shard", explode(sequence(lit(0), lit(shards - 1)))),
+            Seq("table", "bucket", "shard"))
+    // r8 reshape (the d3 lesson applied here): the old plan distinct-ed the
+    // RAW candidate stream (Σ|bucket|² rows — the single largest shuffle in
+    // the query) and only then joined embeddings and filtered by cosine.
+    // Now the threshold filter runs FIRST and distinct sees only surviving
+    // near-dup pairs (orders of magnitude fewer rows: the r6-rounded cosine
+    // is deterministic per pair, so duplicates collapse identically after
+    // the filter). The trade — duplicate candidates each pay a hash-probe
+    // and a codegen'd dot product instead of one big dedup shuffle — wins
+    // because true pairs (the only high-duplication ones) are rare and
+    // background pairs collide in ~1 table.
     val emb = corpus.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
-    cand
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nrm").as("na")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "vec_b")
+    // Bounded broadcast (the IVF centroid rule applied to the cosine join):
+    // under ~128 MB of vectors the embedding map broadcasts and the whole
+    // candidate→cosine→filter path PIPELINES inside the bucket-join stage —
+    // the candidate stream is never shuffled at all. Past the bound it
+    // falls back to the linear shuffle join on vec ids (the 100 TB path:
+    // shuffling the candidate stream is inherent there, and AQE would make
+    // the same broadcast call from runtime stats if it could see them).
+    val embFits = nCorpus * (4L * dim + 32L) <= (128L << 20)
+    def embAs(idCol: String, e: String, nm: String) = {
+      val side = emb.select(col("vec_id").as(idCol), col("embedding").as(e),
+        col("nrm").as(nm))
+      if (embFits) broadcast(side) else side
+    }
+    candJoin
+      .filter(col("vec_a") < col("vec_b"))
+      .join(embAs("vec_a", "ea", "na"), "vec_a")
+      .join(embAs("vec_b", "eb", "nb"), "vec_b")
       .withColumn("cos_sim",
         graft.Num.r6(dot(col("ea"), col("eb")) / col("na") / col("nb")))
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
-      .select("vec_a", "vec_b", "cos_sim")
+      .select("vec_a", "vec_b", "cos_sim").distinct()
   }
 
   // ---- sign LSH -----------------------------------------------------------

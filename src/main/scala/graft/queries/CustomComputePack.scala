@@ -192,6 +192,68 @@ object CustomComputePack extends QueryPack {
           Num.r6(col("drift")).as("drift"),
           Num.r6(col("sigma2")).as("sigma2"))),
 
+    // One-step-ahead AR(1) forecast (VERDICT r7 #7) — the engine twin of
+    // the reference's predict step (lambda_predict/lambda_function.py:21-101
+    // composes each ticker's fitted model into next-day ŷ): the fitted
+    // (φ, c) applied back onto its series, x̂_{t+1} = c + φ·x_last, plus
+    // in-sample one-step residual MAE vs the naive x̂_t = x_{t-1} baseline.
+    // Exactness: with integer-cent observations, φ = P/Q is an exact
+    // RATIONAL of integer moment sums (P = n·Σxy − Σx·Σy, Q = n·Σx² −
+    // (Σx)²), so each residual numerator n·Q·y − Q·Σy + P·Σx − n·P·x is an
+    // integer — Spark decimal(38,0) ↔ DuckDB HUGEINT — and Σ|numer| is
+    // order-independent; the single double division happens once at the
+    // end with identical op order on both engines. Plan: ONE exchange on
+    // user_id shared by the lag window, the moment agg, and the re-join.
+    "stats_ar1_forecast" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val paired = Tables.events(s, dir)
+        .withColumn("yc", (col("value").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(10, 0)))
+        .withColumn("xc", lag(col("yc"), 1).over(w))
+        .withColumn("rn_last", row_number().over(wDesc))
+      val sums = paired.filter(col("xc").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("xc")).cast(DecimalType(14, 0)).as("sx"),
+          sum(col("yc")).cast(DecimalType(14, 0)).as("sy"),
+          sum((col("xc") * col("yc")).cast(DecimalType(21, 0)))
+            .cast(DecimalType(18, 0)).as("sxy"),
+          sum((col("xc") * col("xc")).cast(DecimalType(21, 0)))
+            .cast(DecimalType(18, 0)).as("sxx"))
+        .filter(col("n") >= 3)
+        .withColumn("p",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DecimalType(19, 0)))
+        .withColumn("q",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DecimalType(19, 0)))
+        .filter(col("q") =!= 0)
+      val lastv = paired.filter(col("rn_last") === 1)
+        .select(col("user_id"), col("yc").as("x_last"))
+      val resid = paired.filter(col("xc").isNotNull)
+        .join(sums, "user_id")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(abs(col("n") * col("q") * col("yc") - col("q") * col("sy")
+            + col("p") * col("sx") - col("n") * col("p") * col("xc")))
+            .as("sum_abs_ar1"),
+          sum(abs(col("yc") - col("xc"))).as("sum_abs_naive"))
+      sums.join(resid, "user_id").join(lastv, "user_id")
+        .select(col("user_id"), col("n").cast("long").as("n"),
+          Num.r6(col("p").cast("double") / col("q").cast("double")).as("phi"),
+          Num.r6((col("sy") * col("q") - col("p") * col("sx")).cast("double")
+            / (col("n") * col("q") * 100).cast("double")).as("drift"),
+          Num.r6((col("sy") * col("q") - col("p") * col("sx")
+              + col("n") * col("p") * col("x_last")).cast("double")
+            / (col("n") * col("q") * 100).cast("double")).as("xhat_next"),
+          Num.r6(col("sum_abs_ar1").cast("double")
+            / (col("n") * col("n") * col("q") * 100).cast("double")).as("mae_ar1"),
+          Num.r6(col("sum_abs_naive").cast("double")
+            / (col("n") * 100).cast("double")).as("mae_naive"))
+    }),
+
     // Multi-lag ACF (1..10) + PACF via Durbin–Levinson per series — the
     // reference's plot_acf/plot_pacf inputs (visualize.py:122-131; the eda
     // cells read up to lag 40). ACF from exact decimal moments; the PACF
@@ -331,6 +393,59 @@ object CustomComputePack extends QueryPack {
         |  floor((((syy - sy * sy / n) - phi * (sxy - sx * sy / n)) / (n - 2))
         |        * 1000000 + 0.5) / 1000000 AS sigma2
         |FROM est""".stripMargin,
+    // Exact-rational AR(1) forecast arithmetic: all integer terms ride
+    // HUGEINT (DuckDB's 128-bit exact integer ≙ Spark decimal(38,0));
+    // the double division at the end mirrors the Spark op order.
+    "stats_ar1_forecast" ->
+      """WITH paired AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS yc,
+        |    lag(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS xc,
+        |    row_number()
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rn_last
+        |  FROM events
+        |), sums AS (
+        |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(xc) AS sx, sum(yc) AS sy,
+        |    sum(xc * yc) AS sxy, sum(xc * xc) AS sxx
+        |  FROM paired WHERE xc IS NOT NULL GROUP BY user_id
+        |), pq AS (
+        |  SELECT user_id, n, sx, sy,
+        |    n * sxy - sx * sy AS p,
+        |    n * sxx - sx * sx AS q
+        |  FROM sums WHERE n >= 3 AND n * sxx - sx * sx <> 0
+        |), resid AS (
+        |  SELECT pr.user_id,
+        |    sum(abs(pq.n * pq.q * pr.yc - pq.q * pq.sy
+        |            + pq.p * pq.sx - pq.n * pq.p * pr.xc)) AS sum_abs_ar1,
+        |    sum(abs(pr.yc - pr.xc)) AS sum_abs_naive
+        |  FROM paired pr JOIN pq ON pq.user_id = pr.user_id
+        |  WHERE pr.xc IS NOT NULL
+        |  GROUP BY pr.user_id
+        |), lastv AS (
+        |  SELECT user_id, yc AS x_last FROM paired WHERE rn_last = 1
+        |)
+        |SELECT pq.user_id, CAST(pq.n AS BIGINT) AS n,
+        |  floor(CAST(pq.p AS DOUBLE) / CAST(pq.q AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000 AS phi,
+        |  floor(CAST(pq.sy * pq.q - pq.p * pq.sx AS DOUBLE)
+        |        / CAST(pq.n * pq.q * 100 AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000 AS drift,
+        |  floor(CAST(pq.sy * pq.q - pq.p * pq.sx + pq.n * pq.p * lastv.x_last
+        |             AS DOUBLE)
+        |        / CAST(pq.n * pq.q * 100 AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000 AS xhat_next,
+        |  floor(CAST(resid.sum_abs_ar1 AS DOUBLE)
+        |        / CAST(pq.n * pq.n * pq.q * 100 AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000 AS mae_ar1,
+        |  floor(CAST(resid.sum_abs_naive AS DOUBLE)
+        |        / CAST(pq.n * 100 AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000 AS mae_naive
+        |FROM pq
+        |JOIN resid ON resid.user_id = pq.user_id
+        |JOIN lastv ON lastv.user_id = pq.user_id""".stripMargin,
     "stats_acf_pacf" -> SeriesStats.acfPacfOracle(10),
     "stats_seasonal_decompose" -> graft.ops.Seasonal.decomposeOracle(7),
     // EWM closed form: with rn the 0-based position in the (ts, event_id)

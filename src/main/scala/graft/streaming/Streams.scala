@@ -23,12 +23,17 @@ object Streams {
   case class Totals(n: Long, sum_value_cents: Long)
 
   /** events.parquet read as a bounded stream (schema pinned up front —
-    * streaming sources don't infer): ts arrives as raw nanos (see
-    * graft.Tables.events) and converts to a micros timestamp. */
+    * streaming sources don't infer): ts has shipped as TIMESTAMP(NANOS)
+    * (read as raw long nanos, see graft.Tables.events) or as
+    * TIMESTAMP(MICROS) (read as NTZ) depending on fixture generation; a
+    * one-file batch peek picks the matching pinned schema and both
+    * normalize to the same micros TimestampType. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file source needs a directory (it models the reference's
@@ -40,9 +45,11 @@ object Streams {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       inDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    spark.readStream.schema(schema)
-      .parquet(inDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    tsType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Runs the stream to a memory sink. Stateful micro-batch operators open
