@@ -104,8 +104,10 @@ class ScaleSpec extends SparkSuite {
     // only bites deep in the floor-engaged regime tripped a probe reading,
     // not a test. This pins the SAME bound on a seeded downscale that
     // preserves the regime: 30× of the 500-vector fixture → n = 15 000, so
-    // nlist = ⌈√n⌉ = 123 > 64 and the nprobe = nlist/8 floor term is the
-    // binding one (√nlist = 12 < 16 = nlist/8), exactly as at 63k.
+    // nlist = ⌈√n⌉ = 123 and the nprobe = ⌈nlist/6⌉ floor term is the
+    // binding one (√nlist = 12 < 21 = ⌈nlist/6⌉), exactly as at 63k.
+    // (This pin is what exposed the old 1/8 floor's zero margin: it
+    // measured 0.488 against the ≥0.5 contract; 1/6 reads 0.592.)
     // Embeddings-only build: replicating every fact table to assert one
     // ANN bound would pay ~20× the build I/O for nothing.
     val out = java.nio.file.Files
