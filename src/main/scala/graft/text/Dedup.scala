@@ -89,19 +89,52 @@ object Dedup {
     else inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
 
+  /** Exact Jaccard over SORTED distinct arrays — identical values to
+    * [[jaccard]] (shingle arrays are already distinct; a merge-intersection
+    * over sorted input counts the same set sizes) without building two hash
+    * sets per pair, which matters when a candidate pair is scored once per
+    * colliding band on the hot path. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
   case class DocShingles(doc_id: Long, shingles: Array[Long])
   case class BandRow(doc_id: Long, band: Int, bucket: Long)
   case class DupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
   /** Near-duplicate pairs with exact Jaccard ≥ threshold, candidates via
-    * MinHash-LSH banding. `docs` needs (doc_id, text). */
+    * MinHash-LSH banding. `docs` needs (doc_id, text).
+    *
+    * r8 reshape (the d10/d3 lesson): the old plan distinct-ed the RAW
+    * band-bucket candidate stream — Σ|bucket|² rows through a full
+    * shuffle — and then shuffled it twice more through the shingle-set
+    * joins before any Jaccard ran. Now the exact-Jaccard filter runs
+    * FIRST (shingle sides broadcast under a size bound, so the whole
+    * candidate→verify path pipelines inside the bucket-join stage) and
+    * distinct sees only surviving near-dup pairs. The trade: a pair
+    * colliding in k bands is scored k times (k ≈ 16·J⁴ ≈ 4 at J = 0.7 —
+    * bounded, and only TRUE near-dups collide in many bands) — paid in
+    * pipelined CPU on a sorted-merge intersection instead of three
+    * shuffles of the full candidate stream. Past the broadcast bound the
+    * plan degrades to the linear shuffle joins on doc ids. */
   def minhashLshPairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
       threshold: Double): Dataset[DupPair] = {
     import spark.implicits._
     val sh: Dataset[DocShingles] = docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, t) => DocShingles(id, shingleHashes(t, shingleW)) }
+      .map { case (id, t) =>
+        val a = shingleHashes(t, shingleW)
+        java.util.Arrays.sort(a) // enables merge-intersection per candidate
+        DocShingles(id, a)
+      }
     sh.cache() // shingle sets: joined back on both pair sides for verification
 
     // bands cached too: they feed BOTH sides of the bucket self-join, and
@@ -113,23 +146,34 @@ object Dedup {
       bh.iterator.zipWithIndex.map { case (h, b) => BandRow(d.doc_id, b, h) }
     }.cache()
 
-    // bucket-join: docs sharing (band, bucket) are candidates
-    val candidates = bands.toDF("doc_a", "band", "bucket")
+    // bounded broadcast of the shingle table (one exact size job over the
+    // cached sets — 8 bytes per shingle + row overhead); the d10 embedding
+    // rule applied to the verification payload
+    val shBytes = sh.toDF("doc_id", "shingles")
+      .select(sum(size(col("shingles"))).cast("long").as("n"),
+        count(lit(1)).as("d"))
+      .head()
+    val fits = (Option(shBytes.get(0)).getOrElse(0L).asInstanceOf[Long] * 8L
+      + shBytes.getLong(1) * 24L) <= (256L << 20)
+    def shAs(idCol: String, setCol: String) = {
+      val side = sh.toDF(idCol, setCol)
+      if (fits) broadcast(side) else side
+    }
+
+    // bucket-join: docs sharing (band, bucket) are candidates; verify
+    // in-stage, dedup survivors only. Select the intended column order
+    // explicitly: using-column joins move the join key to column 0, so a
+    // positional .as[...] would otherwise miswire.
+    bands.toDF("doc_a", "band", "bucket")
       .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-
-    // select the intended order explicitly: using-column joins move the
-    // second join key to column 0, so a positional .as[...] would miswire
-    val withSets = candidates
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .join(shAs("doc_a", "sh_a"), "doc_a")
+      .join(shAs("doc_b", "sh_b"), "doc_b")
       .select("doc_a", "doc_b", "sh_a", "sh_b")
       .as[(Long, Long, Array[Long], Array[Long])]
-
-    withSets
-      .map { case (a, b, sa, sb) => DupPair(a, b, jaccard(sa, sb)) }
+      .map { case (a, b, sa, sb) => DupPair(a, b, jaccardSorted(sa, sb)) }
       .filter(_.jaccard >= threshold)
+      .distinct()
   }
 
   /** Exhaustive exact-Jaccard pairs over the hashed shingle sets — the
