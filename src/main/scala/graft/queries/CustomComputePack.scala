@@ -202,8 +202,12 @@ object CustomComputePack extends QueryPack {
     // (Σx)²), so each residual numerator n·Q·y − Q·Σy + P·Σx − n·P·x is an
     // integer — Spark decimal(38,0) ↔ DuckDB HUGEINT — and Σ|numer| is
     // order-independent; the single double division happens once at the
-    // end with identical op order on both engines. Plan: ONE exchange on
-    // user_id shared by the lag window, the moment agg, and the re-join.
+    // end with identical op order on both engines. Plan: the lagged/
+    // numbered series feeds THREE branches (moment sums, residual pass,
+    // last-value pick); DataFrame lineage would rescan and re-shuffle
+    // events once per branch, so the paired table is cached after its one
+    // exchange+window (the d2 shingle-cache pattern — lifetime left to
+    // Spark's LRU) and every branch reads the cached rows.
     "stats_ar1_forecast" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -214,6 +218,7 @@ object CustomComputePack extends QueryPack {
           .cast(DecimalType(10, 0)))
         .withColumn("xc", lag(col("yc"), 1).over(w))
         .withColumn("rn_last", row_number().over(wDesc))
+        .cache()
       val sums = paired.filter(col("xc").isNotNull)
         .groupBy(col("user_id"))
         .agg(
