@@ -174,4 +174,46 @@ class PlanAuditSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 5, s"expected <=5 hash exchanges, got $exchanges:\n$plan")
   }
+
+  test("d2: exact-Jaccard verify pipelines inside the bucket join") {
+    // the r8 reshape this pins (30x probe read 8.6-11.7x before it): the
+    // shingle sides attach as BROADCAST joins so scoring runs in the
+    // bucket-join stage, and distinct keys on the SCORED row (doc_a,
+    // doc_b, jaccard) — i.e. it dedups survivors, not the raw Σ|bucket|²
+    // candidate stream (the old shape's distinct keyed on the bare pair
+    // before any shingle join)
+    val df = graft.text.Dedup.minhashLshPairs(spark,
+      graft.queries.DedupPack.withNearDups(spark, sf), shingleW = 3,
+      threshold = 0.5).toDF()
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"shingle sides must broadcast (got $bhj BHJ):\n$plan")
+    // the candidate join keys on (band, bucket) — at fixture scale the
+    // tiny cached band table broadcasts too, at scale it hash-shuffles;
+    // both spellings pin the same keying
+    assert("\\[band#[^]]*bucket#".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(band[^)]*bucket".r.findFirstIn(plan).isDefined,
+      s"candidate join must key on (band, bucket):\n$plan")
+    assert("hashpartitioning\\(doc_a[^)]*doc_b[^)]*jaccard".r
+      .findFirstIn(plan).isDefined,
+      s"distinct must key on the scored row (post-filter):\n$plan")
+  }
+
+  test("d10: cosine verify pipelines inside the sharded bucket join") {
+    // pins both r8 changes: the bucket self-join key carries the shard
+    // (fragment-and-replicate — a hot bucket spreads across tasks), the
+    // embedding sides broadcast, and distinct keys on the scored row
+    val df = graft.ann.Similarity.neardupPairsLsh(spark,
+      graft.queries.AnnPack.withVectorNearDups(spark, sf), threshold = 0.9)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\[table#[^]]*bucket#[^]]*shard#".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(table[^)]*bucket[^)]*shard".r
+        .findFirstIn(plan).isDefined,
+      s"candidate join must key on (table, bucket, shard):\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"embedding sides must broadcast (got $bhj BHJ):\n$plan")
+    assert("hashpartitioning\\(vec_a[^)]*vec_b[^)]*cos_sim".r
+      .findFirstIn(plan).isDefined,
+      s"distinct must key on the scored row (post-filter):\n$plan")
+  }
 }
