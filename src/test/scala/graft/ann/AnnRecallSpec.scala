@@ -60,6 +60,27 @@ class AnnRecallSpec extends SparkSuite {
     assert(recall >= 0.80, f"planted recall $recall%.3f below driver-frame bound")
   }
 
+  test("d10 shard grid mines a single-bucket identical clique exactly") {
+    // the adversarial case the fragment-and-replicate shard exists for:
+    // m identical vectors share one bucket in EVERY table (the hottest
+    // possible bucket), and the sharded self-join must still emit every
+    // clique pair exactly once — a wrong shard pairing (e.g. keying both
+    // sides by their own shard) would silently drop the cross-shard pairs
+    val m = 60
+    val one = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val clique = one.crossJoin(spark.range(m).toDF("i"))
+      .select((col("i") + 900000L).as("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") < 200)
+      .select("vec_id", "embedding").unionByName(clique)
+    val found = Similarity.neardupPairsLsh(spark, corpus, threshold = 0.9999)
+      .filter(col("vec_a") >= 900000L && col("vec_b") >= 900000L)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.size == m * (m - 1) / 2,
+      s"expected all ${m * (m - 1) / 2} clique pairs, got ${found.size}")
+    assert(found.forall { case (a, b) => a < b }, "upper triangle only")
+  }
+
   test("n6 centroids are convex: each lies within its label's per-dim range") {
     val cent = graft.queries.AnnPack.queries("n6_embedding_centroid")(spark, sf)
     val bounds = emb
