@@ -66,6 +66,42 @@ object TextPack extends QueryPack {
         .select("doc_id", "fp")
     }),
 
+    // BM25 relevance of every document against a fixed term query — the
+    // retrieval-scoring sibling of t6 (Robertson/Okapi k1 = 1.2, b = 0.75,
+    // BM25+-style always-positive idf = ln((N − df + ½)/(df + ½) + 1)).
+    // Per-doc term counts are map-side array filters (no per-term explode
+    // shuffle — the query is a handful of terms, not the vocabulary); the
+    // corpus stats (N, Σdl, df per term) are ONE agg row broadcast back,
+    // so the whole scorer is a scan + one scalar agg at any corpus size.
+    // FP parity: contributions are summed in fixed term order and every
+    // expression mirrors the oracle's op order token-for-token.
+    "t12_bm25" -> ((s, dir) => {
+      val terms = Seq("join", "scan", "vector")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .withColumn("dl", size(col("words")))
+      val withTf = terms.foldLeft(docs) { (d, t) =>
+        d.withColumn(s"tf_$t",
+          size(filter(col("words"), w => w === lit(t))))
+      }
+      val statAggs = count(lit(1)).as("n_docs") +:
+        sum(col("dl")).cast("double").as("sum_dl") +:
+        terms.map(t => count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+      val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+      val avgdl = col("sum_dl") / col("n_docs")
+      def contrib(t: String) =
+        log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+        ((col(s"tf_$t") * lit(2.2)) /
+         (col(s"tf_$t") + lit(1.2) *
+           (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / avgdl))))
+      withTf.crossJoin(broadcast(stats))
+        .withColumn("bm25",
+          Num.r6(terms.map(contrib).reduceLeft(_ + _)))
+        .select((col("doc_id") +: col("dl") +:
+          terms.map(t => col(s"tf_$t")) :+ col("bm25")): _*)
+    }),
+
     // TF-IDF top-3 terms per document (smooth idf, the sklearn convention:
     // idf = ln((N+1)/(df+1)) + 1). Scores are rounded to 6 decimals BEFORE
     // ranking so both engines rank identical values; ties break on term asc.
@@ -253,6 +289,38 @@ object TextPack extends QueryPack {
         |  CAST(CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616
         |            ELSE uh END AS BIGINT) AS fp
         |FROM h""".stripMargin,
+    // BM25: every expression replays the Spark op order token-for-token;
+    // contributions summed in fixed term order (join, scan, vector)
+    "t12_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), dd AS (
+        |  SELECT doc_id, len(words) AS dl,
+        |    len(list_filter(words, w -> w = 'join')) AS tf_join,
+        |    len(list_filter(words, w -> w = 'scan')) AS tf_scan,
+        |    len(list_filter(words, w -> w = 'vector')) AS tf_vector
+        |  FROM d
+        |), st AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |    count(CASE WHEN tf_join > 0 THEN 1 END) AS df_join,
+        |    count(CASE WHEN tf_scan > 0 THEN 1 END) AS df_scan,
+        |    count(CASE WHEN tf_vector > 0 THEN 1 END) AS df_vector
+        |  FROM dd
+        |)
+        |SELECT doc_id, dl, tf_join, tf_scan, tf_vector,
+        |  floor((
+        |      ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        |        * ((tf_join * 2.2) / (tf_join + 1.2 *
+        |            (1.0 - 0.75 + 0.75 * (dl / (sum_dl / n_docs)))))
+        |    + ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+        |        * ((tf_scan * 2.2) / (tf_scan + 1.2 *
+        |            (1.0 - 0.75 + 0.75 * (dl / (sum_dl / n_docs)))))
+        |    + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+        |        * ((tf_vector * 2.2) / (tf_vector + 1.2 *
+        |            (1.0 - 0.75 + 0.75 * (dl / (sum_dl / n_docs)))))
+        |  ) * 1000000 + 0.5) / 1000000 AS bm25
+        |FROM dd CROSS JOIN st""".stripMargin,
     "t6_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
