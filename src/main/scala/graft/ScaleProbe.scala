@@ -30,6 +30,7 @@ object ScaleProbe {
     // key shifts keep the 10× order graph as 10 disjoint copies, and
     // the bijective vocab rename keeps cross-copy grams disjoint.
     "t7_repetition", "t8_contamination", "d8_shared_ngrams", "g1_pagerank",
+    "t12_bm25", // scan + one broadcast stats row: should track t2's slope
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica
