@@ -178,8 +178,21 @@ object ScaleProbe {
         rep.write.mode("overwrite").parquet(target)
       }
     }
-    java.nio.file.Files.createDirectories(verFile.getParent)
-    java.nio.file.Files.write(verFile, verTag.getBytes("UTF-8"))
+    // A subset build must never DEMOTE an existing full replica's tag: the
+    // per-table row-count checks self-heal any table the subset rebuilt at
+    // a different copies count, but overwriting a full tag with a subset
+    // tag would force the next full run to rebuild every table from
+    // scratch (the I/O waste `only` exists to avoid).
+    val existing =
+      if (java.nio.file.Files.exists(verFile))
+        new String(java.nio.file.Files.readAllBytes(verFile), "UTF-8")
+      else ""
+    val fullTagPresent = existing.nonEmpty && !existing.drop(
+      s"$BuildVersion:".length).contains(":")
+    if (only.isEmpty || !fullTagPresent) {
+      java.nio.file.Files.createDirectories(verFile.getParent)
+      java.nio.file.Files.write(verFile, verTag.getBytes("UTF-8"))
+    }
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {

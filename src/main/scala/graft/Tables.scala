@@ -39,6 +39,12 @@ object Tables {
     * UTC session) so every downstream query and oracle sees one schema. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ cast below is session-timezone-sensitive; pin UTC here
+    // (not just in our own mains) so an external session on a non-UTC box
+    // cannot silently shift instants relative to the DuckDB oracle's
+    // naive-timestamp arithmetic — same defensive per-call pin as load()'s
+    // ansi flag
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -142,7 +142,7 @@ object Similarity {
     * side — the probed side already carries the O(b²) mask fan-out). */
   def neardupPairsLsh(spark: SparkSession, corpus: DataFrame,
       threshold: Double, numTables: Int = 6, bitsPerTable: Int = 0,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 8, broadcastBytes: Long = 128L << 20): DataFrame = {
     import spark.implicits._
     val dimRow = corpus.select(size(col("embedding"))).head(1)
     if (dimRow.isEmpty)
@@ -209,13 +209,19 @@ object Similarity {
     val emb = corpus.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
     // Bounded broadcast (the IVF centroid rule applied to the cosine join):
-    // under ~128 MB of vectors the embedding map broadcasts and the whole
-    // candidate→cosine→filter path PIPELINES inside the bucket-join stage —
-    // the candidate stream is never shuffled at all. Past the bound it
-    // falls back to the linear shuffle join on vec ids (the 100 TB path:
-    // shuffling the candidate stream is inherent there, and AQE would make
-    // the same broadcast call from runtime stats if it could see them).
-    val embFits = nCorpus * (4L * dim + 32L) <= (128L << 20)
+    // under `broadcastBytes` of RAW vector payload the embedding map
+    // broadcasts and the whole candidate→cosine→filter path PIPELINES
+    // inside the bucket-join stage — the candidate stream is never
+    // shuffled at all. Honest accounting: the bound is on raw payload
+    // bytes; the resident HashedRelation costs ~3× that, and the two
+    // differently-aliased sides are two separate broadcasts, so the
+    // executor-memory worst case is ~6× the bound (default 128 MB →
+    // ≲ 800 MB — sized for multi-GB executors; pass a smaller bound for
+    // lean profiles). Past the bound it falls back to the linear shuffle
+    // join on vec ids (the 100 TB path: shuffling the candidate stream is
+    // inherent there, and AQE would make the same broadcast call from
+    // runtime stats if it could see them).
+    val embFits = nCorpus * (4L * dim + 32L) <= broadcastBytes
     def embAs(idCol: String, e: String, nm: String) = {
       val side = emb.select(col("vec_id").as(idCol), col("embedding").as(e),
         col("nrm").as(nm))

@@ -234,6 +234,17 @@ object CustomComputePack extends QueryPack {
           (col("n") * col("sxy") - col("sx") * col("sy")).cast(DecimalType(19, 0)))
         .withColumn("q",
           (col("n") * col("sxx") - col("sx") * col("sx")).cast(DecimalType(19, 0)))
+        // the decimal precisions above are sized for the fixture envelope
+        // (2-decimal values, |value| ≲ 1e4, series ≲ 1e4 rows); with
+        // ansi=false an out-of-envelope fixture would overflow a cast to
+        // NULL and the q≠0 filter would then silently DROP the series
+        // while the HUGEINT oracle keeps it. Fail loudly instead: sums
+        // over non-null cents are never null except on overflow, so a
+        // null p/q here is proof of overflow (assert_true returns null
+        // when the condition holds, so the filter passes every valid row)
+        .filter(assert_true(col("p").isNotNull && col("q").isNotNull,
+          lit("stats_ar1_forecast: decimal overflow — fixture exceeds " +
+            "the moment-precision envelope; widen the DecimalTypes")).isNull)
         .filter(col("q") =!= 0)
       val lastv = paired.filter(col("rn_last") === 1)
         .select(col("user_id"), col("yc").as("x_last"))
@@ -245,6 +256,10 @@ object CustomComputePack extends QueryPack {
             + col("p") * col("sx") - col("n") * col("p") * col("xc")))
             .as("sum_abs_ar1"),
           sum(abs(col("yc") - col("xc"))).as("sum_abs_naive"))
+        // same overflow guard for the per-row residual products (n·Q·y
+        // peaks ~n²·X³ — the largest intermediates in the query)
+        .filter(assert_true(col("sum_abs_ar1").isNotNull,
+          lit("stats_ar1_forecast: residual-sum decimal overflow")).isNull)
       sums.join(resid, "user_id").join(lastv, "user_id")
         .select(col("user_id"), col("n").cast("long").as("n"),
           Num.r6(col("p").cast("double") / col("q").cast("double")).as("phi"),

@@ -30,6 +30,7 @@ object Streams {
     * normalize to the same micros TimestampType. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC") // see Tables.events
     val tsType = spark.read.parquet(s"$sfDir/events.parquet")
       .schema("ts").dataType
     val schema = StructType(Seq(

@@ -125,7 +125,7 @@ object Dedup {
     * shuffles of the full candidate stream. Past the broadcast bound the
     * plan degrades to the linear shuffle joins on doc ids. */
   def minhashLshPairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
-      threshold: Double): Dataset[DupPair] = {
+      threshold: Double, broadcastBytes: Long = 256L << 20): Dataset[DupPair] = {
     import spark.implicits._
     val sh: Dataset[DocShingles] = docs
       .select(col("doc_id"), col("text"))
@@ -148,13 +148,17 @@ object Dedup {
 
     // bounded broadcast of the shingle table (one exact size job over the
     // cached sets — 8 bytes per shingle + row overhead); the d10 embedding
-    // rule applied to the verification payload
+    // rule applied to the verification payload. The bound is on RAW
+    // payload bytes — resident HashedRelation ≈ 3× that, × two aliased
+    // sides, so the executor worst case is ~6× the bound (default 256 MB
+    // → ≲ 1.5 GB, sized for multi-GB executors; pass a smaller bound for
+    // lean profiles). Past it: linear shuffle joins on doc ids.
     val shBytes = sh.toDF("doc_id", "shingles")
       .select(sum(size(col("shingles"))).cast("long").as("n"),
         count(lit(1)).as("d"))
       .head()
     val fits = (Option(shBytes.get(0)).getOrElse(0L).asInstanceOf[Long] * 8L
-      + shBytes.getLong(1) * 24L) <= (256L << 20)
+      + shBytes.getLong(1) * 24L) <= broadcastBytes
     def shAs(idCol: String, setCol: String) = {
       val side = sh.toDF(idCol, setCol)
       if (fits) broadcast(side) else side

@@ -2,7 +2,24 @@ package graft.plans
 
 import graft.SparkSuite
 
-class ScaleSpec extends SparkSuite {
+class ScaleSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  // replica temp dirs are per-run (concurrency-safe — ADVICE r7) and
+  // cheap to rebuild at sf0.001, so delete them on suite exit instead of
+  // accumulating /tmp garbage across CI runs
+  private val replicaDirs = scala.collection.mutable.ArrayBuffer[String]()
+  override def afterAll(): Unit = {
+    replicaDirs.foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    super.afterAll()
+  }
 
   test("bucketed join plan has no shuffle Exchange between scan and join") {
     // force a sort-merge join (disable broadcast) to prove the bucketed
@@ -72,6 +89,7 @@ class ScaleSpec extends SparkSuite {
   private def buildReplica(copies: Int): String = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_scalespec_x$copies").toString
+    replicaDirs += out
     graft.ScaleProbe.build(spark, sf, out, copies)
     out
   }
@@ -112,6 +130,7 @@ class ScaleSpec extends SparkSuite {
     // ANN bound would pay ~20× the build I/O for nothing.
     val out = java.nio.file.Files
       .createTempDirectory("graft_scalespec_x30emb").toString
+    replicaDirs += out
     graft.ScaleProbe.build(spark, sf, out, 30, Set("embeddings"))
     val emb = graft.Tables.embeddings(spark, out)
     val n = emb.count()
