@@ -22,8 +22,22 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  /** Normalize a timestamp-ish column to micros TimestampType whatever
+    * physical type the current fixture generation shipped (see `events` —
+    * the same drift would break o_orderdate/l_shipdate, and a prior
+    * `events()` call leaves `nanosAsLong` set session-wide, so a nanos
+    * generation would surface here as a LongType column). A cast on an
+    * already-TimestampType column is eliminated by Catalyst, so scan
+    * pruning and filter pushdown are unaffected on the common path. */
+  private def tsNorm(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case _        => df.withColumn(c, col(c).cast(TimestampType))
+    }
+  def lineitem(spark: SparkSession, d: String): DataFrame  =
+    tsNorm(load(spark, d, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, d: String): DataFrame    =
+    tsNorm(load(spark, d, "orders"), "o_orderdate")
   def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
   def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
