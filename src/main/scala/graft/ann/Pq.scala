@@ -100,7 +100,28 @@ object Pq {
     }
   }
 
-  private def encodeOne(v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
+  /** Per-query ADC lookup table: [m][ks] subspace dot products of the
+    * (normalized) query against every codeword. Shared with [[IvfPq]]. */
+  private[ann] def adcTable(q: Array[Float],
+      books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val m = books.length
+    val ks = books(0).length
+    val subDim = q.length / m
+    Array.tabulate(m) { mi =>
+      val qs = sub(q, mi, subDim)
+      Array.tabulate(ks) { c =>
+        val cw = books(mi)(c)
+        var dot = 0.0
+        var j = 0
+        while (j < subDim) { dot += qs(j).toDouble * cw(j).toDouble; j += 1 }
+        dot
+      }
+    }
+  }
+
+  /** PQ-encode one (already normalized) vector: M nearest-codeword ids.
+    * Shared with [[IvfPq]]. */
+  private[ann] def encode(v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
     val m = books.length
     val subDim = v.length / m
     val out = new Array[Byte](m)
@@ -133,27 +154,13 @@ object Pq {
 
     val encoded = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => Encoded(id, encodeOne(normalize(v), bcBooks.value)) }
+      .map { case (id, v) => Encoded(id, encode(normalize(v), bcBooks.value)) }
 
     // queries are a small set: their ADC tables broadcast to the code scan
     val qTables: Array[(Long, Array[Array[Double]])] = queries
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
-      .map { case (qid, qv) =>
-        val q = normalize(qv)
-        val subDim = q.length / m
-        val table = Array.tabulate(m) { mi =>
-          val qs = sub(q, mi, subDim)
-          Array.tabulate(ks) { c =>
-            val cw = bcBooks.value(mi)(c)
-            var dot = 0.0
-            var j = 0
-            while (j < subDim) { dot += qs(j).toDouble * cw(j).toDouble; j += 1 }
-            dot
-          }
-        }
-        (qid, table)
-      }
+      .map { case (qid, qv) => (qid, adcTable(normalize(qv), bcBooks.value)) }
     val bcQ = spark.sparkContext.broadcast(qTables)
 
     // code scan: M byte-lookups + adds per (query, vector) — never touches

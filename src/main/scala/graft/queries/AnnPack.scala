@@ -25,6 +25,11 @@ object AnnPack extends QueryPack {
   private val IvfBound = 0.30
   private val PqBound = 0.30
 
+  /** IVF-PQ stacks both approximations (probe miss × code distortion), so
+    * its floor is the product-shaped worst case of the two — measured
+    * mean recall on the isotropic fixtures sits well above (IvfPqSpec). */
+  private val IvfPqBound = 0.25
+
   /** Exact cosine top-5 per query — the ground truth for the n3/n4/n5
     * recall frames. Same computation as the n2 query (whose values the
     * DuckDB oracle hash-checks), memoized per embeddings fingerprint so
@@ -152,6 +157,17 @@ object AnnPack extends QueryPack {
         PqBound, "recall5_ge_030")
     }),
 
+    // IVF-PQ: the coarse quantizer composed with the ADC code scan — the
+    // production layout (probe-bounded candidates × 32x-smaller code
+    // scan). Candidate generation is map-side (broadcast centroid→query
+    // probe map); the only shuffle is the TopK survivor cut. Recall
+    // invariant frame (operator spec: IvfPqSpec).
+    "n7_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallFrame(s, dir, graft.ann.IvfPq.topK(s, e, queriesSet(e), k = 5),
+        IvfPqBound, "recall5_ge_025")
+    }),
+
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
@@ -247,6 +263,9 @@ object AnnPack extends QueryPack {
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "n5_ann_pq" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_030
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "n7_ann_ivfpq" ->
+      """SELECT count(*) AS n_queries, true AS recall5_ge_025
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // d10's frame: the oracle rebuilds the planted-near-dup corpus
     // (DuckDB lambda indexes are 1-BASED, hence (i-1) % 10) and re-derives

@@ -102,6 +102,47 @@ object TextPack extends QueryPack {
           terms.map(t => col(s"tf_$t")) :+ col("bm25")): _*)
     }),
 
+    // N-gram language-model perplexity scoring — the CCNet/KenLM-style
+    // quality filter: train an add-one-smoothed bigram LM on the corpus
+    // itself, score each document by per-token cross-entropy under it
+    // (high ppl = unusual text: boilerplate, noise, other languages).
+    // FP discipline: each bigram type's log-prob is a function of exact
+    // integer counts only, rounded ONCE to fixed-point micro-nats
+    // (BIGINT, the n6 centroid pattern); the per-doc sum Σ m·lp_e6 is
+    // then exact integer arithmetic — no float summation order anywhere.
+    // Scale: two vocab-keyed shuffle joins (bigram + context counts, the
+    // d8 gram-index shape), per-doc partial aggs, one broadcast scalar —
+    // linear in corpus size, nothing driver-side.
+    "t13_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      val base = docs.select(col("doc_id"), size(col("words")).as("n_words"))
+      val bg = docs
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(words, 1, size(words) - 1), " +
+          "slice(words, 2, size(words) - 1), " +
+          "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bg))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+      val m = bg.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("m"))
+      val cbg = m.groupBy("bg").agg(sum("m").as("cbg"))
+      val cu = m.groupBy("w1").agg(sum("m").as("cu"))
+      val vocab = docs.select(explode(col("words")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val perDoc = m.join(cbg, "bg").join(cu, "w1").crossJoin(broadcast(vocab))
+        .withColumn("lp_e6", expr(
+          "CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(col("m") * col("lp_e6")).as("s_e6"))
+      val ce = col("s_e6").cast("double") * lit(-1.0) /
+        (col("n_bigrams") * lit(1000000.0))
+      base.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_bigrams"),
+          Num.r6(ce).as("cross_entropy"),
+          Num.r6(exp(ce)).as("ppl"))
+    }),
+
     // TF-IDF top-3 terms per document (smooth idf, the sklearn convention:
     // idf = ln((N+1)/(df+1)) + 1). Scores are rounded to 6 decimals BEFORE
     // ranking so both engines rank identical values; ties break on term asc.
@@ -342,6 +383,41 @@ object TextPack extends QueryPack {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
         |  FROM scored
         |) WHERE rk <= 3""".stripMargin,
+    "t13_lm_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(words) AS n_words FROM d
+        |), bg AS (
+        |  SELECT doc_id, words[i] AS w1, words[i] || ' ' || words[i + 1] AS bg
+        |  FROM d, unnest(range(1, len(words))) AS t(i)
+        |  WHERE len(words) >= 2
+        |), m AS (
+        |  SELECT doc_id, w1, bg, count(*) AS m FROM bg GROUP BY 1, 2, 3
+        |), cbg AS (
+        |  SELECT bg, CAST(sum(m) AS BIGINT) AS cbg FROM m GROUP BY 1
+        |), cu AS (
+        |  SELECT w1, CAST(sum(m) AS BIGINT) AS cu FROM m GROUP BY 1
+        |), vocab AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(words) AS w FROM d)
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(m * lp_e6) AS BIGINT) AS s_e6
+        |  FROM (
+        |    SELECT m.doc_id, m.m,
+        |      CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)
+        |        AS lp_e6
+        |    FROM m JOIN cbg USING (bg) JOIN cu USING (w1) CROSS JOIN vocab
+        |  ) GROUP BY 1
+        |)
+        |SELECT base.doc_id, n_words, n_bigrams,
+        |  floor((CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
+        |        * 1000000 + 0.5) / 1000000 AS cross_entropy,
+        |  floor(exp(CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
+        |        * 1000000 + 0.5) / 1000000 AS ppl
+        |FROM base LEFT JOIN perdoc USING (doc_id)""".stripMargin,
     "t7_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
