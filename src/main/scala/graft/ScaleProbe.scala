@@ -31,6 +31,10 @@ object ScaleProbe {
     // the bijective vocab rename keeps cross-copy grams disjoint.
     "t7_repetition", "t8_contamination", "d8_shared_ngrams", "g1_pagerank",
     "t12_bm25", // scan + one broadcast stats row: should track t2's slope
+    // bigram-LM scoring: two vocab-keyed gram joins — should track d8's
+    // slope (the vocab rename keeps cross-copy grams disjoint, so count
+    // tables grow linearly like a real corpus's vocabulary would)
+    "t13_lm_perplexity",
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica
@@ -45,7 +49,8 @@ object ScaleProbe {
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans
     "d2_minhash_lsh_op", "d3_simhash_op",
-    "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "d10_neardup_lsh_op")
+    "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
+    "d10_neardup_lsh_op")
 
   /** Operator-only probes for the similarity family: the production
     * bucketed paths (banded joins, multi-table LSH, inverted lists, ADC)
@@ -82,6 +87,10 @@ object ScaleProbe {
       "n5_ann_pq_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.Pq.topK(s, e, qs(e), k = 5)
+      }),
+      "n7_ann_ivfpq_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.IvfPq.topK(s, e, qs(e), k = 5)
       }),
       "d10_neardup_lsh_op" -> ((s, dir) =>
         graft.ann.Similarity.neardupPairsLsh(s,

@@ -110,28 +110,42 @@ object TextPack extends QueryPack {
     // integer counts only, rounded ONCE to fixed-point micro-nats
     // (BIGINT, the n6 centroid pattern); the per-doc sum Σ m·lp_e6 is
     // then exact integer arithmetic — no float summation order anywhere.
-    // Scale: two vocab-keyed shuffle joins (bigram + context counts, the
-    // d8 gram-index shape), per-doc partial aggs, one broadcast scalar —
-    // linear in corpus size, nothing driver-side.
+    // Scale: the d8 gram-index discipline end to end — every shuffle is
+    // keyed by an 8-byte FNV-1a fingerprint (native codegen expression),
+    // NEVER a gram string: the (doc, bigram-hash) agg, ONE join of the
+    // per-doc stream against the scored type table, and the final per-doc
+    // agg. The LM itself — bigram counts, context counts, their join, the
+    // log-prob — lives entirely on VOCABULARY-sized tables, with c(w1)
+    // recovered from c(w1w2) by first-token-hash re-aggregation (never a
+    // second pass over the corpus). Hash collisions merge gram types at
+    // ~n²/2⁶⁴ probability — the same accepted trade as d8/d9, far below
+    // any fixture or production vocabulary. Nothing driver-side.
     "t13_lm_perplexity" -> ((s, dir) => {
+      graft.functions.Fnv64.register(s)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       val base = docs.select(col("doc_id"), size(col("words")).as("n_words"))
+      // map-side: bigram hash + first-token hash, both 8-byte longs (the
+      // w1 hash rides the bigram key — a hash determines its gram, so the
+      // compound key costs nothing and saves re-splitting downstream)
       val bg = docs
         .filter(size(col("words")) >= 2)
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(words, 1, size(words) - 1), " +
           "slice(words, 2, size(words) - 1), " +
-          "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bg))")).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-      val m = bg.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("m"))
-      val cbg = m.groupBy("bg").agg(sum("m").as("cbg"))
-      val cu = m.groupBy("w1").agg(sum("m").as("cu"))
+          "(a, b) -> struct(graft_fnv64(concat(a, ' ', b)) AS h, " +
+          "graft_fnv64(a) AS w1h))")).as("p"))
+        .select(col("doc_id"), col("p.h").as("h"), col("p.w1h").as("w1h"))
+      val m = bg.groupBy("doc_id", "h", "w1h").agg(count(lit(1)).as("m"))
+      val types = m.groupBy("h", "w1h").agg(sum("m").as("cbg"))
+      val cu = types.groupBy("w1h").agg(sum("cbg").as("cu"))
       val vocab = docs.select(explode(col("words")).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      val perDoc = m.join(cbg, "bg").join(cu, "w1").crossJoin(broadcast(vocab))
+        .agg(countDistinct(expr("graft_fnv64(w)")).as("v"))
+      val lp = types.join(cu, "w1h").crossJoin(broadcast(vocab))
         .withColumn("lp_e6", expr(
           "CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)"))
+        .select("h", "lp_e6")
+      val perDoc = m.join(lp, "h")
         .groupBy("doc_id")
         .agg(sum(col("m")).as("n_bigrams"),
           sum(col("m") * col("lp_e6")).as("s_e6"))
