@@ -36,7 +36,7 @@ object IvfPq {
     * count exactly like [[Ivf.topK]] (including the 1/6 recall floor);
     * m/ks/refine follow [[Pq.topK]]. */
   def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int, m: Int = 8, ks: Int = 16, refine: Int = 8,
+      k: Int, m: Int = 8, ks: Int = 64, refine: Int = 16,
       nLists: Int = 0, nProbe: Int = 0): DataFrame = {
     import spark.implicits._
     val n = corpus.count()
@@ -49,30 +49,72 @@ object IvfPq {
         (nl + 5) / 6)
 
     val cents = Ivf.centroids(corpus, nl, n)
-    val books = Pq.codebooks(corpus, m, ks)
-    val bcCents = spark.sparkContext.broadcast(cents)
+    // RESIDUAL encoding (the FAISS IVFPQ design): codes quantize
+    // r = v̂ − ĉ, not v̂ itself. dot(q̂, v̂) = dot(q̂, ĉ) + dot(q̂, r)
+    // decomposes exactly, the first term is computed exactly per
+    // (query, probed list), and residuals are far tighter than raw
+    // vectors — same 8-byte code, roughly half the quantization error.
+    val centsN = cents.map { case (i, v) => (i, Pq.normalize(v)) }
+    val bcCentsN = spark.sparkContext.broadcast(centsN)
+
+    def residual(vn: Array[Float], ci: Int): Array[Float] = {
+      val c = centsN(ci)._2
+      val out = new Array[Float](vn.length)
+      var i = 0
+      while (i < vn.length) { out(i) = vn(i) - c(i); i += 1 }
+      out
+    }
+
+    // residual-space codebooks from a bounded stride sample (reuses the
+    // corpus count — one count action total, like Ivf.topK)
+    val step = math.max(n / 512, 1L)
+    val sample = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(512)
+      .select(col("embedding")).collect()
+      .map(r => Pq.normalize(r.getSeq[Float](0).toArray))
+    val resSample = sample.map { vn =>
+      residual(vn, Ivf.nearestCentroids(vn, centsN, 1).head)
+    }
+    val books = Pq.codebooksFromPoints(resSample, m, ks)
     val bcBooks = spark.sparkContext.broadcast(books)
 
-    // one corpus pass: list assignment + PQ encoding together
+    // one corpus pass: list assignment + residual PQ encoding together
     val encoded = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        EncodedIn(id, Ivf.nearestCentroids(v, bcCents.value, 1).head,
-          Pq.encode(Pq.normalize(v), bcBooks.value))
+        val vn = Pq.normalize(v)
+        val ci = Ivf.nearestCentroids(vn, bcCentsN.value, 1).head
+        val r = {
+          val c = bcCentsN.value(ci)._2
+          val out = new Array[Float](vn.length)
+          var i = 0
+          while (i < vn.length) { out(i) = vn(i) - c(i); i += 1 }
+          out
+        }
+        EncodedIn(id, ci, Pq.encode(r, bcBooks.value))
       }
 
-    // queries are small (the n2 query-set contract): their probed lists
-    // and ADC tables broadcast, inverted to centroid -> probing queries
-    val qSide: Array[(Long, Seq[Int], Array[Array[Double]])] = queries
+    // queries are small (the n2 query-set contract): their probed lists,
+    // exact dot(q̂, ĉ) bases, and residual ADC tables broadcast, inverted
+    // to centroid -> probing queries
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qSide: Array[(Long, Seq[Int], Array[Float])] = queries
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (qid, qv) =>
-        (qid, Ivf.nearestCentroids(qv, bcCents.value, np),
-          Pq.adcTable(Pq.normalize(qv), bcBooks.value))
+        val qn = Pq.normalize(qv)
+        (qid, Ivf.nearestCentroids(qn, centsN, np), qn)
       }
-    val byCentroid: Map[Int, Array[(Long, Array[Array[Double]])]] =
-      qSide.flatMap { case (qid, cs, t) => cs.map(c => (c, (qid, t))) }
-        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
+    val byCentroid: Map[Int, Array[(Long, Double, Array[Array[Double]])]] =
+      qSide.flatMap { case (qid, cs, qn) =>
+        val table = Pq.adcTable(qn, books)
+        cs.map(c => (c, (qid, dotL(qn, centsN(c)._2), table)))
+      }.groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
     val bcProbes = spark.sparkContext.broadcast(byCentroid)
 
     // map-side candidate scoring: each encoded vector pays M byte-lookups
@@ -83,8 +125,8 @@ object IvfPq {
         probes.get(e.centroid) match {
           case None => Iterator.empty
           case Some(qs) => qs.iterator.collect {
-            case (qid, table) if qid != e.cid =>
-              var s = 0.0
+            case (qid, base, table) if qid != e.cid =>
+              var s = base
               var mi = 0
               while (mi < table.length) { s += table(mi)(e.codes(mi) & 0xff); mi += 1 }
               (qid, e.cid, s)

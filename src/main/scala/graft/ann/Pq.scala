@@ -60,7 +60,6 @@ object Pq {
     * deterministic stride sample (collected once; bounded by sampleCap). */
   def codebooks(corpus: DataFrame, m: Int, ks: Int, sampleCap: Int = 512,
       iters: Int = 5): Array[Array[Array[Float]]] = {
-    require(ks >= 1 && ks <= 256, s"codes are single bytes: ks must be in [1,256], got $ks")
     val n = corpus.count()
     val step = math.max(n / sampleCap, 1L)
     val sample = corpus
@@ -68,6 +67,14 @@ object Pq {
       .orderBy(col("vec_id")).limit(sampleCap)
       .select(col("embedding")).collect()
       .map(r => normalize(r.getSeq[Float](0).toArray))
+    codebooksFromPoints(sample, m, ks, iters)
+  }
+
+  /** Lloyd on caller-supplied training points — the residual-space entry
+    * for [[IvfPq]] (its training points are v̂ − ĉ, not corpus rows). */
+  private[ann] def codebooksFromPoints(sample: Array[Array[Float]], m: Int,
+      ks: Int, iters: Int = 5): Array[Array[Array[Float]]] = {
+    require(ks >= 1 && ks <= 256, s"codes are single bytes: ks must be in [1,256], got $ks")
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

@@ -151,6 +151,28 @@ class ScaleSpec extends SparkSuite
     assert(recall >= 0.50, f"30x recall $recall%.3f below the n4 floor contract")
   }
 
+  test("n7 IVF-PQ holds its recall frame at the 10× replica") {
+    import org.apache.spark.sql.functions._
+    // n7 stacks the IVF probe miss on the PQ code distortion; its frame
+    // bound (0.25) is looser than n4's, but the same knob regressions —
+    // a lost recall floor OR a degenerate codebook — bite only once the
+    // adaptive knobs move off their fixture floors, so pin here too.
+    val emb = graft.Tables.embeddings(spark, x10dir)
+    val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "cid").collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = sets(graft.ann.Similarity.bruteForceTopK(emb, qs, k = 5))
+    val found = sets(graft.ann.IvfPq.topK(spark, emb, qs, k = 5))
+    val recall = truth.map { case (q, t) =>
+      found.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"n7 10x mean recall@5 = $recall%.3f over ${truth.size} queries")
+    // measured 0.452 (residual codes, ks=64, refine=16); the pre-residual
+    // ks=16/refine=8 cut read 0.294 — this bound catches that regression
+    assert(recall >= 0.30, f"10x recall $recall%.3f below the n7 frame bound")
+  }
+
   test("d10 pair miner holds its planted-pair recall frame at the 10× replica") {
     import org.apache.spark.sql.functions._
     val aug = graft.queries.AnnPack.withVectorNearDups(spark, x10dir)
