@@ -50,7 +50,7 @@ object ScaleProbe {
     // at 10× would measure verification cost, not the bucketed plans
     "d2_minhash_lsh_op", "d3_simhash_op",
     "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
-    "d10_neardup_lsh_op")
+    "d10_neardup_lsh_op", "d11_semantic_dedup_op")
 
   /** Operator-only probes for the similarity family: the production
     * bucketed paths (banded joins, multi-table LSH, inverted lists, ADC)
@@ -94,7 +94,12 @@ object ScaleProbe {
       }),
       "d10_neardup_lsh_op" -> ((s, dir) =>
         graft.ann.Similarity.neardupPairsLsh(s,
-          graft.queries.AnnPack.withVectorNearDups(s, dir), threshold = 0.9)))
+          graft.queries.AnnPack.withVectorNearDups(s, dir), threshold = 0.9)),
+      // d11's miner alone (cluster-scoped pair mining + CC grouping) —
+      // corpus-scaled like d10: a dedup pass's workload IS the corpus
+      "d11_semantic_dedup_op" -> ((s, dir) =>
+        graft.queries.AnnPack.semanticDedupGroups(s,
+          graft.queries.AnnPack.withVectorNearDups(s, dir))))
   }
 
   private def shifted(df: DataFrame, cols: Map[String, Long], i: Int): DataFrame =

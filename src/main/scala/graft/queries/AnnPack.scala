@@ -101,6 +101,36 @@ object AnnPack extends QueryPack {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
 
+  /** The d11 miner: soft-assign every vector to its 2 nearest coarse
+    * clusters, exact-cosine pairs within clusters, duplicate groups via
+    * connected components. Shared by the query (which wraps it in the
+    * planted-twin recall frame) and the 10× ScaleProbe (which times the
+    * miner alone). */
+  private[graft] def semanticDedupGroups(s: SparkSession,
+      aug: DataFrame): DataFrame = {
+    import s.implicits._
+    val n = aug.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = graft.ann.Ivf.centroids(aug, k, n)
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = aug.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        graft.ann.Ivf.nearestCentroids(v, bc.value, 2).map(c => (id, c))
+      }.toDF("vec_id", "cl")
+    val withCl = aug.join(assigned, "vec_id")
+    val a = withCl.select(col("cl"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = withCl.select(col("cl"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cl")).filter(col("va") < col("vb"))
+      .withColumn("cos", Num.r6(Similarity.cosine(col("ea"), col("eb"))))
+      .filter(col("cos") >= 0.9)
+      .select(col("va").as("a"), col("vb").as("b"))
+      .distinct() // a pair can co-occur in both probed clusters
+    graft.ops.Components.connectedComponents(s, pairs)
+  }
+
   /** Benchmark warm-up: pay the memoized |Q|·|C| exact-top-k scan shared
     * by the n3/n4/n5 recall frames (and d10's exhaustive pair truth)
     * outside any timed region. */
@@ -200,6 +230,50 @@ object AnnPack extends QueryPack {
         .toDF("n_true_pairs", "recall_ge_080", "found_subset_of_true")
     }),
 
+    // Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
+    // corpus by its IVF coarse quantizer, mine cos ≥ 0.9 pairs ONLY
+    // within clusters (Σ|cluster|² with E|cluster| = √n — the d10 bucket
+    // economics with semantic buckets; a 100 TB run shards hot clusters
+    // exactly like d10's fragment-and-replicate), group duplicates by
+    // connected components, and keep one representative (min id) per
+    // group. Assignment is SOFT (each vector mines within its 2 nearest
+    // clusters — the multi-probe idea): hard assignment splits twin
+    // pairs that straddle a centroid boundary (measured 15/24 caught at
+    // sf0.01; 2-probe catches 23/24 at 2× candidate cost). Cross-cluster
+    // duplicates beyond the probe are missed BY DESIGN — the SemDeDup
+    // trade — so the driver-checked frame is recall of the planted-twin
+    // population plus the one-representative invariant.
+    "d11_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val aug = withVectorNearDups(s, dir)
+      val cc = semanticDedupGroups(s, aug)
+      val lab: Map[Long, Long] = cc.select("node", "component")
+        .as[(Long, Long)].collect().toMap // near-dup-population-sized
+      // planted-twin truth, linearly (pair each original with its twin)
+      val off = DupIdOffset
+      val orig = aug.filter(col("vec_id") < off)
+        .select(col("vec_id").as("pa"), col("embedding").as("ea"))
+      val dups = aug.filter(col("vec_id") >= off)
+        .select((col("vec_id") - off).as("pa"), col("vec_id").as("pb"),
+          col("embedding").as("eb"))
+      val truth = orig.join(dups, "pa")
+        .withColumn("c", Num.r6(Similarity.cosine(col("ea"), col("eb"))))
+        .filter(col("c") >= 0.9)
+        .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val caught = truth.count { case (x, y) =>
+        lab.contains(x) && lab.get(x) == lab.get(y)
+      }
+      val recall = if (truth.isEmpty) 1.0 else caught.toDouble / truth.length
+      // every duplicate group keeps exactly one representative: its min id
+      // (Components labels every member with the component minimum)
+      val onePerGroup = lab.nonEmpty &&
+        lab.groupBy(_._2).forall { case (comp, members) =>
+          members.keys.min == comp
+        }
+      Seq((truth.length.toLong, recall >= 0.70, onePerGroup))
+        .toDF("n_planted_pairs", "recall_ge_070", "one_rep_per_group")
+    }),
+
     // Per-label mean-pooled centroids — the class-centroid primitive (IVF
     // coarse-quantizer init, topic averages, per-source embedding drift).
     // Float sums are order-dependent, so each element is first rounded to
@@ -267,6 +341,25 @@ object AnnPack extends QueryPack {
     "n7_ann_ivfpq" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_025
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // d11's frame: the planted-twin truth is LINEAR (each original paired
+    // with its own perturbed twin), so the oracle recomputes it as a
+    // per-row expression — no O(n²) join
+    "d11_semantic_dedup" ->
+      """SELECT count(*) AS n_planted_pairs,
+        |  true AS recall_ge_070, true AS one_rep_per_group
+        |FROM embeddings
+        |WHERE vec_id % 20 = 0
+        |  AND NOT isnan(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    CAST(list_transform(embedding,
+        |      (x, i) -> CASE WHEN (i - 1) % 10 = 0
+        |                     THEN CAST(0.0 AS FLOAT) ELSE x END) AS DOUBLE[])))
+        |  AND floor(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    CAST(list_transform(embedding,
+        |      (x, i) -> CASE WHEN (i - 1) % 10 = 0
+        |                     THEN CAST(0.0 AS FLOAT) ELSE x END) AS DOUBLE[]))
+        |    * 1000000 + 0.5) / 1000000 >= 0.9""".stripMargin,
     // d10's frame: the oracle rebuilds the planted-near-dup corpus
     // (DuckDB lambda indexes are 1-BASED, hence (i-1) % 10) and re-derives
     // the exhaustive cos ≥ 0.9 pair count symbolically
