@@ -35,6 +35,9 @@ object ScaleProbe {
     // slope (the vocab rename keeps cross-copy grams disjoint, so count
     // tables grow linearly like a real corpus's vocabulary would)
     "t13_lm_perplexity",
+    // BPE trainer: per-round pair counts run over the word-frequency
+    // table (vocabulary-sized), not the corpus — only round 0 scans text
+    "t14_bpe_train",
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica

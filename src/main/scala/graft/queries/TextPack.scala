@@ -287,7 +287,60 @@ object TextPack extends QueryPack {
         .withColumn("padding_waste_e6",
           expr("CAST(((n_docs * max_tokens - sum_tokens) * 1000000 + " +
             "(n_docs * max_tokens) div 2) div (n_docs * max_tokens) AS BIGINT)"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // BPE tokenizer merge LEARNING as a distributed query — 4 rounds of:
+    // corpus-weighted adjacent-symbol-pair counts (one partial-agg
+    // shuffle over the word-frequency table, never the raw corpus: words
+    // are pre-aggregated with their frequencies, the classic BPE trainer
+    // economics) → deterministic argmax (count desc, pair asc; a 1-row
+    // driver knob like halving's cull) → literal merge rewrite of every
+    // word's symbol string. Merge semantics are defined as "replace all
+    // non-overlapping ' a b ' occurrences left-to-right, applied twice"
+    // — identical literal `replace` semantics in Spark and DuckDB, so
+    // the oracle (4 unrolled CTE rounds, the g1 PageRank pattern)
+    // reproduces the learned merges exactly. Per-round persist truncates
+    // lineage growth like Components does.
+    "t14_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val rounds = 4
+      var words = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
+          col("freq"))
+        .persist()
+      words.count()
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      var r = 1
+      while (r <= rounds) {
+        val top = words
+          .select(col("freq"), split(col("sym"), " ").as("ss"))
+          .select(col("freq"), explode(expr(
+            "CASE WHEN size(ss) >= 2 THEN zip_with(slice(ss, 1, size(ss) - 1), " +
+            "slice(ss, 2, size(ss) - 1), (a, b) -> concat(a, ' ', b)) " +
+            "ELSE array() END")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          merges += ((r, pair, top(0).getLong(1)))
+          val pat = lit(" " + pair + " ")
+          val rep = lit(" " + pair.replace(" ", "") + " ")
+          def rewrite(c: org.apache.spark.sql.Column) =
+            call_function("replace", c, pat, rep)
+          val next = words.withColumn("sym",
+            trim(rewrite(rewrite(concat(lit(" "), col("sym"), lit(" "))))))
+            .persist()
+          next.count()
+          words.unpersist(false)
+          words = next
+        }
+        r += 1
+      }
+      words.unpersist(false)
+      merges.toSeq.toDF("round", "pair", "freq")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -397,6 +450,43 @@ object TextPack extends QueryPack {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
         |  FROM scored
         |) WHERE rk <= 3""".stripMargin,
+    // 4 unrolled rounds (the g1 PageRank oracle pattern); DuckDB's
+    // literal replace has the same all-non-overlapping-left-to-right
+    // semantics as Spark's, and the double application is part of the
+    // operator's defined merge semantics
+    "t14_bpe_train" -> {
+      def round(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(ss)),
+           |      j -> ss[j] || ' ' || ss[j + 1])) AS pair
+           |    FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS ss FROM $prev)
+           |  ) GROUP BY 1
+           |), m$i AS (
+           |  SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1
+           |), w$i AS (
+           |  SELECT trim(replace(replace(' ' || sym || ' ',
+           |      ' ' || (SELECT pair FROM m$i) || ' ',
+           |      ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' '),
+           |      ' ' || (SELECT pair FROM m$i) || ' ',
+           |      ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' ')) AS sym,
+           |    freq
+           |  FROM $prev
+           |)""".stripMargin
+      }
+      s"""WITH w0 AS (
+         |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+         |    count(*) AS freq
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  GROUP BY 1
+         |), ${(1 to 4).map(round).mkString(", ")}
+         |SELECT 1 AS round, pair, c AS freq FROM m1
+         |UNION ALL SELECT 2, pair, c FROM m2
+         |UNION ALL SELECT 3, pair, c FROM m3
+         |UNION ALL SELECT 4, pair, c FROM m4""".stripMargin
+    },
     "t13_lm_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
