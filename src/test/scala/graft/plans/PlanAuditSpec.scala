@@ -199,6 +199,20 @@ class PlanAuditSpec extends SparkSuite {
       s"distinct must key on the scored row (post-filter):\n$plan")
   }
 
+  test("t13: every gram shuffle keys on 8-byte FNV hashes, never strings") {
+    // the d8 discipline from birth: the (doc, gram) agg, the type/context
+    // aggs, and the lp join all exchange on h/w1h longs; a regression
+    // back to string keys (the first cut, 2.5x slower at 10x) would
+    // reintroduce hashpartitioning on bg/w1 string columns
+    val plan = executedString("t13_lm_perplexity")
+    assert("hashpartitioning\\(h#".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(doc_id#[^)]*h#".r.findFirstIn(plan).isDefined,
+      s"gram exchanges must key on the FNV hash:\n$plan")
+    assert(!"hashpartitioning\\(bg#".r.findFirstIn(plan).isDefined &&
+      !"hashpartitioning\\(w1#".r.findFirstIn(plan).isDefined,
+      s"no exchange may key on a gram STRING:\n$plan")
+  }
+
   test("d10: cosine verify pipelines inside the sharded bucket join") {
     // pins both r8 changes: the bucket self-join key carries the shard
     // (fragment-and-replicate — a hot bucket spreads across tasks), the
