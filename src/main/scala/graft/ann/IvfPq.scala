@@ -110,22 +110,28 @@ object IvfPq {
         val qn = Pq.normalize(qv)
         (qid, Ivf.nearestCentroids(qn, centsN, np), qn)
       }
-    val byCentroid: Map[Int, Array[(Long, Double, Array[Array[Double]])]] =
+    // two broadcast structures, so each query's m×ks ADC table serializes
+    // ONCE, not once per probed centroid (nprobe-fold blow-up otherwise)
+    val qTables: Map[Long, Array[Array[Double]]] =
+      qSide.map { case (qid, _, qn) => qid -> Pq.adcTable(qn, books) }.toMap
+    val byCentroid: Map[Int, Array[(Long, Double)]] =
       qSide.flatMap { case (qid, cs, qn) =>
-        val table = Pq.adcTable(qn, books)
-        cs.map(c => (c, (qid, dotL(qn, centsN(c)._2), table)))
+        cs.map(c => (c, (qid, dotL(qn, centsN(c)._2))))
       }.groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
+    val bcTables = spark.sparkContext.broadcast(qTables)
     val bcProbes = spark.sparkContext.broadcast(byCentroid)
 
     // map-side candidate scoring: each encoded vector pays M byte-lookups
     // per query PROBING ITS LIST — never per query globally
     val adcScores = encoded.mapPartitions { it =>
       val probes = bcProbes.value
+      val tables = bcTables.value
       it.flatMap { e =>
         probes.get(e.centroid) match {
           case None => Iterator.empty
           case Some(qs) => qs.iterator.collect {
-            case (qid, base, table) if qid != e.cid =>
+            case (qid, base) if qid != e.cid =>
+              val table = tables(qid)
               var s = base
               var mi = 0
               while (mi < table.length) { s += table(mi)(e.codes(mi) & 0xff); mi += 1 }
