@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * behind the defaults in [[graft.ann.Similarity.lshTopK]] and
   * [[graft.ann.Ivf.topK]]; not part of the driver contract.
   *
-  * `runMain graft.AnnProbe [dir] [lsh:bits,depth,tables | ivf:nlist,nprobe ...]`
+  * `runMain graft.AnnProbe [dir]
+  *   [lsh:bits,depth,tables | ivf:nlist,nprobe | ivfpq:ks,refine ...]`
   * (0 = auto)
   */
 object AnnProbe {
@@ -18,7 +19,8 @@ object AnnProbe {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val variants: Seq[String] =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("lsh:0,0,6", "lsh:8,1,6", "ivf:0,0", "ivf:16,4")
+      else Seq("lsh:0,0,6", "lsh:8,1,6", "ivf:0,0", "ivf:16,4",
+        "ivfpq:16,8", "ivfpq:64,16")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -54,6 +56,8 @@ object AnnProbe {
           numTables = knobs(2), bitsPerTable = knobs(0), probeDepth = knobs(1))
         case "ivf" => graft.ann.Ivf.topK(spark, e, queries, 5,
           nLists = knobs(0), nProbe = knobs(1))
+        case "ivfpq" => graft.ann.IvfPq.topK(spark, e, queries, 5,
+          ks = knobs(0), refine = knobs(1))
         case other => sys.error(s"unknown family $other")
       }
       val found = sets(run(qSample))
