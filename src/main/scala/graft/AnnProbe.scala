@@ -57,7 +57,9 @@ object AnnProbe {
         case "ivf" => graft.ann.Ivf.topK(spark, e, queries, 5,
           nLists = knobs(0), nProbe = knobs(1))
         case "ivfpq" => graft.ann.IvfPq.topK(spark, e, queries, 5,
-          ks = knobs(0), refine = knobs(1))
+          // 0 = auto, like the other families (the operator's defaults)
+          ks = if (knobs(0) > 0) knobs(0) else 64,
+          refine = if (knobs(1) > 0) knobs(1) else 16)
         case other => sys.error(s"unknown family $other")
       }
       val found = sets(run(qSample))

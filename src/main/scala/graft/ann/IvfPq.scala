@@ -31,13 +31,28 @@ object IvfPq {
 
   case class EncodedIn(cid: Long, centroid: Int, codes: Array[Byte])
 
+  /** r = v̂ − ĉ against the given (normalized) centroid array — shared by
+    * the driver-side codebook trainer and the executor-side encode map
+    * (which passes the broadcast value). */
+  private def residual(vn: Array[Float], ci: Int,
+      cents: Array[(Int, Array[Float])]): Array[Float] = {
+    val c = cents(ci)._2
+    val out = new Array[Float](vn.length)
+    var i = 0
+    while (i < vn.length) { out(i) = vn(i) - c(i); i += 1 }
+    out
+  }
+
   /** Approximate top-k: IVF probe bounding + ADC code scoring + exact
     * refine. Knobs: `nLists = 0` derives nlist/nprobe from the corpus
     * count exactly like [[Ivf.topK]] (including the 1/6 recall floor);
-    * m/ks/refine follow [[Pq.topK]]. */
+    * m/ks/refine and `excludeSelf` (drop candidates whose corpus id
+    * equals the query id — pass false for a disjoint query set) follow
+    * [[Pq.topK]]. */
   def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int, m: Int = 8, ks: Int = 64, refine: Int = 16,
-      nLists: Int = 0, nProbe: Int = 0): DataFrame = {
+      nLists: Int = 0, nProbe: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val n = corpus.count()
     val nl =
@@ -57,23 +72,10 @@ object IvfPq {
     val centsN = cents.map { case (i, v) => (i, Pq.normalize(v)) }
     val bcCentsN = spark.sparkContext.broadcast(centsN)
 
-    def residual(vn: Array[Float], ci: Int): Array[Float] = {
-      val c = centsN(ci)._2
-      val out = new Array[Float](vn.length)
-      var i = 0
-      while (i < vn.length) { out(i) = vn(i) - c(i); i += 1 }
-      out
-    }
-
     // residual-space codebooks from a bounded stride sample (reuses the
     // corpus count — one count action total, like Ivf.topK)
-    val step = math.max(n / 512, 1L)
-    val sample = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
-      .orderBy(col("vec_id")).limit(512)
-      .select(col("embedding")).collect()
-      .map(r => Pq.normalize(r.getSeq[Float](0).toArray))
-    val resSample = sample.map { vn =>
-      residual(vn, Ivf.nearestCentroids(vn, centsN, 1).head)
+    val resSample = Pq.strideSample(corpus, n).map { vn =>
+      residual(vn, Ivf.nearestCentroids(vn, centsN, 1).head, centsN)
     }
     val books = Pq.codebooksFromPoints(resSample, m, ks)
     val bcBooks = spark.sparkContext.broadcast(books)
@@ -84,14 +86,7 @@ object IvfPq {
       .map { case (id, v) =>
         val vn = Pq.normalize(v)
         val ci = Ivf.nearestCentroids(vn, bcCentsN.value, 1).head
-        val r = {
-          val c = bcCentsN.value(ci)._2
-          val out = new Array[Float](vn.length)
-          var i = 0
-          while (i < vn.length) { out(i) = vn(i) - c(i); i += 1 }
-          out
-        }
-        EncodedIn(id, ci, Pq.encode(r, bcBooks.value))
+        EncodedIn(id, ci, Pq.encode(residual(vn, ci, bcCentsN.value), bcBooks.value))
       }
 
     // queries are small (the n2 query-set contract): their probed lists,
@@ -130,7 +125,7 @@ object IvfPq {
         probes.get(e.centroid) match {
           case None => Iterator.empty
           case Some(qs) => qs.iterator.collect {
-            case (qid, base) if qid != e.cid =>
+            case (qid, base) if !excludeSelf || qid != e.cid =>
               val table = tables(qid)
               var s = base
               var mi = 0

@@ -59,15 +59,19 @@ object Pq {
   /** Per-subspace codebooks [m][ks][subDim] via Lloyd iterations on a
     * deterministic stride sample (collected once; bounded by sampleCap). */
   def codebooks(corpus: DataFrame, m: Int, ks: Int, sampleCap: Int = 512,
-      iters: Int = 5): Array[Array[Array[Float]]] = {
-    val n = corpus.count()
-    val step = math.max(n / sampleCap, 1L)
-    val sample = corpus
-      .filter(pmod(col("vec_id"), lit(step)) === 0)
-      .orderBy(col("vec_id")).limit(sampleCap)
+      iters: Int = 5): Array[Array[Array[Float]]] =
+    codebooksFromPoints(strideSample(corpus, corpus.count(), sampleCap), m, ks, iters)
+
+  /** Deterministic normalized stride sample, bounded by `cap`. `n` is the
+    * corpus count the caller already holds (one count action per build).
+    * Shared by [[codebooks]] and [[IvfPq]]'s residual trainer. */
+  private[ann] def strideSample(corpus: DataFrame, n: Long,
+      cap: Int = 512): Array[Array[Float]] = {
+    val step = math.max(n / cap, 1L)
+    corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(cap)
       .select(col("embedding")).collect()
       .map(r => normalize(r.getSeq[Float](0).toArray))
-    codebooksFromPoints(sample, m, ks, iters)
   }
 
   /** Lloyd on caller-supplied training points — the residual-space entry

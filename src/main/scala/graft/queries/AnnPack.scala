@@ -113,19 +113,35 @@ object AnnPack extends QueryPack {
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = graft.ann.Ivf.centroids(aug, k, n)
     val bc = s.sparkContext.broadcast(cents)
+    // The narrow (vec_id, cl) assignment table deliberately re-joins the
+    // corpus rather than carrying the embedding through the typed
+    // flatMap: the join output's exchange is REUSED across both sides of
+    // the cl self-join (one assignment pass, embeddings ride the
+    // columnar scan), while emitting (id, cl, embedding) from the
+    // flatMap re-runs the O(n·√n) assignment once per join side —
+    // measured 8.1 s vs 4.7 s at the 10× probe and 80 s vs 23 s at 100×
+    // (code-review r8 suggested the fusion; the probe refuted it).
     val assigned = aug.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         graft.ann.Ivf.nearestCentroids(v, bc.value, 2).map(c => (id, c))
       }.toDF("vec_id", "cl")
+    // NaN guard for zero-norm vectors (NaN compares greater than every
+    // number in Spark SQL, so an unguarded >= 0.9 would make a zero
+    // vector a duplicate of everything) — applied PER VECTOR, not per
+    // pair: a `!isnan(cos)` term on the pair filter references the
+    // projected cos twice, and the HOF cosine is codegen-fallback (no
+    // subexpression elimination), so the 64-element fold would run twice
+    // per Σ|cluster|² candidate — measured 52 s vs 23 s at the 100× probe.
     val withCl = aug.join(assigned, "vec_id")
+      .filter(Similarity.l2norm(col("embedding")) > 0)
     val a = withCl.select(col("cl"), col("vec_id").as("va"),
       col("embedding").as("ea"))
     val b = withCl.select(col("cl"), col("vec_id").as("vb"),
       col("embedding").as("eb"))
     val pairs = a.join(b, Seq("cl")).filter(col("va") < col("vb"))
       .withColumn("cos", Num.r6(Similarity.cosine(col("ea"), col("eb"))))
-      .filter(col("cos") >= 0.9)
+      .filter(col("cos") >= 0.9) // cos is non-NaN by the norm guard above
       .select(col("va").as("a"), col("vb").as("b"))
       .distinct() // a pair can co-occur in both probed clusters
     graft.ops.Components.connectedComponents(s, pairs)
@@ -258,7 +274,7 @@ object AnnPack extends QueryPack {
           col("embedding").as("eb"))
       val truth = orig.join(dups, "pa")
         .withColumn("c", Num.r6(Similarity.cosine(col("ea"), col("eb"))))
-        .filter(col("c") >= 0.9)
+        .filter(!isnan(col("c")) && col("c") >= 0.9) // match the oracle's NOT isnan
         .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
       val caught = truth.count { case (x, y) =>
         lab.contains(x) && lab.get(x) == lab.get(y)

@@ -137,7 +137,13 @@ object TextPack extends QueryPack {
           "graft_fnv64(a) AS w1h))")).as("p"))
         .select(col("doc_id"), col("p.h").as("h"), col("p.w1h").as("w1h"))
       val m = bg.groupBy("doc_id", "h", "w1h").agg(count(lit(1)).as("m"))
-      val types = m.groupBy("h", "w1h").agg(sum("m").as("cbg"))
+      // types key on h ALONE so the lp join below is 1:1 even under an
+      // FNV collision (two grams sharing h but not w1h would otherwise
+      // produce two lp rows and fan out every per-doc occurrence —
+      // code-review r8); the deterministic min(w1h) makes a collision
+      // MERGE gram types, which is the documented trade
+      val types = m.groupBy("h")
+        .agg(sum("m").as("cbg"), min("w1h").as("w1h"))
       val cu = types.groupBy("w1h").agg(sum("cbg").as("cu"))
       val vocab = docs.select(explode(col("words")).as("w"))
         .agg(countDistinct(expr("graft_fnv64(w)")).as("v"))

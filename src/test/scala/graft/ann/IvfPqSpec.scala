@@ -36,10 +36,14 @@ class IvfPqSpec extends SparkSuite {
     val nl = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val np = math.max(math.max(4, math.ceil(math.sqrt(nl.toDouble)).toInt),
       (nl + 5) / 6)
-    val cents = Ivf.centroids(e, nl, n)
+    // normalize centroids and vectors exactly as the operator does —
+    // cosineLocal is scale-invariant only up to Float rounding, so raw
+    // inputs could flip a near-tie argmax vs the operator (code-review r8)
+    val cents = Ivf.centroids(e, nl, n).map { case (i, v) => (i, Pq.normalize(v)) }
     import spark.implicits._
     val vecs = e.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().toMap
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, Pq.normalize(v)) }.toMap
     val probed: Map[Long, Set[Int]] = queriesSet.select("vec_id")
       .as[Long].collect()
       .map(qid => qid -> Ivf.nearestCentroids(vecs(qid), cents, np).toSet).toMap
