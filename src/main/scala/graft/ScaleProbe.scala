@@ -48,6 +48,11 @@ object ScaleProbe {
     // min-of-2 keeps gbt's memoized fit out of the measured pass (the
     // same fits-paid-in-warm accounting Bench uses).
     "stats_ar1_fit", "ml_halving_search", "ml_gbt_backtest",
+    // k-means Lloyd step: broadcast seeds + two partial-agg shuffles —
+    // should scale like the n6 pooling shape (the replica's rotated
+    // copies change WHICH cluster each copy's vectors pick, not the
+    // assignment work per vector)
+    "ml_kmeans_step",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans

@@ -504,6 +504,44 @@ object MlPack extends QueryPack {
         .select(col("event_id"), col("event_type"), cents.as("cents"))
         .withColumn("qn", percent_rank().over(w))
         .select("event_id", "event_type", "qn")
+    }),
+
+    // One deterministic Lloyd (k-means) iteration over the embedding
+    // table: k=8 seed centroids (the vectors with vec_id < 8), every
+    // point assigned to the max-cosine seed (r6-rounded, seed-id
+    // tiebreak), then the cluster re-estimation as exact fixed-point
+    // per-dimension sums (the n6 pooling shape). Scale: seeds broadcast
+    // (k rows), norms computed once per vector, assignment collapses
+    // map-side (partial max over the k candidate rows of each point
+    // before the shuffle), re-estimation shuffles (cluster, pos) keyed
+    // integer counters — the same two-shuffle plan a full distributed
+    // k-means pays per iteration, which is how MLlib's own KMeans
+    // structures Lloyd's at scale.
+    "ml_kmeans_step" -> ((s, dir) => {
+      import graft.ann.Similarity
+      val e = Tables.embeddings(s, dir)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("s_emb"),
+          Similarity.l2norm(col("embedding")).as("s_norm"))
+      val pts = e.select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("p_norm"))
+      val assigned = pts.crossJoin(broadcast(seeds))
+        .withColumn("sim", Num.r6(
+          Similarity.dot(col("embedding"), col("s_emb"))
+            / col("p_norm") / col("s_norm")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("seed_id")).as("neg_seed"))).as("m"),
+          first(col("embedding")).as("emb"))
+        .select((-col("m.neg_seed")).as("cluster_id"), col("emb"))
+      assigned
+        .select(col("cluster_id"), posexplode(col("emb")).as(Seq("pos", "el")))
+        .withColumn("el_e6",
+          expr("CAST(floor(CAST(el AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+        .groupBy("cluster_id", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("el_e6")).as("sum_e6"))
+        .withColumn("centroid",
+          col("sum_e6").cast("double") / (col("n").cast("double") * 1000000.0))
+        .select("cluster_id", "pos", "n", "sum_e6", "centroid")
     })
   )
 
@@ -832,6 +870,33 @@ object MlPack extends QueryPack {
         |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS oh_furniture,
         |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS oh_household,
         |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS oh_machinery
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "ml_kmeans_step" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+        |  WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT e.vec_id, e.embedding, s.seed_id,
+        |    floor(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(s.s_emb AS DOUBLE[]))
+        |      * 1000000 + 0.5) / 1000000 AS sim
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), assign AS (
+        |  SELECT vec_id, embedding, seed_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, seed_id) AS rn
+        |  FROM scored
+        |), a AS (
+        |  SELECT seed_id AS cluster_id, embedding FROM assign WHERE rn = 1
+        |), ex AS (
+        |  SELECT cluster_id, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      AS el_e6
+        |  FROM a, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |)
+        |SELECT cluster_id, pos, count(*) AS n,
+        |  CAST(sum(el_e6) AS BIGINT) AS sum_e6,
+        |  CAST(sum(el_e6) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
+        |FROM ex GROUP BY 1, 2""".stripMargin
   )
 }

@@ -14,6 +14,12 @@ object StreamingPack extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup" -> ((s, dir) => Streams.dedupKeys(s, dir)),
     "st2_stream_window_agg" -> ((s, dir) => Streams.dailyAgg(s, dir)),
+
+    // dropDuplicatesWithinWatermark: watermark-evicted dedup state — the
+    // variant that stays bounded on an unbounded key space (st1's plain
+    // dropDuplicates keeps every key forever).
+    "st9_stream_dedup_within_wm" -> ((s, dir) =>
+      Streams.dedupKeysWithinWatermark(s, dir)),
     "st3_stateful_totals" -> ((s, dir) => Streams.statefulUserTotals(s, dir)),
 
     // Stream-stream inner join (watermarked, time-range-bounded state).
@@ -49,6 +55,8 @@ object StreamingPack extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "st1_stream_dedup" ->
+      "SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events",
+    "st9_stream_dedup_within_wm" ->
       "SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events",
     "st2_stream_window_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -104,6 +104,27 @@ object Streams {
     runToTable(deduped, spark, "graft_stream_dedup", "append")
   }
 
+  /** Stateful streaming dedup via `dropDuplicatesWithinWatermark` — the
+    * scale-correct variant of [[dedupKeys]]. Plain `dropDuplicates` keeps
+    * one state row per key FOREVER (only an event-time key column lets the
+    * watermark evict), so on an unbounded key space (doc hashes, event
+    * ids) state grows without bound. WithinWatermark instead stamps each
+    * state row with its event time and evicts it once the watermark
+    * passes, guaranteeing dedup only for duplicates that arrive within
+    * the watermark delay of each other — exactly the reference's 10-day
+    * lookback contract, with O(keys-per-window) state instead of
+    * O(all-keys-ever). On the bounded single-micro-batch fixture nothing
+    * is evicted mid-stream, so the output equals the batch DISTINCT,
+    * which is the oracle. */
+  def dedupKeysWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", "10 days")
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .select(col("user_id"), col("day"))
+    runToTable(deduped, spark, "graft_stream_dedup_ww", "append")
+  }
+
   /** Arbitrary stateful processing (`flatMapGroupsWithState`): a running
     * per-user event counter + value sum kept in typed state across
     * micro-batches — the KeyValueGroupedDataset custom-state surface

@@ -89,4 +89,30 @@ class MlSpec extends SparkSuite {
     }.filter(col("want") =!= col("seg_idx"))
     assert(mismatch.count() === 0, "seg_idx must be the sorted-vocab position")
   }
+
+  test("ml_kmeans_step: every point assigned once, seeds stay home, exact pooling") {
+    val df = q("ml_kmeans_step").cache()
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val nVecs = emb.count()
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val clusters = df.select("cluster_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(clusters.forall(c => c >= 0 && c < 8), "cluster ids are seed ids")
+      // each point lands in exactly one cluster: per-pos counts sum to n
+      val perPos = df.groupBy("pos").agg(sum("n").as("tot"))
+        .select("tot").distinct().collect().map(_.getLong(0))
+      assert(perPos.toSeq === Seq(nVecs), "every vector assigned exactly once")
+      assert(df.count() === clusters.length.toLong * dim,
+        "one row per (cluster, dim)")
+      // a seed's best cosine match is itself (cos=1): seed 0..7 each
+      // anchor a non-empty cluster
+      assert(clusters.length === 8, "all 8 seed clusters non-empty")
+      // centroid is exactly sum_e6 / (n * 1e6)
+      val bad = df.filter(
+        col("centroid") =!= col("sum_e6").cast("double") /
+          (col("n").cast("double") * 1000000.0)).count()
+      assert(bad === 0, "fixed-point centroid arithmetic")
+    } finally df.unpersist()
+  }
 }

@@ -230,4 +230,22 @@ class PlanAuditSpec extends SparkSuite {
       .findFirstIn(plan).isDefined,
       s"distinct must key on the scored row (post-filter):\n$plan")
   }
+
+  test("ml_kmeans_step: seeds broadcast, two keyed exchanges, partial aggs") {
+    val plan = executedString("ml_kmeans_step")
+    // the k seed rows ride a broadcast, never a shuffled join side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"seeds must broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"one assignment + one re-estimation shuffle, got $exchanges:\n$plan")
+    // both shuffles are fed by map-side partial aggregation: the 8
+    // candidate rows per point collapse to 1 before the vec_id exchange,
+    // and the n·dim explode collapses to k·dim per partition before the
+    // (cluster, pos) exchange
+    assert("SortAggregate\\(key=\\[vec_id".r.findAllIn(plan).size == 2,
+      s"partial + final argmax agg:\n$plan")
+    assert("HashAggregate\\(keys=\\[cluster_id".r.findAllIn(plan).size == 2,
+      s"partial + final pooling agg:\n$plan")
+  }
 }
