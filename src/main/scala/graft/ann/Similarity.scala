@@ -40,6 +40,26 @@ object Similarity {
     * recomputed per PAIR otherwise — the n×k-fold saving at scale). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Assign each (vec_id, embedding) row to its max-cosine seed
+    * (r6-rounded, seed-id tiebreak) → (vec_id, cluster_id, emb). The k
+    * seed rows ride a broadcast and the k candidate rows per point
+    * collapse map-side (partial max over struct) before the vec_id
+    * exchange — the assignment half of a distributed Lloyd iteration,
+    * shared by ml_kmeans_step and the incremental index maintainer (n8). */
+  def assignToSeeds(pts0: DataFrame, seeds0: DataFrame): DataFrame = {
+    val seeds = seeds0.select(col("vec_id").as("seed_id"),
+      col("embedding").as("s_emb"), l2norm(col("embedding")).as("s_norm"))
+    val pts = pts0.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("p_norm"))
+    pts.crossJoin(broadcast(seeds))
+      .withColumn("sim", graft.Num.r6(
+        dot(col("embedding"), col("s_emb")) / col("p_norm") / col("s_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("seed_id")).as("neg_seed"))).as("m"),
+        first(col("embedding")).as("emb"))
+      .select(col("vec_id"), (-col("m.neg_seed")).as("cluster_id"), col("emb"))
+  }
+
   /** Brute-force top-k neighbors for the query set `queries` (vec_id,
     * embedding) against the corpus; deterministic tiebreak on rounded
     * similarity then neighbor id. */

@@ -147,12 +147,31 @@ object AnnPack extends QueryPack {
     graft.ops.Components.connectedComponents(s, pairs)
   }
 
+  /** The n8 standing index: cluster assignments for the base corpus
+    * (vec_id % 10 ≠ 0), computed once per fixture fingerprint and kept
+    * persisted — the daily append run reads it instead of re-assigning
+    * old vectors (at scale this is the parquet index table the previous
+    * run wrote; eviction unpersists a superseded cache). */
+  private def annBaseIndex(s: SparkSession, dir: String): DataFrame =
+    graft.Fingerprint.memoEvict[DataFrame](
+        "ann_base_assign", s"$dir/embeddings.parquet",
+        (d: DataFrame) => { d.unpersist(); () }) {
+      val e = Tables.embeddings(s, dir)
+      val idx = Similarity
+        .assignToSeeds(e.filter(col("vec_id") % 10 =!= 0),
+          e.filter(col("vec_id") < 8))
+        .select(col("vec_id"), col("cluster_id")).persist()
+      idx.count()
+      idx
+    }
+
   /** Benchmark warm-up: pay the memoized |Q|·|C| exact-top-k scan shared
-    * by the n3/n4/n5 recall frames (and d10's exhaustive pair truth)
-    * outside any timed region. */
+    * by the n3/n4/n5 recall frames (and d10's exhaustive pair truth) and
+    * the n8 standing index outside any timed region. */
   override def warm(s: SparkSession, dir: String): Unit = {
     annTruth(s, dir)
     embNeardupTruth(s, dir)
+    annBaseIndex(s, dir)
     ()
   }
 
@@ -298,6 +317,23 @@ object AnnPack extends QueryPack {
     // dim) sums are then exact integers and the centroid is one IEEE
     // division. One partial-agg shuffle keyed by (label, dim): at 100 TB
     // the exchange carries |labels|·dim·|partitions| counters, never rows.
+    // Incremental ANN index maintenance (the d9 pattern on the embedding
+    // side): the standing corpus keeps its persisted cluster-assignment
+    // index; a daily append (modeled as vec_id % 10 == 0) assigns ONLY
+    // the new vectors against the fixed centroids and unions with the
+    // index — never rescanning or re-shuffling the base. Per-vector
+    // assignment is independent of the rest of the corpus, so
+    // incremental == full rebuild, which is what the oracle checks.
+    "n8_ann_incremental_assign" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fresh = Similarity
+        .assignToSeeds(e.filter(col("vec_id") % 10 === 0),
+          e.filter(col("vec_id") < 8))
+        .select(col("vec_id"), col("cluster_id"))
+      annBaseIndex(s, dir).withColumn("is_new", lit(false))
+        .unionByName(fresh.withColumn("is_new", lit(true)))
+    }),
+
     "n6_embedding_centroid" -> ((s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "el")))
@@ -322,6 +358,25 @@ object AnnPack extends QueryPack {
         |  CAST(sum(el_e6) AS BIGINT) AS sum_e6,
         |  CAST(sum(el_e6) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "n8_ann_incremental_assign" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+        |  WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    floor(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(s.s_emb AS DOUBLE[]))
+        |      * 1000000 + 0.5) / 1000000 AS sim
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), assign AS (
+        |  SELECT vec_id, seed_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, seed_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT vec_id, seed_id AS cluster_id,
+        |  (vec_id % 10 = 0) AS is_new
+        |FROM assign WHERE rn = 1""".stripMargin,
     "n1_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  floor((list_cosine_similarity(

@@ -520,19 +520,9 @@ object MlPack extends QueryPack {
     "ml_kmeans_step" -> ((s, dir) => {
       import graft.ann.Similarity
       val e = Tables.embeddings(s, dir)
-      val seeds = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("seed_id"), col("embedding").as("s_emb"),
-          Similarity.l2norm(col("embedding")).as("s_norm"))
-      val pts = e.select(col("vec_id"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("p_norm"))
-      val assigned = pts.crossJoin(broadcast(seeds))
-        .withColumn("sim", Num.r6(
-          Similarity.dot(col("embedding"), col("s_emb"))
-            / col("p_norm") / col("s_norm")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), (-col("seed_id")).as("neg_seed"))).as("m"),
-          first(col("embedding")).as("emb"))
-        .select((-col("m.neg_seed")).as("cluster_id"), col("emb"))
+      val assigned = Similarity
+        .assignToSeeds(e, e.filter(col("vec_id") < 8))
+        .select(col("cluster_id"), col("emb"))
       assigned
         .select(col("cluster_id"), posexplode(col("emb")).as(Seq("pos", "el")))
         .withColumn("el_e6",

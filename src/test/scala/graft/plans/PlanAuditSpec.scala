@@ -231,6 +231,26 @@ class PlanAuditSpec extends SparkSuite {
       s"distinct must key on the scored row (post-filter):\n$plan")
   }
 
+  test("n8: the standing index is read from cache — base vectors are never re-assigned") {
+    // warm builds the persisted base index; the daily-run plan must then
+    // source the base side from the in-memory index, with the only
+    // assignment work the append slice's broadcast-seed argmax
+    graft.queries.AnnPack.warm(spark, sf)
+    val plan = executedString("n8_ann_incremental_assign")
+    // at runtime the base rows come from the cached index, not a rebuild
+    // (the InMemoryRelation node also PRINTS its one-time build plan, so
+    // operator counts over the tree string would double-count — the
+    // runtime property is the cache scan plus the fresh-slice filter)
+    assert(plan.contains("InMemoryTableScan"),
+      s"base side must come from the persisted index:\n$plan")
+    // the only parquet assignment input is the append slice (positive
+    // % 10 = 0 filter; the negated form exists only inside the cached
+    // relation's printed build plan)
+    assert("Filter \\(isnotnull\\(vec_id#\\d+L?\\) AND \\(\\(vec_id#\\d+L? % 10\\) = 0\\)\\)".r
+      .findFirstIn(plan).isDefined,
+      s"fresh side must scan only the append slice:\n$plan")
+  }
+
   test("ml_kmeans_step: seeds broadcast, two keyed exchanges, partial aggs") {
     val plan = executedString("ml_kmeans_step")
     // the k seed rows ride a broadcast, never a shuffled join side
