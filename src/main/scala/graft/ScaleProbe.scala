@@ -38,6 +38,9 @@ object ScaleProbe {
     // BPE trainer: per-round pair counts run over the word-frequency
     // table (vocabulary-sized), not the corpus — only round 0 scans text
     "t14_bpe_train",
+    // BPE encoder: map-only corpus scan with the merge table applied as
+    // literal replaces — should track t2's slope (merge fit paid in warm)
+    "t15_bpe_encode",
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica

@@ -18,6 +18,97 @@ object TextPack extends QueryPack {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** The t14 BPE trainer body: 4 rounds of corpus-weighted pair counts
+    * over the word-frequency table → deterministic argmax → literal merge
+    * rewrite. Returns (round, pair, freq). Shared by the t14 query (which
+    * times the trainer live) and the t15 encoder (which treats the merge
+    * table as a model artifact, memoized per fixture fingerprint). */
+  private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, Long)] = {
+    val rounds = 4
+    var words = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
+        col("freq"))
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var r = 1
+    while (r <= rounds) {
+      val top = words
+        .select(col("freq"), split(col("sym"), " ").as("ss"))
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(ss) >= 2 THEN zip_with(slice(ss, 1, size(ss) - 1), " +
+          "slice(ss, 2, size(ss) - 1), (a, b) -> concat(a, ' ', b)) " +
+          "ELSE array() END")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        merges += ((r, pair, top(0).getLong(1)))
+        val pat = lit(" " + pair + " ")
+        val rep = lit(" " + pair.replace(" ", "") + " ")
+        def rewrite(c: org.apache.spark.sql.Column) =
+          call_function("replace", c, pat, rep)
+        val next = words.withColumn("sym",
+          trim(rewrite(rewrite(concat(lit(" "), col("sym"), lit(" "))))))
+          .persist()
+        next.count()
+        words.unpersist(false)
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist(false)
+    merges.toSeq
+  }
+
+  /** The t14 trainer replayed as DuckDB CTEs (w0 + 4 unrolled rounds,
+    * the g1 PageRank pattern) — shared by the t14 and t15 oracles. */
+  private lazy val bpeOracleCtes: String = {
+    def round(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(ss)),
+         |      j -> ss[j] || ' ' || ss[j + 1])) AS pair
+         |    FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS ss FROM $prev)
+         |  ) GROUP BY 1
+         |), m$i AS (
+         |  SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1
+         |), w$i AS (
+         |  SELECT trim(replace(replace(' ' || sym || ' ',
+         |      ' ' || (SELECT pair FROM m$i) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' '),
+         |      ' ' || (SELECT pair FROM m$i) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' ')) AS sym,
+         |    freq
+         |  FROM $prev
+         |)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+       |    count(*) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1
+       |), ${(1 to 4).map(round).mkString(", ")}""".stripMargin
+  }
+
+  /** t15's merge table, memoized per fixture fingerprint — at scale the
+    * previous training run's persisted artifact, like the GBT models. */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, Long)] =
+    graft.Fingerprint.memo("bpe_merges", s"$dir/documents.parquet") {
+      bpeTrain(s, dir)
+    }
+
+  /** Benchmark warm-up: pay the one-time merge-table fit outside the
+    * t15-encode timed region (t14 itself times the trainer live). */
+  override def warm(s: SparkSession, dir: String): Unit = {
+    bpeMerges(s, dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Whitespace token count + BPE-ish regex token count.
     "t1_token_count" -> ((s, dir) =>
@@ -309,43 +400,37 @@ object TextPack extends QueryPack {
     // lineage growth like Components does.
     "t14_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val rounds = 4
-      var words = Tables.documents(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
-          col("freq"))
-        .persist()
-      words.count()
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-      var r = 1
-      while (r <= rounds) {
-        val top = words
-          .select(col("freq"), split(col("sym"), " ").as("ss"))
-          .select(col("freq"), explode(expr(
-            "CASE WHEN size(ss) >= 2 THEN zip_with(slice(ss, 1, size(ss) - 1), " +
-            "slice(ss, 2, size(ss) - 1), (a, b) -> concat(a, ' ', b)) " +
-            "ELSE array() END")).as("pair"))
-          .groupBy("pair").agg(sum("freq").as("c"))
-          .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
-        if (top.nonEmpty) {
-          val pair = top(0).getString(0)
-          merges += ((r, pair, top(0).getLong(1)))
-          val pat = lit(" " + pair + " ")
-          val rep = lit(" " + pair.replace(" ", "") + " ")
-          def rewrite(c: org.apache.spark.sql.Column) =
-            call_function("replace", c, pat, rep)
-          val next = words.withColumn("sym",
-            trim(rewrite(rewrite(concat(lit(" "), col("sym"), lit(" "))))))
-            .persist()
-          next.count()
-          words.unpersist(false)
-          words = next
-        }
-        r += 1
+      bpeTrain(s, dir).toDF("round", "pair", "freq")
+    }),
+
+    // BPE tokenizer APPLICATION — the other half of t14: encode every
+    // document with the learned merge table and count tokens per doc.
+    // The merge table is a model artifact (memoized, paid in warm, like
+    // the GBT fits); encoding itself is MAP-ONLY — per word: char-split,
+    // apply the 4 merges in learned order (same double-replace semantics
+    // t14 defines), count symbols — composed entirely from higher-order
+    // array functions, so the corpus scan never shuffles. The oracle
+    // replays the trainer in SQL (the t14 CTE chain) and applies the
+    // same replaces per word, so learned merges AND their application
+    // are both cross-checked.
+    "t15_bpe_encode" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).map(_._2)
+      require(merges.forall(_.matches("[\\w ]+")),
+        s"merge pairs must be plain word chars (SQL-literal safety): $merges")
+      // per-word token count: ' c h a r s ' -> merges applied in order
+      // (each twice, the defined non-overlap semantics) -> symbol count
+      val charSplit = "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')"
+      val applied = merges.foldLeft(charSplit) { (acc, p) =>
+        val m = p.replace(" ", "")
+        s"replace(replace($acc, ' $p ', ' $m '), ' $p ', ' $m ')"
       }
-      words.unpersist(false)
-      merges.toSeq.toDF("round", "pair", "freq")
+      Tables.documents(s, dir)
+        .withColumn("words", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          expr(s"CAST(aggregate(transform(words, " +
+            s"w -> size(split(trim($applied), ' '))), 0, " +
+            "(acc, x) -> acc + x) AS BIGINT)").as("n_tokens"))
     })
   )
 
@@ -460,39 +545,36 @@ object TextPack extends QueryPack {
     // literal replace has the same all-non-overlapping-left-to-right
     // semantics as Spark's, and the double application is part of the
     // operator's defined merge semantics
-    "t14_bpe_train" -> {
-      def round(i: Int): String = {
-        val prev = s"w${i - 1}"
-        s"""p$i AS (
-           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(ss)),
-           |      j -> ss[j] || ' ' || ss[j + 1])) AS pair
-           |    FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS ss FROM $prev)
-           |  ) GROUP BY 1
-           |), m$i AS (
-           |  SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1
-           |), w$i AS (
-           |  SELECT trim(replace(replace(' ' || sym || ' ',
-           |      ' ' || (SELECT pair FROM m$i) || ' ',
-           |      ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' '),
-           |      ' ' || (SELECT pair FROM m$i) || ' ',
-           |      ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' ')) AS sym,
-           |    freq
-           |  FROM $prev
-           |)""".stripMargin
-      }
-      s"""WITH w0 AS (
-         |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
-         |    count(*) AS freq
-         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-         |        FROM documents)
-         |  GROUP BY 1
-         |), ${(1 to 4).map(round).mkString(", ")}
+    "t14_bpe_train" ->
+      s"""$bpeOracleCtes
          |SELECT 1 AS round, pair, c AS freq FROM m1
          |UNION ALL SELECT 2, pair, c FROM m2
          |UNION ALL SELECT 3, pair, c FROM m3
-         |UNION ALL SELECT 4, pair, c FROM m4""".stripMargin
-    },
+         |UNION ALL SELECT 4, pair, c FROM m4""".stripMargin,
+
+    // Replays the trainer (the same CTE chain t14's oracle hash-matches),
+    // hoists the 4 learned pairs into columns (lambdas can reference row
+    // columns, not scalar subqueries), and applies the identical
+    // double-replace per word.
+    "t15_bpe_encode" ->
+      s"""$bpeOracleCtes, mm AS (
+         |  SELECT (SELECT pair FROM m1) AS q1, (SELECT pair FROM m2) AS q2,
+         |    (SELECT pair FROM m3) AS q3, (SELECT pair FROM m4) AS q4
+         |), d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words,
+         |    q1, q2, q3, q4
+         |  FROM documents CROSS JOIN mm
+         |)
+         |SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(words, w -> len(string_split(trim(
+         |    ${Seq("q1", "q2", "q3", "q4").foldLeft(
+              "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '") {
+                (acc, q) =>
+                  s"replace(replace($acc, ' ' || $q || ' ', " +
+                    s"' ' || replace($q, ' ', '') || ' '), ' ' || $q || ' ', " +
+                    s"' ' || replace($q, ' ', '') || ' ')"
+              }}), ' ')))) AS BIGINT) AS n_tokens
+         |FROM d""".stripMargin,
     "t13_lm_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
