@@ -56,6 +56,10 @@ object ScaleProbe {
     // copies change WHICH cluster each copy's vectors pick, not the
     // assignment work per vector)
     "ml_kmeans_step",
+    // incremental index maintenance: min-of-2 keeps the one-time base
+    // index build out of the measured pass (the d9/gbt accounting) — the
+    // timed region is the append slice's assignment + cached union
+    "n8_ann_incremental_assign",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans
