@@ -157,4 +157,39 @@ object Ranks {
     }
     s.createDataFrame(rdd, schema)
   }
+
+  /** Appends the running total of `valCol` (LongType) under the global
+    * total order `order` — the distributed scan primitive: range-
+    * partitioned sort, one pass collecting per-partition subtotals
+    * (numPartitions longs on the driver — the zipWithIndex accounting),
+    * exclusive offsets broadcast, then a map-only second pass. Replaces
+    * the single-partition `sum() OVER (ORDER BY …)` funnel the same way
+    * globalRank replaces the row_number one. `order` must be a total
+    * order or per-partition re-evaluation could disagree with the
+    * subtotal pass (Spark's range sampler is seeded, so equal-key
+    * placement is deterministic only when keys aren't equal). */
+  def globalPrefixSum(df: DataFrame, valCol: String, order: Seq[Column],
+      cumCol: String): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(valCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = 0L
+      it.foreach(r => acc += r.getLong(idx))
+      Iterator.single((i, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = s.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(cumCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        acc += r.getLong(idx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
 }

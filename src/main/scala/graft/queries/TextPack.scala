@@ -431,6 +431,32 @@ object TextPack extends QueryPack {
           expr(s"CAST(aggregate(transform(words, " +
             s"w -> size(split(trim($applied), ' '))), 0, " +
             "(acc, x) -> acc + x) AS BIGINT)").as("n_tokens"))
+    }),
+
+    // Token-budget data selection: rank the corpus by a quality signal
+    // (stopword hits — the natural-language proxy t2 defines; doc_id
+    // tiebreak makes the order total) and keep documents until the
+    // running token total reaches 60% of the corpus. The running total
+    // uses the distributed scan primitive (Ranks.globalPrefixSum:
+    // range-partitioned sort, bounded subtotal collect, broadcast
+    // offsets, map-only second pass) — never the single-partition
+    // `sum() OVER (ORDER BY …)` funnel. The budget scalar attaches via
+    // broadcast (the t6 corpus-stats pattern), in exact integer math
+    // (total·6 div 10).
+    "t16_token_budget_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("words", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_tokens"),
+          size(expr(s"filter(words, w -> w IN (${sqlList(stopEn)}))"))
+            .cast("long").as("stop_hits"))
+      val budget = docs.agg(
+        expr("sum(n_tokens) * 6 div 10").as("budget"))
+      graft.Ranks.globalPrefixSum(docs, "n_tokens",
+          Seq(col("stop_hits").desc, col("doc_id").asc), "cum_tokens")
+        .crossJoin(broadcast(budget))
+        .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+          col("cum_tokens"), (col("cum_tokens") <= col("budget")).as("selected"))
     })
   )
 
@@ -575,6 +601,26 @@ object TextPack extends QueryPack {
                     s"' ' || replace($q, ' ', '') || ' ')"
               }}), ' ')))) AS BIGINT) AS n_tokens
          |FROM d""".stripMargin,
+
+    "t16_token_budget_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN (${sqlList(stopEn)}))) AS BIGINT) AS stop_hits
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, n_tokens, stop_hits,
+         |    CAST(sum(n_tokens) OVER (ORDER BY stop_hits DESC, doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM t
+         |), b AS (
+         |  SELECT CAST(sum(n_tokens) * 6 // 10 AS BIGINT) AS budget FROM t
+         |)
+         |SELECT doc_id, n_tokens, stop_hits, cum_tokens,
+         |  cum_tokens <= budget AS selected
+         |FROM o CROSS JOIN b""".stripMargin,
     "t13_lm_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words

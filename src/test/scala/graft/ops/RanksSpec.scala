@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkSuite
+
+/** The distributed scan primitive vs the single-partition window it
+  * replaces — must agree exactly across range-partition boundaries. */
+class RanksSpec extends SparkSuite {
+
+  test("globalPrefixSum equals the one-partition running sum on a total order") {
+    val df = spark.range(0, 10000)
+      .select(col("id"),
+        pmod(col("id") * 2654435761L, lit(997)).as("k"),
+        (pmod(col("id") * 40503L, lit(100)) + 1).as("v"))
+    // AQE would coalesce a 10k-row sort to one partition and the
+    // cross-boundary property would go untested — pin it off here
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val got = try {
+      val g = graft.Ranks.globalPrefixSum(df, "v",
+        Seq(col("k").desc, col("id").asc), "cum")
+      g.cache().count()
+      g
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // ground truth: the funnel shape (fine at test scale)
+    val w = Window.orderBy(col("k").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum_w", sum(col("v")).over(w))
+    val mism = got.join(want, Seq("id"))
+      .filter(col("cum") =!= col("cum_w")).count()
+    assert(mism === 0, "prefix sums must match across partition boundaries")
+    // the cached result really crossed range-partition boundaries
+    assert(got.rdd.getNumPartitions > 1,
+      "prefix sum must run over a multi-partition range sort")
+    got.unpersist()
+  }
+}
