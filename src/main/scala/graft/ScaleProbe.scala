@@ -41,6 +41,9 @@ object ScaleProbe {
     // BPE encoder: map-only corpus scan with the merge table applied as
     // literal replaces — should track t2's slope (merge fit paid in warm)
     "t15_bpe_encode",
+    // token-budget selection: range sort + two linear passes (the scan
+    // primitive) — should track the sc4 global-rank slope
+    "t16_token_budget_select",
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica
