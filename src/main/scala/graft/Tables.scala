@@ -169,7 +169,14 @@ object Ranks {
     * subtotal pass (Spark's range sampler is seeded, so equal-key
     * placement is deterministic only when keys aren't equal). */
   def globalPrefixSum(df: DataFrame, valCol: String, order: Seq[Column],
-      cumCol: String): DataFrame = {
+      cumCol: String): DataFrame =
+    globalPrefixSumWithTotal(df, valCol, order, cumCol)._1
+
+  /** [[globalPrefixSum]] plus the grand total, which the subtotal pass
+    * already computed (offsets.last) — callers needing the corpus total
+    * (e.g. a budget knob) read it here instead of paying another scan. */
+  def globalPrefixSumWithTotal(df: DataFrame, valCol: String,
+      order: Seq[Column], cumCol: String): (DataFrame, Long) = {
     val s = df.sparkSession
     val sorted = df.orderBy(order: _*)
     val idx = sorted.schema.fieldIndex(valCol)
@@ -190,6 +197,6 @@ object Ranks {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
     }
-    s.createDataFrame(out, schema)
+    (s.createDataFrame(out, schema), offsets.last)
   }
 }

@@ -346,6 +346,31 @@ object AnnPack extends QueryPack {
         .select("label", "pos", "n", "sum_e6", "centroid"))
   )
 
+  /** The broadcast-seed argmax assignment replayed as DuckDB CTEs —
+    * ends at `a(vec_id, cluster_id, embedding)`. Shared by the n8 and
+    * ml_kmeans_step oracles so the assignment semantics (the rounding
+    * constant, the seed-id tiebreak) that both check against
+    * [[Similarity.assignToSeeds]] live in exactly one place. */
+  private[queries] val seedAssignOracleCtes: String =
+    """WITH seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+      |  WHERE vec_id < 8
+      |), scored AS (
+      |  SELECT e.vec_id, e.embedding, s.seed_id,
+      |    floor(list_cosine_similarity(
+      |      CAST(e.embedding AS DOUBLE[]), CAST(s.s_emb AS DOUBLE[]))
+      |      * 1000000 + 0.5) / 1000000 AS sim
+      |  FROM embeddings e CROSS JOIN seeds s
+      |), assign AS (
+      |  SELECT vec_id, embedding, seed_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, seed_id) AS rn
+      |  FROM scored
+      |), a AS (
+      |  SELECT vec_id, seed_id AS cluster_id, embedding
+      |  FROM assign WHERE rn = 1
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "n6_embedding_centroid" ->
       """WITH e AS (
@@ -359,24 +384,9 @@ object AnnPack extends QueryPack {
         |  CAST(sum(el_e6) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
         |FROM e GROUP BY 1, 2""".stripMargin,
     "n8_ann_incremental_assign" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
-        |  WHERE vec_id < 8
-        |), scored AS (
-        |  SELECT e.vec_id, s.seed_id,
-        |    floor(list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), CAST(s.s_emb AS DOUBLE[]))
-        |      * 1000000 + 0.5) / 1000000 AS sim
-        |  FROM embeddings e CROSS JOIN seeds s
-        |), assign AS (
-        |  SELECT vec_id, seed_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, seed_id) AS rn
-        |  FROM scored
-        |)
-        |SELECT vec_id, seed_id AS cluster_id,
-        |  (vec_id % 10 = 0) AS is_new
-        |FROM assign WHERE rn = 1""".stripMargin,
+      s"""$seedAssignOracleCtes
+         |SELECT vec_id, cluster_id, (vec_id % 10 = 0) AS is_new
+         |FROM a""".stripMargin,
     "n1_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  floor((list_cosine_similarity(

@@ -862,23 +862,7 @@ object MlPack extends QueryPack {
         |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS oh_machinery
         |FROM customer""".stripMargin,
     "ml_kmeans_step" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
-        |  WHERE vec_id < 8
-        |), scored AS (
-        |  SELECT e.vec_id, e.embedding, s.seed_id,
-        |    floor(list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), CAST(s.s_emb AS DOUBLE[]))
-        |      * 1000000 + 0.5) / 1000000 AS sim
-        |  FROM embeddings e CROSS JOIN seeds s
-        |), assign AS (
-        |  SELECT vec_id, embedding, seed_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, seed_id) AS rn
-        |  FROM scored
-        |), a AS (
-        |  SELECT seed_id AS cluster_id, embedding FROM assign WHERE rn = 1
-        |), ex AS (
+      s"""${AnnPack.seedAssignOracleCtes}, ex AS (
         |  SELECT cluster_id, i - 1 AS pos,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
         |      AS el_e6

@@ -440,9 +440,9 @@ object TextPack extends QueryPack {
     // uses the distributed scan primitive (Ranks.globalPrefixSum:
     // range-partitioned sort, bounded subtotal collect, broadcast
     // offsets, map-only second pass) — never the single-partition
-    // `sum() OVER (ORDER BY …)` funnel. The budget scalar attaches via
-    // broadcast (the t6 corpus-stats pattern), in exact integer math
-    // (total·6 div 10).
+    // `sum() OVER (ORDER BY …)` funnel. The budget derives from the
+    // grand total the subtotal pass already collected (exact integer
+    // math, total·6 div 10) — no separate corpus scan.
     "t16_token_budget_select" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("words", split(trim(col("text")), "\\s+"))
@@ -450,13 +450,11 @@ object TextPack extends QueryPack {
           size(col("words")).cast("long").as("n_tokens"),
           size(expr(s"filter(words, w -> w IN (${sqlList(stopEn)}))"))
             .cast("long").as("stop_hits"))
-      val budget = docs.agg(
-        expr("sum(n_tokens) * 6 div 10").as("budget"))
-      graft.Ranks.globalPrefixSum(docs, "n_tokens",
-          Seq(col("stop_hits").desc, col("doc_id").asc), "cum_tokens")
-        .crossJoin(broadcast(budget))
-        .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
-          col("cum_tokens"), (col("cum_tokens") <= col("budget")).as("selected"))
+      val (withCum, total) = graft.Ranks.globalPrefixSumWithTotal(docs,
+        "n_tokens", Seq(col("stop_hits").desc, col("doc_id").asc), "cum_tokens")
+      val budget = total * 6 / 10
+      withCum.select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+        col("cum_tokens"), (col("cum_tokens") <= lit(budget)).as("selected"))
     })
   )
 
