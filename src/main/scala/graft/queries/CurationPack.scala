@@ -43,6 +43,32 @@ object CurationPack extends QueryPack {
         .withColumn("split", splitFromBucket(col("bucket")))
         .select("doc_id", "bucket", "split")),
 
+    // Source-mix rebalancing (the DoReMi-style downsampling step): bring
+    // every source to the uniform target share by hash-thresholded keep
+    // decisions. keep_rate(s) = min(1, target/actual) becomes an exact
+    // integer threshold over the 0..255 md5-byte space:
+    // thr = min(256, 256·total div (n_sources·cnt_s)); a doc survives iff
+    // its salted key byte < thr — deterministic, reproducible across
+    // engines and runs, membership survives text edits (the c1 rule).
+    // Scale: one partial-agg shuffle for per-source counts, thresholds
+    // broadcast back (a source-cardinality dim), keep decision map-only.
+    "c12_source_rebalance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val totals = counts.agg(sum("cnt").as("total"),
+        count(lit(1)).as("n_sources"))
+      val thr = counts.crossJoin(broadcast(totals))
+        .select(col("source"),
+          least(lit(256L),
+            expr("256 * total div (n_sources * cnt)")).as("thr"))
+      docs.join(broadcast(thr), "source")
+        .withColumn("rs_bucket",
+          conv(substring(md5(concat(lit("rs"), col("doc_id").cast("string"))),
+            1, 2), 16, 10).cast("long"))
+        .select(col("doc_id"), col("source"), col("rs_bucket"), col("thr"),
+          (col("rs_bucket") < col("thr")).as("kept"))
+    }),
+
     // PII redaction sweep: synthesize a deterministic contact line per doc
     // (the fixture corpus is clean word-salad), then regex-redact emails /
     // phone numbers / bare IPv4s and count each hit class. Conservative
@@ -362,6 +388,24 @@ object CurationPack extends QueryPack {
         |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "c12_source_rebalance" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS n_sources FROM c
+        |), thr AS (
+        |  SELECT source,
+        |    least(256, 256 * total // (n_sources * cnt)) AS thr
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT doc_id, source,
+        |  CAST(CAST('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |    AS INT) AS BIGINT) AS rs_bucket,
+        |  CAST(thr AS BIGINT) AS thr,
+        |  CAST(CAST('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |    AS INT) AS BIGINT) < thr AS kept
+        |FROM documents JOIN thr USING (source)""".stripMargin,
     "c2_pii_redact" ->
       s"""WITH raw AS (
          |  SELECT doc_id,
