@@ -25,6 +25,13 @@ object StreamingPack extends QueryPack {
     // Stream-stream inner join (watermarked, time-range-bounded state).
     "st5_stream_stream_join" -> ((s, dir) => Streams.clickPurchaseJoin(s, dir)),
 
+    // Stream-stream LEFT OUTER join: unmatched clicks flush with null
+    // purchases when the watermark passes their window (sentinel-advanced
+    // on the bounded fixture) — the state-eviction semantics st5's inner
+    // join never exercises.
+    "st10_stream_outer_join" -> ((s, dir) =>
+      Streams.clickPurchaseOuterJoin(s, dir)),
+
     // Stream-static broadcast enrichment (stateless dimension join per
     // micro-batch feeding a stateful aggregation).
     "st8_stream_static_join" -> ((s, dir) => Streams.streamStaticEnrich(s, dir)),
@@ -79,6 +86,12 @@ object StreamingPack extends QueryPack {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
     "st6_foreachbatch_sink" ->
       "SELECT event_id, user_id, CAST(ts AS DATE) AS day, value FROM events",
+    "st10_stream_outer_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'click'""".stripMargin,
     "st8_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

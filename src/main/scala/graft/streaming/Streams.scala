@@ -236,6 +236,110 @@ object Streams {
     runToTable(joined, spark, "graft_stream_join", "append")
   }
 
+  /** Stream-stream LEFT OUTER join under watermarks: like
+    * [[clickPurchaseJoin]] but unmatched clicks must also surface (with a
+    * null purchase) — which only happens when the watermark passes the
+    * click's join-window expiration and its buffered state flushes. On a
+    * bounded fixture the watermark stops short of the tail rows, so the
+    * staged input adds one far-future sentinel per side: after the data
+    * batch, both watermarks jump past every real event and the trailing
+    * no-data micro-batch (Spark emits one on watermark movement) flushes
+    * every unmatched click. Sentinels carry negative user ids and are
+    * filtered from the result, so the output equals the batch LEFT JOIN —
+    * the oracle. At scale the sentinel trick is unnecessary (real streams
+    * keep advancing the watermark); the bounded-state contract is the
+    * same two-sided time-range constraint st5 pins. */
+  def clickPurchaseOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    // stage: fixture file + a sentinel file with one far-future row per
+    // join side (the sentinel must pass each side's event_type filter to
+    // advance THAT side's watermark)
+    val inDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_outer/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the streaming file source lists only the top-level directory (it
+    // ignores recursiveFileLookup), so each sentinel must land as a FLAT
+    // file next to events.parquet — write to a scratch dir and move the
+    // part file up
+    def writeSentinels(name: String, when: String): Unit = {
+      val at = java.sql.Timestamp.valueOf(when)
+      val rows = spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, at, -1L, "click", 0.0, "{}"),
+          org.apache.spark.sql.Row(-2L, at, -2L, "purchase", 0.0, "{}")),
+        StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+      val cast = tsType match {
+        case LongType => rows.withColumn("ts",
+          expr("unix_micros(ts) * 1000")) // nanos-as-long fixture shape
+        case _ => rows.withColumn("ts", col("ts").cast(tsType))
+      }
+      val scratch = inDir.resolve(s"_${name}_build")
+      cast.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel part file not found"))
+      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+    writeSentinels("sentinel", "2100-01-01 00:00:00")
+    // a second sentinel is staged AFTER the first drain (below): outer-join
+    // null emission uses the PREVIOUS batch's watermark, so one more data
+    // batch must run after the watermark has already jumped past the tail
+    java.nio.file.Files.deleteIfExists(inDir.resolve("sentinel2.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream0 = spark.readStream.schema(schema).parquet(inDir.toString)
+    val stream = tsType match {
+      case LongType => stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => stream0.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    val clicks = stream.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 day")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 day")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+    // NOTE: the sentinel exclusion must NOT be part of the streaming plan —
+    // a predicate like user_id >= 0 would be pushed through the outer join
+    // down to the parquet scans, where row-group stats prune the
+    // sentinel FILES entirely and the watermark never sees them (found
+    // the hard way: the join's watermark stalled at the real data's max
+    // while a filterless count read the sentinels fine). Sentinels are
+    // filtered from the RESULT table instead, in batch context.
+    // inline runToTable so the second sentinel can land between drains
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_stream_outer_join").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        writeSentinels("sentinel2", "2101-01-01 00:00:00")
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table("graft_stream_outer_join").filter(col("user_id") >= 0)
+  }
+
   /** The production sink path: `foreachBatch` writing day-partitioned
     * parquet with DYNAMIC partition overwrite — re-processing a batch
     * replaces exactly the partitions it touches (the reference Glue job's
