@@ -175,4 +175,35 @@ class CurationSpec extends SparkSuite {
     assert(multi > 0, "fixture must exercise real URL collisions")
     r.unpersist()
   }
+
+  test("c12 rebalance: exact thresholds, binomial keep counts, determinism") {
+    val r = q("c12_source_rebalance")(spark, sf).cache()
+    try {
+      val n = r.count()
+      val nSources = r.select("source").distinct().count()
+      val stats = r.groupBy("source").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+          first("thr").as("thr"))
+        .collect()
+      for (row <- stats) {
+        val (cnt, kept, thr) = (row.getAs[Long]("cnt"),
+          row.getAs[Long]("kept"), row.getAs[Long]("thr"))
+        // threshold reproduces the exact integer rule
+        assert(thr === math.min(256L, 256L * n / (nSources * cnt)),
+          s"${row.getString(0)}: thr")
+        if (thr >= 256L) assert(kept === cnt, "under-target sources keep all")
+        else {
+          // kept ~ Binomial(cnt, thr/256): assert within 4 sigma
+          val p = thr.toDouble / 256.0
+          val sigma = math.sqrt(cnt * p * (1 - p))
+          assert(math.abs(kept - cnt * p) <= 4 * sigma + 1,
+            s"${row.getString(0)}: kept=$kept expect≈${cnt * p}")
+        }
+      }
+      // membership is a pure function of doc_id — identical across runs
+      val again = q("c12_source_rebalance")(spark, sf)
+      assert(r.except(again).count() === 0 && again.except(r).count() === 0)
+    } finally r.unpersist()
+  }
 }
