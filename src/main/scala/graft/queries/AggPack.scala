@@ -55,6 +55,35 @@ object AggPack extends QueryPack {
           (abs(col("approx") - col("exact_parts")) / col("exact_parts") <= 0.15)
             .as("within_rel_015"))),
 
+    // Mergeable-sketch distinct counting — the pre-aggregation pattern a
+    // 100 TB deployment actually runs: one fixed-width HLL sketch per
+    // (day) partition built in a partial-agg shuffle (hll_sketch_agg),
+    // then sketches UNIONED across partitions (hll_union_agg) instead of
+    // ever re-shuffling raw ids. Daily sketches are storable artifacts:
+    // yesterday's sketch merges with today's without touching old data —
+    // count(DISTINCT) can't do that. Driver-checked as an invariant
+    // frame: per-day and unioned estimates within the published HLL
+    // error envelope of the exact counts the oracle recomputes.
+    "a17_hll_union" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val union = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est_total"))
+      val total = Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("exact_total"))
+      daily.select(col("day"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+            / col("exact_users") <= 0.05).as("day_within_rel_005"))
+        .crossJoin(broadcast(union)).crossJoin(broadcast(total))
+        .select(col("day"), col("exact_users"), col("day_within_rel_005"),
+          col("exact_total"),
+          (abs(col("est_total") - col("exact_total"))
+            / col("exact_total") <= 0.05).as("union_within_rel_005"))
+    }),
+
     // A3: validation counts — the reference's 9 uncached count()
     // CHECKPOINTs (glue.py:93-229) folded into ONE cached aggregate pass.
     "a3_validation_counts" -> ((s, dir) => {
@@ -239,6 +268,13 @@ object AggPack extends QueryPack {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |       true AS within_rel_015
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a17_hll_union" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS day_within_rel_005,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS exact_total,
+        |  true AS union_within_rel_005
+        |FROM events GROUP BY 1""".stripMargin,
     "a3_validation_counts" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,
