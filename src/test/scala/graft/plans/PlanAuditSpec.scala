@@ -251,6 +251,29 @@ class PlanAuditSpec extends SparkSuite {
       s"fresh side must scan only the append slice:\n$plan")
   }
 
+  test("a17: sketches build partial+final; union runs over sketch rows, not raw ids") {
+    val plan = executedString("a17_hll_union")
+    // the day-sketch aggregation is a partial+final HashAggregate pair —
+    // the exchange carries per-partition sketches, never raw user ids
+    assert("HashAggregate\\(keys=\\[day".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("hll_sketch_agg"), plan)
+    // the cross-day union and the exact-total checker attach by broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("c12: thresholds attach via broadcast, keep decision is map-side") {
+    val plan = executedString("c12_source_rebalance")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // every hash exchange keys on `source` (the counting aggregation,
+    // whose subtree both the threshold and total consumers recompute) —
+    // the full corpus never re-shuffles on a row key
+    val keyed = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_ == "source"),
+      s"only source-keyed counting shuffles allowed, got $keyed:\n$plan")
+  }
+
   test("ml_kmeans_step: seeds broadcast, two keyed exchanges, partial aggs") {
     val plan = executedString("ml_kmeans_step")
     // the k seed rows ride a broadcast, never a shuffled join side
