@@ -44,6 +44,12 @@ object ScaleProbe {
     // token-budget selection: range sort + two linear passes (the scan
     // primitive) — should track the sc4 global-rank slope
     "t16_token_budget_select",
+    // source rebalance: one source-keyed counting shuffle + broadcast
+    // thresholds + map-only decision — should track c1's slope
+    "c12_source_rebalance",
+    // mergeable HLL sketches: partial-agg day shuffle carries sketches;
+    // the exact-distinct checker dominates (it's the verification half)
+    "a17_hll_union",
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica
