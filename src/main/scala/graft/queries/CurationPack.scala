@@ -69,6 +69,29 @@ object CurationPack extends QueryPack {
           (col("rs_bucket") < col("thr")).as("kept"))
     }),
 
+    // Unicode NFC canonicalization (native codegen Expression): corpora
+    // that mix normalization forms (decomposed e+U+0301 vs precomposed
+    // U+00E9 — different OCR/export toolchains) must canonicalize BEFORE
+    // hashing/dedup or identical text fingerprints differently and
+    // near-dup recall silently drops. The ASCII fixture gets a synthesized
+    // per-doc accent tail in alternating forms (the c2 pattern); DuckDB's
+    // nfc_normalize implements the same Unicode mapping, so the check is
+    // exact. Map-only: one codegen'd scan, no shuffle.
+    "c13_unicode_normalize" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      val raw = concat(col("text"), lit(" caf"),
+        when(col("doc_id") % 2 === 0, lit("\u00e9"))     // precomposed (NFC)
+          .otherwise(lit("e\u0301")))                    // decomposed (NFD)
+      Tables.documents(s, dir)
+        .withColumn("raw", raw)
+        .withColumn("norm", call_function("graft_nfc", col("raw")))
+        .select(col("doc_id"),
+          (col("raw") =!= col("norm")).as("changed"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(col("norm")).cast("long").as("len_norm"),
+          expr("right(norm, 4)").as("tail"))
+    }),
+
     // PII redaction sweep: synthesize a deterministic contact line per doc
     // (the fixture corpus is clean word-salad), then regex-redact emails /
     // phone numbers / bare IPv4s and count each hit class. Conservative
@@ -406,6 +429,20 @@ object CurationPack extends QueryPack {
         |  CAST(CAST('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 2)
         |    AS INT) AS BIGINT) < thr AS kept
         |FROM documents JOIN thr USING (source)""".stripMargin,
+    "c13_unicode_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' caf' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN chr(233)
+        |           ELSE 'e' || chr(769) END AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  raw != nfc_normalize(raw) AS changed,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm,
+        |  right(nfc_normalize(raw), 4) AS tail
+        |FROM r""".stripMargin,
     "c2_pii_redact" ->
       s"""WITH raw AS (
          |  SELECT doc_id,
