@@ -52,7 +52,7 @@ object MlPack extends QueryPack {
       val ranked = gbtRanked(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = ranked.agg(count(lit(1))).head.getLong(0)
+        val n = ranked.agg(count(lit(1))).head().getLong(0)
         val tsSz = n / 6
         val fits = (0 until 5).map { fold =>
           val start = n - (5 - fold) * tsSz
@@ -364,7 +364,7 @@ object MlPack extends QueryPack {
         .withColumn("r", col("r1") - 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-      val n = ranked.agg(count(lit(1))).head.getLong(0)
+      val n = ranked.agg(count(lit(1))).head().getLong(0)
       val tsSz = n / 6
       val ntf = n - tsSz
       val rounds = 3

@@ -114,7 +114,7 @@ object ScalePack extends QueryPack {
         .BloomFilterAggregate(new XxHash64(Seq(expression(col("o_orderkey")))),
           Literal(100000L), Literal(959158L)).toAggregateExpression()
       val bfBytes = urgent.agg(column(bfAgg).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
+        .head().getAs[Array[Byte]]("bf")
       Tables.lineitem(s, dir)
         .filter(column(org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(
