@@ -101,6 +101,31 @@ object SourcesPack extends QueryPack {
     // into core): row-per-element write + schema-pinned read-back. The
     // semi-structured ingest path for feed/export-style sources; schema
     // is supplied, never inferred (inference would double the scan).
+    // Small-file compaction — the lake-maintenance op a streaming or
+    // per-batch writer makes necessary at 100 TB: a fragmented table
+    // (here: deliberately written at 64-way parallelism, so 64 tiny
+    // files) is rewritten at a file count derived from ACTUAL bytes on
+    // disk over a target file size, not a guessed constant. At scale the
+    // same arithmetic yields ~128 MB files regardless of how fragmented
+    // the input was; content is byte-identical (the oracle is the
+    // projection), and SourcesSpec asserts the file count actually
+    // collapsed.
+    "s11_compaction" -> ((s, dir) => {
+      val frag = tmp("s11_frag")
+      val out = tmp("s11_compact")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val bytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(frag))
+      val targetFileBytes = 32L * 1024 * 1024 // ~128 MB on a real lake
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      s.read.parquet(frag).repartition(nFiles)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select("event_id", "user_id", "value")
+    }),
+
     "s10_xml_roundtrip" -> ((s, dir) => {
       val out = tmp("s10_xml")
       val staged = Tables.nation(s, dir)
@@ -181,6 +206,8 @@ object SourcesPack extends QueryPack {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "s10_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s11_compaction" ->
+      "SELECT event_id, user_id, value FROM events",
     "s7_catalog_table" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
