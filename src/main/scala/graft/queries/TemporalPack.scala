@@ -54,6 +54,34 @@ object TemporalPack extends QueryPack {
         .select("event_id", "user_id", "value", "asof_quote")
     }),
 
+    // As-of join with a STALENESS TOLERANCE: like tj1, but a quote older
+    // than 1 hour at trade time is no match (null) — the variant real
+    // feature pipelines need (a day-old price must not silently leak into
+    // a trade's features). Same single-shuffle tagged-union plan: the
+    // quote's own timestamp forward-fills alongside its value, and the
+    // tolerance is a map-side comparison — no extra join, no extra
+    // exchange over tj1.
+    "tj4_asof_tolerance" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      val q = quotes.select(col("user_id"), col("ts"),
+        col("event_id").as("src_id"), col("quote_value"),
+        lit(0).as("tag"), lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("double").as("value"))
+      val t = trades.select(col("user_id"), col("ts"),
+        col("event_id").as("src_id"), lit(null).cast("double").as("quote_value"),
+        lit(1).as("tag"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("src_id"))
+      q.unionByName(t)
+        .withColumn("asof_quote", ffill(col("quote_value"), w))
+        .withColumn("asof_ts",
+          ffill(when(col("tag") === 0, col("ts")), w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(col("asof_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+            col("asof_quote")).as("asof_quote_1h"))
+    }),
+
     // Range join: count, per event, the same-user events strictly within
     // the following 5 minutes. Bucketed equi-join bounds the fan-out.
     "tj2_range_join" -> ((s, dir) => {
@@ -109,6 +137,17 @@ object TemporalPack extends QueryPack {
         |  (SELECT q.quote_value FROM quotes q
         |   WHERE q.user_id = t.user_id AND q.ts <= t.ts
         |   ORDER BY q.ts DESC, q.event_id DESC LIMIT 1) AS asof_quote
+        |FROM events t""".stripMargin,
+    "tj4_asof_tolerance" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, event_id, value AS quote_value FROM events
+        |  WHERE event_id % 10 = 0
+        |)
+        |SELECT t.event_id, t.user_id, t.value,
+        |  (SELECT q.quote_value FROM quotes q
+        |   WHERE q.user_id = t.user_id AND q.ts <= t.ts
+        |     AND q.ts >= t.ts - INTERVAL 1 HOUR
+        |   ORDER BY q.ts DESC, q.event_id DESC LIMIT 1) AS asof_quote_1h
         |FROM events t""".stripMargin,
     "tj2_range_join" ->
       """SELECT a.event_id,
