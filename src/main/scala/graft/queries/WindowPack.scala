@@ -53,6 +53,33 @@ object WindowPack extends QueryPack {
         .withColumn("vol5", Num.r6(rollingStd(col("value"), 5, w)))
         .select("event_id", "user_id", "vol3", "vol5")),
 
+    // Rolling correlation between the series and its own lag-1 (the
+    // rolling autocorrelation a financial pipeline derives next to
+    // rolling vol): 20-row trailing frame, EXACT integer moments — all
+    // five frame sums run on BIGINT cents, so the only float op is the
+    // final ratio, r6-rounded for cross-engine parity. Same shared
+    // window spec: no extra exchange over the rest of the family.
+    "w15_rolling_corr" -> ((s, dir) => {
+      val x = graft.Num.cents(col("value"))
+      val f = w.rowsBetween(-19, 0)
+      base(s, dir)
+        .withColumn("xc", x)
+        .withColumn("yc", lag(col("xc"), 1).over(w))
+        .withColumn("n", count(col("yc")).over(f))
+        .withColumn("sx", sum(when(col("yc").isNotNull, col("xc"))).over(f))
+        .withColumn("sy", sum(col("yc")).over(f))
+        .withColumn("sxy", sum(col("xc") * col("yc")).over(f))
+        .withColumn("sxx", sum(when(col("yc").isNotNull,
+          col("xc") * col("xc"))).over(f))
+        .withColumn("syy", sum(col("yc") * col("yc")).over(f))
+        .withColumn("corr20", when(col("n") === 20,
+          Num.r6(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
+        .select("event_id", "user_id", "corr20")
+    }),
+
     // W5: trailing rolling sum (preprocessing.py:331).
     "w5_rolling_sum" -> ((s, dir) =>
       base(s, dir)
@@ -153,6 +180,34 @@ object WindowPack extends QueryPack {
          |  floor((stddev_samp(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS vol3,
          |  floor((stddev_samp(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS vol5
          |FROM events $oracleWindow""".stripMargin,
+    "w15_rolling_corr" ->
+      s"""WITH c AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+         |  FROM events
+         |), l AS (
+         |  SELECT event_id, user_id, ts, xc, lag(xc, 1) OVER w AS yc
+         |  FROM c $oracleWindow
+         |), m AS (
+         |  SELECT event_id, user_id,
+         |    count(yc) OVER f AS n,
+         |    sum(CASE WHEN yc IS NOT NULL THEN xc END) OVER f AS sx,
+         |    sum(yc) OVER f AS sy,
+         |    sum(xc * yc) OVER f AS sxy,
+         |    sum(CASE WHEN yc IS NOT NULL THEN xc * xc END) OVER f AS sxx,
+         |    sum(yc * yc) OVER f AS syy
+         |  FROM l
+         |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, user_id,
+         |  CASE WHEN n = 20 THEN
+         |    floor((CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |           * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+         |      / 1000000
+         |  END AS corr20
+         |FROM m""".stripMargin,
     "w5_rolling_sum" ->
       s"""SELECT event_id, user_id,
          |  floor((sum(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rs5

@@ -58,6 +58,11 @@ class PlanAuditSpec extends SparkSuite {
     val sorts = "Sort ".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
     assert(sorts == 1, s"expected one sort, got $sorts:\n$plan")
+    // w15's lag window + 20-row moment frame share the same spec, so the
+    // five frame sums + lag collapse into the same single exchange+sort
+    val p15 = executedString("w15_rolling_corr")
+    assert("Exchange ".r.findAllIn(p15).size == 1, p15)
+    assert("Sort ".r.findAllIn(p15).size == 1, p15)
   }
 
   test("x5 grouping sets expands once — a single aggregation shuffle") {
