@@ -35,10 +35,84 @@ object MultimodalPack extends QueryPack {
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"),
           size(col("features")).as("feature_dim"))
+    }),
+
+    // Media perceptual-hash near-dup (the d3 SimHash shape on raw media
+    // bytes): a 60-bit average-hash over the first 64 content bytes (bit
+    // i set iff byte_{i+1} ≥ the 64-byte mean — the aHash recipe a real
+    // image pipeline runs on downscaled pixel intensities; here the
+    // deterministic stand-in bytes ARE the content), then pigeonhole
+    // 4×15-bit chunk banding makes Hamming≤3 candidate generation an
+    // equi-join, with bit_count(xor) verification riding inside the join
+    // stage. Truncated re-encodes (the near-dup population) keep their
+    // first 64 bytes, so they collide at Hamming 0 — exactly how aHash
+    // catches re-encoded/re-compressed media at scale. Map-only
+    // signatures; the only shuffle is the (chunk-band) candidate join.
+    "m3_media_phash_neardup" -> ((s, dir) => {
+      val pop = DedupPack.withNearDups(s, dir)
+      val sg = pop.filter(length(col("text")) >= 64)
+        .withColumn("bytes", expr(
+          "transform(sequence(1, 64), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+        .withColumn("avg8", expr(
+          "aggregate(bytes, CAST(0 AS BIGINT), (a, x) -> a + x) div 64"))
+        .withColumn("sig", expr(
+          "aggregate(transform(sequence(0, 59), i -> " +
+            "IF(element_at(bytes, i + 1) >= avg8, " +
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .select(col("doc_id"), col("sig"))
+      val chunks = sg
+        .select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk", expr("shiftright(sig, 15 * c) & 32767"))
+      val a = chunks.select(col("c"), col("chunk"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = chunks.select(col("c"), col("chunk"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("c", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming").distinct()
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "m3_media_phash_neardup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), pop AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT ws.doc_id + 1000000 AS doc_id,
+        |         array_to_string(w[1:greatest(len(w) - 2, 1)], ' ') AS text
+        |  FROM ws WHERE ws.doc_id % 20 = 0
+        |), by8 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+        |  FROM pop WHERE length(text) >= 64
+        |), av AS (
+        |  SELECT doc_id, bytes,
+        |    CAST(list_sum(bytes) // 64 AS BIGINT) AS avg8
+        |  FROM by8
+        |), sg AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60),
+        |      i -> CASE WHEN bytes[CAST(i AS INT) + 1] >= avg8
+        |                THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM av
+        |), chk AS (
+        |  SELECT doc_id, sig, c, (sig >> CAST(15 * c AS INT)) & 32767 AS chunk
+        |  FROM sg, unnest(range(0, 4)) AS t(c)
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM chk a JOIN chk b
+        |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "m2_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
