@@ -47,6 +47,14 @@ object ScaleProbe {
     // source rebalance: one source-keyed counting shuffle + broadcast
     // thresholds + map-only decision — should track c1's slope
     "c12_source_rebalance",
+    // NOT probed: m3_media_phash_neardup — the replica's vocabulary
+    // rename is WORD-level fair (preserves shingle Jaccard) but
+    // byte-level UNFAIR: every copy-i token carries the same "_ci"
+    // suffix, so copy i's adjacent-byte-difference patterns collide
+    // with each other by construction and the probe measures the
+    // rename's self-similarity, not the operator (the SimHash
+    // tag-token lesson, byte edition — see SCALE.md). A byte-level
+    // replica would need content-preserving byte perturbation.
     // mergeable HLL sketches: partial-agg day shuffle carries sketches;
     // the exact-distinct checker dominates (it's the verification half)
     "a17_hll_union",

