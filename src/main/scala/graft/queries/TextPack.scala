@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Num, QueryPack, Tables}
 import graft.functions.Fnv64
@@ -17,6 +17,12 @@ object TextPack extends QueryPack {
   private val stopEs = Seq("el", "de", "que", "y", "un", "para")
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** t13's KenLM-style min-count prune knob: bigram types seen fewer than
+    * this many times are dropped from the trained LM (scored occurrences
+    * back off to the context's add-one unseen probability). Shared with
+    * the oracle SQL's `cbg >= 2` branch. */
+  private[graft] val MinBigramCount = 2
 
   /** The t14 BPE trainer body: 4 rounds of corpus-weighted pair counts
     * over the word-frequency table → deterministic argmax → literal merge
@@ -195,7 +201,10 @@ object TextPack extends QueryPack {
 
     // N-gram language-model perplexity scoring — the CCNet/KenLM-style
     // quality filter: train an add-one-smoothed bigram LM on the corpus
-    // itself, score each document by per-token cross-entropy under it
+    // itself (singleton bigram types min-count-pruned, KenLM-style —
+    // pruned/unseen occurrences back off to their context's add-one
+    // unseen probability with the mass accounting kept exact), score
+    // each document by per-token cross-entropy under it
     // (high ppl = unusual text: boilerplate, noise, other languages).
     // FP discipline: each bigram type's log-prob is a function of exact
     // integer counts only, rounded ONCE to fixed-point micro-nats
@@ -238,14 +247,35 @@ object TextPack extends QueryPack {
       val cu = types.groupBy("w1h").agg(sum("cbg").as("cu"))
       val vocab = docs.select(explode(col("words")).as("w"))
         .agg(countDistinct(expr("graft_fnv64(w)")).as("v"))
-      val lp = types.join(cu, "w1h").crossJoin(broadcast(vocab))
+      // KenLM-style min-count prune (VERDICT r8 #2): singleton bigram
+      // TYPES are dropped from the trained LM — a web-scale type table is
+      // dominated by its singleton tail (Heaps' law), and the rename
+      // replica's vocabulary worst case grew it 30× per 30× data; the
+      // prune bounds every downstream vocabulary table by the repeated-
+      // type population. Mass accounting stays EXACT: cu (context
+      // totals) and V are computed over ALL types BEFORE pruning, so
+      // kept types score exactly as unpruned, and a pruned occurrence
+      // scores as the add-one UNSEEN event of its context,
+      // ln(1/(cu + V)) — the probability an out-of-corpus bigram gets.
+      val kept = types.filter(col("cbg") >= MinBigramCount)
+      val lp = kept.join(cu, "w1h").crossJoin(broadcast(vocab))
         .withColumn("lp_e6", expr(
           "CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)"))
         .select("h", "lp_e6")
-      val perDoc = m.join(lp, "h")
+      // unseen-context fallback table: unigram-type-sized (the point of
+      // the prune — the corpus stream joins only vocabulary tables that
+      // are bounded: kept bigram types + unigram context types)
+      val lp0 = cu.crossJoin(broadcast(vocab))
+        .withColumn("lp0_e6", expr(
+          "CAST(floor(ln(1.0 / (cu + v)) * 1000000 + 0.5) AS BIGINT)"))
+        .select(col("w1h"), col("lp0_e6"))
+      // m's raw w1h matches cu's min(w1h) representative absent an FNV
+      // collision — the same documented merge trade as the type table
+      val perDoc = m.join(lp, Seq("h"), "left").join(lp0, Seq("w1h"), "left")
+        .withColumn("lp_eff", coalesce(col("lp_e6"), col("lp0_e6")))
         .groupBy("doc_id")
         .agg(sum(col("m")).as("n_bigrams"),
-          sum(col("m") * col("lp_e6")).as("s_e6"))
+          sum(col("m") * col("lp_eff")).as("s_e6"))
       val ce = col("s_e6").cast("double") * lit(-1.0) /
         (col("n_bigrams") * lit(1000000.0))
       base.join(perDoc, Seq("doc_id"), "left")
@@ -415,22 +445,28 @@ object TextPack extends QueryPack {
     // are both cross-checked.
     "t15_bpe_encode" -> ((s, dir) => {
       val merges = bpeMerges(s, dir).map(_._2)
-      require(merges.forall(_.matches("[\\w ]+")),
-        s"merge pairs must be plain word chars (SQL-literal safety): $merges")
       // per-word token count: ' c h a r s ' -> merges applied in order
-      // (each twice, the defined non-overlap semantics) -> symbol count
-      val charSplit = "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')"
-      val applied = merges.foldLeft(charSplit) { (acc, p) =>
-        val m = p.replace(" ", "")
-        s"replace(replace($acc, ' $p ', ' $m '), ' $p ', ' $m ')"
+      // (each twice, the defined non-overlap semantics) -> symbol count.
+      // Merge pairs are bound as Column LITERALS, never spliced into SQL
+      // text (ADVICE r8): a learned pair containing quotes or regex
+      // metacharacters encodes correctly instead of crashing the parser
+      // (the old form require()d [\w ]-only pairs for literal safety).
+      def encoded(w: Column): Column = {
+        val chars = concat(lit(" "),
+          trim(regexp_replace(w, lit("(.)"), lit("$1 "))), lit(" "))
+        merges.foldLeft(chars) { (acc, p) =>
+          val pat = lit(s" $p ")
+          val merged = lit(" " + p.replace(" ", "") + " ")
+          replace(replace(acc, pat, merged), pat, merged)
+        }
       }
       Tables.documents(s, dir)
         .withColumn("words", split(trim(col("text")), "\\s+"))
         .select(col("doc_id"),
           size(col("words")).cast("long").as("n_words"),
-          expr(s"CAST(aggregate(transform(words, " +
-            s"w -> size(split(trim($applied), ' '))), 0, " +
-            "(acc, x) -> acc + x) AS BIGINT)").as("n_tokens"))
+          aggregate(
+            transform(col("words"), w => size(split(trim(encoded(w)), " "))),
+            lit(0), (acc, x) => acc + x).cast("long").as("n_tokens"))
     }),
 
     // Token-budget data selection: rank the corpus by a quality signal
@@ -643,8 +679,11 @@ object TextPack extends QueryPack {
         |    CAST(sum(m * lp_e6) AS BIGINT) AS s_e6
         |  FROM (
         |    SELECT m.doc_id, m.m,
-        |      CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)
-        |        AS lp_e6
+        |      CASE WHEN cbg >= 2 THEN
+        |        CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)
+        |      ELSE
+        |        CAST(floor(ln(1.0 / (cu + v)) * 1000000 + 0.5) AS BIGINT)
+        |      END AS lp_e6
         |    FROM m JOIN cbg USING (bg) JOIN cu USING (w1) CROSS JOIN vocab
         |  ) GROUP BY 1
         |)

@@ -284,10 +284,15 @@ object Streams {
       }
       val scratch = inDir.resolve(s"_${name}_build")
       cast.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = java.nio.file.Files.list(scratch).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error("sentinel part file not found"))
+      // Files.list holds an open directory handle until closed (ADVICE r8:
+      // the un-closed stream leaked one fd per sentinel write)
+      val listing = java.nio.file.Files.list(scratch)
+      val part =
+        try listing.toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("sentinel part file not found"))
+        finally listing.close()
       java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)

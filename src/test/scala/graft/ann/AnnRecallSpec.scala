@@ -81,6 +81,33 @@ class AnnRecallSpec extends SparkSuite {
     assert(found.forall { case (a, b) => a < b }, "upper triangle only")
   }
 
+  test("d11 sharded in-cluster miner collapses a one-cluster identical clique") {
+    // the d10 adversarial case at the semantic-cluster grain (VERDICT r8
+    // #1): m identical vectors form the hottest possible cluster, and the
+    // sharded (cl, shard) self-join must still connect the whole clique
+    // into ONE component — a wrong shard pairing (e.g. keying both sides
+    // by their own shard) keeps only same-shard pairs and silently splits
+    // the component by shard
+    val m = 60
+    val one = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val clique = one.crossJoin(spark.range(m).toDF("i"))
+      .select((col("i") + 900000L).as("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") < 200)
+      .select("vec_id", "embedding").unionByName(clique)
+    val cc = graft.queries.AnnPack.semanticDedupGroups(spark, corpus)
+      .filter(col("node") >= 900000L)
+      .select("node", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == m, s"all $m clique members must land in a component")
+    val labels = cc.map(_._2).toSet
+    assert(labels.size == 1,
+      s"clique must collapse to ONE component, got ${labels.size}")
+    // Components labels every member with the component MINIMUM, and the
+    // clique duplicates vec_id 0's embedding, which is in the corpus —
+    // so the representative is a base id, never a planted one
+    assert(labels.head < 900000L, "representative must be the min (base) id")
+  }
+
   test("n6 centroids are convex: each lies within its label's per-dim range") {
     val cent = graft.queries.AnnPack.queries("n6_embedding_centroid")(spark, sf)
     val bounds = emb

@@ -27,4 +27,26 @@ class BpeEncodeSpec extends SparkSuite {
         s"merged total ${totals.getLong(0)} must undercut char total ${totals.getLong(1)}")
     } finally enc.unpersist()
   }
+
+  test("t15 encodes a punctuation-bearing corpus (merges bound as literals)") {
+    // ADVICE r8: the old encoder spliced learned merge pairs into SQL
+    // text and require()d [\w ]-only pairs — a corpus whose top pair
+    // contains '.' or '\'' crashed instead of encoding. Pairs are now
+    // bound as Column literals, so this corpus (top merges necessarily
+    // contain '.' and the quote) must encode, and the merges must bite.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t15punct").toString
+    (1L to 12L).map(i => (i, "a.b a.b don't don't e.g. e.g."))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t15_bpe_encode")(spark, dir).collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val (w, t) = (r.getLong(1), r.getLong(2))
+      assert(t >= w, s"every word is at least one token (w=$w t=$t)")
+      // 6 words, 24 non-space chars -> unmerged total would be 24;
+      // 4 learned merges must cut it
+      assert(t < 24, s"merges must bite on the punctuation corpus (t=$t)")
+    }
+  }
 }
