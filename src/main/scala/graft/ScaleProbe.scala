@@ -23,6 +23,9 @@ object ScaleProbe {
     "a1_groupby_agg", "j1_normalized_key_join", "j7_inner_join_agg",
     "w3_rolling_mean", "w14_time_rolling", "tj1_asof_join",
     "flagship_refined", "d1_exact_dedup",
+    // paragraph-grain exact dedup: map-only split + one digest-keyed
+    // shuffle + per-doc agg — should track d1's slope
+    "d12_paragraph_dedup",
     "o1_sort_topn", "sc4_global_rank", "sc5_topk_exec",
     "t2_quality_score", "x5_grouping_sets", "u4_except",
     // gram-index text ops (the 100 TB-relevant dedup recipe) and the

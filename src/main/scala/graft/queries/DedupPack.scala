@@ -121,6 +121,42 @@ object DedupPack extends QueryPack {
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
+    // Paragraph-granularity exact dedup (VERDICT r8 #6 — the RefinedWeb/
+    // CCNet intra-corpus boilerplate-removal grain): explode each doc
+    // into fixed 10-word paragraphs MAP-SIDE (posexplode over an array
+    // HOF — no shuffle), exact-dedup paragraph occurrences on their md5
+    // digest with first-occurrence keep (min (doc_id, para_idx) — the d1
+    // recipe one level down), and reassemble per-doc kept-mass stats.
+    // Runs over the d2 near-dup population so the dedup has mass to
+    // remove: a planted near-dup shares every full leading paragraph
+    // with its original. Scale shape: map-only split, ONE digest-keyed
+    // shuffle (the groupBy and the mark-join share the same
+    // hashpartitioning(h) exchange — reused, not recomputed), then the
+    // per-doc agg; the shuffle key is a 16-byte digest, never paragraph
+    // text.
+    "d12_paragraph_dedup" -> ((s, dir) => {
+      val paras = withNearDups(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST((size(words) + 9) DIV 10 AS INT) - 1), " +
+            "i -> array_join(slice(words, i * 10 + 1, 10), ' '))"))
+          .as(Seq("para_idx", "para")))
+        .withColumn("h", md5(col("para")))
+        .withColumn("nw", size(split(col("para"), " ")).cast("long"))
+      val keep = paras.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
+      paras.join(keep, "h")
+        .withColumn("kept", col("doc_id") === col("k.doc_id") &&
+          col("para_idx") === col("k.para_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("nw")).as("n_words"),
+          sum(when(col("kept"), col("nw")).otherwise(0L)).as("kept_words"))
+        .withColumn("kept_word_ratio",
+          Num.r6(col("kept_words").cast("double") / col("n_words")))
+    }),
+
     // MinHash + LSH banding near-dup pairs (shingle w=3, 64 perms,
     // 16 bands × 4): exact-Jaccard-verified candidates. Driver-checked as
     // an invariant frame (VERDICT r2 recipe): ground truth = exhaustive
@@ -383,6 +419,36 @@ object DedupPack extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d12_paragraph_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), pop AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT ws.doc_id + 1000000 AS doc_id, w[1:greatest(len(w) - 2, 1)]
+        |  FROM ws WHERE ws.doc_id % 20 = 0
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS INT) AS para_idx,
+        |    array_to_string(words[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)],
+        |      ' ') AS para
+        |  FROM pop, unnest(range(0, (len(words) + 9) // 10)) AS t(i)
+        |), k AS (
+        |  SELECT doc_id, para_idx,
+        |    len(string_split(para, ' ')) AS nw,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY doc_id, para_idx) = 1 AS kept
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN kept THEN nw ELSE 0 END) AS BIGINT) AS kept_words,
+        |  floor((CAST(sum(CASE WHEN kept THEN nw ELSE 0 END) AS DOUBLE)
+        |    / sum(nw)) * 1000000 + 0.5) / 1000000 AS kept_word_ratio
+        |FROM k GROUP BY 1""".stripMargin,
     "d9_incremental_dedup" ->
       """WITH ws0 AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
