@@ -63,6 +63,37 @@ object Multimodal {
     }
   }
 
+  /** The m3 dHash banding CANDIDATE stage, factored from the query so CI
+    * can pin its density at a scaled signature table (VERDICT r8 #5 —
+    * byte-level ops are excluded from the word-rename probe replica, so
+    * m3's scale evidence lives at the SIGNATURE level): `sigs` carries
+    * (doc_id, sig: 60-bit long); each signature splits into 4×15-bit
+    * pigeonhole chunks (Hamming ≤ 3 ⇒ some chunk identical, so banding
+    * loses NO pair under the distance bound), and candidates come from
+    * the per-(chunk-index, chunk-value) equi-join. The chunk table is
+    * cached — one signature pass, the m3 projection-collapse lesson. */
+  def phashCandidates(sigs: DataFrame): DataFrame = {
+    val chunks = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(sig, 15 * c) & 32767"))
+      .cache()
+    val a = chunks.select(col("c"), col("chunk"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunks.select(col("c"), col("chunk"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("c", "chunk")).filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Candidates verified in-stage (bit_count of the XOR rides the join)
+    * and deduped on the surviving pairs only — the shared shape of every
+    * banding miner in the repo. */
+  def phashNeardupPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame =
+    phashCandidates(sigs)
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming").distinct()
+
   /** Build a synthetic media table from `documents` — text bytes play the
     * role of encoded media so the plumbing is exercised end-to-end on the
     * fixtures. */

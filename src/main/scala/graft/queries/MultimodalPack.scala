@@ -63,24 +63,14 @@ object MultimodalPack extends QueryPack {
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
             "CAST(0 AS BIGINT), (a, x) -> a + x)"))
         .select(col("doc_id"), col("sig"))
-      // cached like d3's chunk table ("one signature pass"): uncached,
-      // projection collapse re-derives the interpreted HOF signature
-      // from text per JOINED PAIR — Σ|bucket|² evaluations, measured
-      // 65 s at sf0.1 vs sub-second with the signature materialized once
-      val chunks = sg
-        .select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(3))).as("c"))
-        .withColumn("chunk", expr("shiftright(sig, 15 * c) & 32767"))
-        .cache()
-      val a = chunks.select(col("c"), col("chunk"),
-        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = chunks.select(col("c"), col("chunk"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("c", "chunk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming").distinct()
+      // banding + verify-in-stage live in Multimodal.phashNeardupPairs
+      // (r9: factored so CI pins candidate density and planted recall at
+      // a 10× SIGNATURE table — see MultimodalSpec). The chunk table is
+      // cached there: uncached, projection collapse re-derives the
+      // interpreted HOF signature from text per JOINED PAIR —
+      // Σ|bucket|² evaluations, measured 65 s at sf0.1 vs sub-second
+      // with the signature materialized once.
+      Multimodal.phashNeardupPairs(sg)
     })
   )
 

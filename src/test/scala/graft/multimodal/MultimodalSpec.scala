@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSuite {
 
@@ -31,5 +32,46 @@ class MultimodalSpec extends SparkSuite {
     val media = Seq(Multimodal.MediaRow(9L, Array.emptyByteArray, "image")).toDS()
     val out = Multimodal.decodeAndFeaturize(spark, media).collect().head
     assert(out.features.forall(f => !f.isNaN && !f.isInfinite))
+  }
+
+  test("m3 banding at a 10× signature table: planted recall and candidate density") {
+    // VERDICT r8 #5: byte-level ops are excluded from the word-rename
+    // probe replica (the rename is byte-UNFAIR), so m3's scale pin lives
+    // at the SIGNATURE level — independent pseudo-random 60-bit
+    // signatures at 10× the fixture's ~525-doc population, with planted
+    // Hamming-{0..3} twins. Pins the two properties the probe would
+    // read: (a) pigeonhole recall — every planted pair at Hamming ≤ 3
+    // must surface (4×15-bit banding guarantees a shared chunk), and
+    // (b) candidate density — random signatures collide per band at
+    // 2^-15, so candidates/doc must stay bounded (the linear-vs-
+    // quadratic candidate-stage property that made dHash the pick).
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val n = 5250
+    val base = (0L until n).map(i => (i, splitmix(i) & ((1L << 60) - 1)))
+    val planted = base.filter(_._1 % 20 == 0).map { case (id, sig) =>
+      val flips = (id % 4).toInt // Hamming 0..3
+      val flipped = (0 until flips).foldLeft(sig) { (s, j) =>
+        s ^ (1L << (((id * 7 + j * 13) % 60).toInt))
+      }
+      (id + 1000000L, flipped)
+    }
+    val sigs = (base ++ planted).toDF("doc_id", "sig")
+    val nDocs = base.size + planted.size
+    val cand = Multimodal.phashCandidates(sigs).count()
+    val density = cand.toDouble / nDocs
+    info(f"10x signature table: $cand candidates, $density%.2f per doc")
+    assert(density <= 10.0, f"candidates/doc $density%.2f above the bound")
+    val found = Multimodal.phashNeardupPairs(sigs)
+      .filter(col("doc_b") >= 1000000L && col("doc_a") === col("doc_b") - 1000000L)
+      .count()
+    val recall = found.toDouble / planted.size
+    info(f"planted Hamming<=3 recall = $recall%.3f over ${planted.size} pairs")
+    assert(recall >= 0.9, f"planted recall $recall%.3f below the m3 pin")
   }
 }
