@@ -47,6 +47,12 @@ object ScaleProbe {
     // token-budget selection: range sort + two linear passes (the scan
     // primitive) — should track the sc4 global-rank slope
     "t16_token_budget_select",
+    // DSIR importance weighting: the model is a FIXED 8192-bucket
+    // broadcast table at every scale, so the corpus pays one map-side-
+    // combined bucket count, a broadcast join, and one per-doc agg —
+    // should track t2's map-only slope (the rename replica is fair
+    // here: bucket smearing changes WHICH buckets fill, not the work)
+    "t17_dsir_importance",
     // source rebalance: one source-keyed counting shuffle + broadcast
     // thresholds + map-only decision — should track c1's slope
     "c12_source_rebalance",

@@ -491,6 +491,67 @@ object TextPack extends QueryPack {
       val budget = total * 6 / 10
       withCum.select(col("doc_id"), col("n_tokens"), col("stop_hits"),
         col("cum_tokens"), (col("cum_tokens") <= lit(budget)).as("selected"))
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // via Importance Resampling"): score every raw document by how
+    // target-like its hashed-bigram distribution is — here target = the
+    // `lang = 'en'` slice, the canonical "select web text that looks
+    // like the curated corpus" setup. Bigrams hash into B = 8192 buckets
+    // (FNV-1a, the native codegen expression, pmod'd — DSIR's hashed
+    // n-gram feature space: collisions are part of the METHOD, so the
+    // oracle replays hash and mod exactly); both add-one-smoothed bucket
+    // models and their log-ratio live in ONE bucket table of exactly B
+    // rows. Scale story: the model is O(B) regardless of corpus size —
+    // bucket counts come from one map-side-combined partial agg, the
+    // log-ratio table BROADCASTS, and scoring is a map-only pass + one
+    // per-doc agg. No sort-merge join anywhere; 100 TB costs one
+    // corpus-scan shuffle keyed by doc_id.
+    // FP discipline: per-bucket log-ratios round ONCE to fixed-point
+    // micro-nats from exact integer counts (the t13 recipe); per-doc
+    // sums are exact integer arithmetic.
+    "t17_dsir_importance" -> ((s, dir) => {
+      graft.functions.Fnv64.register(s)
+      val B = 8192
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("words"))
+      val bg = docs
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "zip_with(slice(words, 1, size(words) - 1), " +
+          "slice(words, 2, size(words) - 1), " +
+          s"(a, b) -> pmod(graft_fnv64(concat(a, ' ', b)), $B))")).as("b"))
+      val counts = bg.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      val lr = counts.crossJoin(broadcast(totals))
+        .withColumn("lr_e6", expr(
+          s"CAST(floor((ln((ct + 1.0) / (nt + $B)) - " +
+          s"ln((cr + 1.0) / (nr + $B))) * 1000000 + 0.5) AS BIGINT)"))
+        .select("b", "lr_e6")
+      val perDoc = bg.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_e6")).as("s_e6"))
+      // Selection rule: keep documents whose per-bigram weight beats the
+      // corpus average (s/n > ts/tn) — compared by EXACT cross-
+      // multiplication in DECIMAL(38,0), so the boolean never rides an
+      // FP-division boundary. Magnitudes: |s_e6| ≤ ~3e5·n_bigrams, so
+      // s_e6·tn ≤ ~3e5·n_bigrams·tn — inside 38 digits up to ~1e16
+      // corpus bigrams per side of the product (≫ any single job).
+      val selTotals = perDoc.agg(sum("s_e6").as("ts"),
+        sum("n_bigrams").as("tn"))
+      docs.select(col("doc_id"), col("lang"),
+          size(col("words")).cast("long").as("n_words"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .crossJoin(broadcast(selTotals))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("n_bigrams"),
+          Num.r6(col("s_e6").cast("double") /
+            (col("n_bigrams") * lit(1000000.0))).as("avg_logw"),
+          (col("s_e6").cast("decimal(38,0)") * col("tn") >
+            col("ts").cast("decimal(38,0)") * col("n_bigrams"))
+            .as("selected"))
     })
   )
 
@@ -655,6 +716,54 @@ object TextPack extends QueryPack {
          |SELECT doc_id, n_tokens, stop_hits, cum_tokens,
          |  cum_tokens <= budget AS selected
          |FROM o CROSS JOIN b""".stripMargin,
+    // DSIR: the FNV-1a fold is re-derived per gram exactly as t4 does it
+    // (HUGEINT products mod 2^64); bucket = uh % 8192 equals Spark's
+    // pmod over the wrapped signed long because 8192 divides 2^64.
+    "t17_dsir_importance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, lang, len(words) AS n_words FROM d
+        |), bg AS (
+        |  SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS g
+        |  FROM d, unnest(range(1, len(words))) AS t(i)
+        |  WHERE len(words) >= 2
+        |), hb AS (
+        |  SELECT doc_id, lang, CAST(
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(g) + 1),
+        |                       i -> ord(substring(g, CAST(i AS INT), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211)
+        |                  % 18446744073709551616) % 8192 AS BIGINT) AS b
+        |  FROM bg
+        |), counts AS (
+        |  SELECT b, count(*) AS cr,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |  FROM hb GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+        |  FROM counts
+        |), lr AS (
+        |  SELECT b, CAST(floor((ln((ct + 1.0) / (nt + 8192)) -
+        |    ln((cr + 1.0) / (nr + 8192))) * 1000000 + 0.5) AS BIGINT) AS lr_e6
+        |  FROM counts CROSS JOIN totals
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lr_e6) AS BIGINT) AS s_e6
+        |  FROM hb JOIN lr USING (b) GROUP BY 1
+        |), seltot AS (
+        |  SELECT CAST(sum(s_e6) AS BIGINT) AS ts,
+        |    CAST(sum(n_bigrams) AS BIGINT) AS tn
+        |  FROM perdoc
+        |)
+        |SELECT base.doc_id, lang, n_words, n_bigrams,
+        |  floor((CAST(s_e6 AS DOUBLE) / (n_bigrams * 1000000.0))
+        |        * 1000000 + 0.5) / 1000000 AS avg_logw,
+        |  CAST(s_e6 AS DECIMAL(38,0)) * tn >
+        |    CAST(ts AS DECIMAL(38,0)) * n_bigrams AS selected
+        |FROM base LEFT JOIN perdoc USING (doc_id) CROSS JOIN seltot""".stripMargin,
     "t13_lm_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
