@@ -33,6 +33,9 @@ object ScaleProbe {
     // key shifts keep the 10× order graph as 10 disjoint copies, and
     // the bijective vocab rename keeps cross-copy grams disjoint.
     "t7_repetition", "t8_contamination", "d8_shared_ngrams", "g1_pagerank",
+    // duplicated-substring spans: one FNV-keyed gram-count shuffle +
+    // semi-join + a doc-keyed window — should track d8's slope
+    "d13_substring_spans",
     "t12_bm25", // scan + one broadcast stats row: should track t2's slope
     // bigram-LM scoring: two vocab-keyed gram joins — should track d8's
     // slope (the vocab rename keeps cross-copy grams disjoint, so count

@@ -157,6 +157,56 @@ object DedupPack extends QueryPack {
           Num.r6(col("kept_words").cast("double") / col("n_words")))
     }),
 
+    // Duplicated-SUBSTRING span detection (the Lee et al. 2021 "exact
+    // substring dedup" grain, at word-8-gram resolution): a span is
+    // duplicated when its 8-gram occurs ≥ 2 times in the whole corpus
+    // (cross-doc or within-doc — the paper's total-occurrence rule), and
+    // per doc the duplicated positions merge into maximal covered runs
+    // (gaps-and-islands), yielding span count, covered-token mass, and an
+    // exact-integer keep flag (dup mass < 20%: dup_tokens·5 < n_words —
+    // no FP boundary in the boolean). Scale shape: the gram stream
+    // shuffles ONCE on its 8-byte FNV hash for the count index (d8's
+    // economics — hash collisions merge gram types, the documented
+    // trade), the ≥2 minority semi-joins back on the same key, and the
+    // island merge is one doc-keyed exchange+sort that both window
+    // passes share. Runs over the near-dup population so leading spans
+    // of planted near-dups are true duplicated substrings.
+    "d13_substring_spans" -> ((s, dir) => {
+      graft.functions.Fnv64.register(s)
+      val K = 8
+      val docs = withNearDups(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      val base = docs.select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"))
+      val gpos = docs.filter(size(col("words")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(words) - ${K - 1}), " +
+          s"i -> struct(i AS p, " +
+          s"graft_fnv64(array_join(slice(words, i, $K), ' ')) AS h))")).as("g"))
+        .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
+      val dupH = gpos.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("h")
+      val dp = gpos.join(dupH, Seq("h"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val isl = dp
+        .withColumn("brk", when(lag("p", 1).over(w).isNull ||
+          col("p") > lag("p", 1).over(w) + K, 1).otherwise(0))
+        .withColumn("island", sum("brk").over(w))
+      val perDoc = isl.groupBy("doc_id", "island")
+        .agg((max(col("p")) - min(col("p")) + K).as("covered"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dup_spans"), sum("covered").as("dup_tokens"))
+      base.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          Num.r6(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_words")).as("dup_frac"),
+          (coalesce(col("dup_tokens"), lit(0L)) * 5 < col("n_words"))
+            .as("keep"))
+    }),
+
     // MinHash + LSH banding near-dup pairs (shingle w=3, 64 perms,
     // 16 bands × 4): exact-Jaccard-verified candidates. Driver-checked as
     // an invariant frame (VERDICT r2 recipe): ground truth = exhaustive
@@ -449,6 +499,53 @@ object DedupPack extends QueryPack {
         |  floor((CAST(sum(CASE WHEN kept THEN nw ELSE 0 END) AS DOUBLE)
         |    / sum(nw)) * 1000000 + 0.5) / 1000000 AS kept_word_ratio
         |FROM k GROUP BY 1""".stripMargin,
+    // d13: grams grouped on their exact STRING (the oracle side of the
+    // FNV accepted trade — identical absent a 64-bit collision).
+    "d13_substring_spans" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), pop AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT ws.doc_id + 1000000 AS doc_id, w[1:greatest(len(w) - 2, 1)]
+        |  FROM ws WHERE ws.doc_id % 20 = 0
+        |), base AS (
+        |  SELECT doc_id, len(words) AS n_words FROM pop
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |    array_to_string(words[i:i + 7], ' ') AS gr
+        |  FROM pop, unnest(range(1, len(words) - 6)) AS t(i)
+        |  WHERE len(words) >= 8
+        |), dup AS (
+        |  SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2
+        |), dp AS (
+        |  SELECT doc_id, p FROM g JOIN dup USING (gr)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        |), isl2 AS (
+        |  SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM isl
+        |), iv AS (
+        |  SELECT doc_id, island, max(p) - min(p) + 8 AS covered
+        |  FROM isl2 GROUP BY 1, 2
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+        |    CAST(sum(covered) AS BIGINT) AS dup_tokens
+        |  FROM iv GROUP BY 1
+        |)
+        |SELECT base.doc_id, n_words,
+        |  coalesce(dup_spans, 0) AS dup_spans,
+        |  coalesce(dup_tokens, 0) AS dup_tokens,
+        |  floor((CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_words)
+        |        * 1000000 + 0.5) / 1000000 AS dup_frac,
+        |  coalesce(dup_tokens, 0) * 5 < n_words AS keep
+        |FROM base LEFT JOIN perdoc USING (doc_id)""".stripMargin,
     "d9_incremental_dedup" ->
       """WITH ws0 AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

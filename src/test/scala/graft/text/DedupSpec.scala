@@ -60,4 +60,27 @@ class DedupSpec extends SparkSuite {
       .collect().map(p => (p.doc_a, p.doc_b)).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("d13 duplicated-substring spans: hand-computed coverage and island merge") {
+    import spark.implicits._
+    // ids chosen indivisible by 20 so withNearDups plants nothing extra
+    val dir = java.nio.file.Files.createTempDirectory("d13spec").toString
+    Seq(
+      // docs 1/2 share exactly their leading 8-gram; tails are unique
+      (1L, "a b c d e f g h x1 x2 x3"),
+      (2L, "a b c d e f g h y1 y2 y3"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      // internal repeat: the 8-gram at p=1 recurs at p=9; 9 ≤ 1+8 so the
+      // two positions merge into ONE island covering all 16 tokens
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupPack.queries("d13_substring_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L) == (1L, 8L, math.floor(8.0 / 11 * 1e6 + 0.5) / 1e6, false))
+    assert(out(2L)._2 == 8L && !out(2L)._4)
+    assert(out(3L) == (0L, 0L, 0.0, true))
+    assert(out(4L) == (1L, 16L, 1.0, false))
+  }
 }
