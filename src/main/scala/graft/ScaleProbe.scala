@@ -94,7 +94,7 @@ object ScaleProbe {
     // at 10× would measure verification cost, not the bucketed plans
     "d2_minhash_lsh_op", "d3_simhash_op",
     "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
-    "d10_neardup_lsh_op", "d11_semantic_dedup_op")
+    "n9_ann_filtered_op", "d10_neardup_lsh_op", "d11_semantic_dedup_op")
 
   /** Operator-only probes for the similarity family: the production
     * bucketed paths (banded joins, multi-table LSH, inverted lists, ADC)
@@ -135,6 +135,13 @@ object ScaleProbe {
       "n7_ann_ivfpq_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.IvfPq.topK(s, e, qs(e), k = 5)
+      }),
+      // filtered IVF: the (centroid, label) posting-list key cuts each
+      // query's candidates by the label selectivity — per-query cost
+      // should sit BELOW n4's at the same scale point
+      "n9_ann_filtered_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.Ivf.topKFiltered(s, e, qs(e), k = 5)
       }),
       "d10_neardup_lsh_op" -> ((s, dir) =>
         graft.ann.Similarity.neardupPairsLsh(s,

@@ -124,4 +124,67 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "sim")
   }
+
+  /** FILTERED top-k: each query retrieves only corpus vectors whose
+    * `label` equals the query's own — the metadata-constrained ANN every
+    * serving stack needs (permission scopes, per-tenant search,
+    * same-category retrieval).
+    *
+    * The filter is PUSHED INTO the posting lists, not applied after: the
+    * inverted-list key becomes (centroid, label), so the candidate join
+    * touches only entries that already satisfy the predicate — at 100 TB
+    * the index is stored partitioned by exactly this compound key and
+    * the filter prunes partitions before any vector byte is read.
+    * Post-filtering instead would scan the full probed lists and then
+    * discard 1−selectivity of the candidate cosines (here ~90%).
+    * Candidate cost per query: selectivity · Σ|probed lists|. Recall vs
+    * the FILTERED exact truth behaves like unfiltered IVF: the filter
+    * constrains truth and candidates symmetrically, so the (nprobe/nlist)
+    * recall curve carries over; the per-list matching population shrinks
+    * by the selectivity, which bounds k for very rare labels — the
+    * standard filtered-ANN caveat, surfaced by the frame's recall bound
+    * rather than hidden. */
+  def topKFiltered(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, nLists: Int = 0, nProbe: Int = 0): DataFrame = {
+    import spark.implicits._
+    val n = if (nLists > 0 && nProbe > 0) -1L else corpus.count()
+    val nl =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val np =
+      if (nProbe > 0) nProbe
+      else math.max(math.max(4, math.ceil(math.sqrt(nl.toDouble)).toInt),
+        (nl + 5) / 6)
+    val cents = centroids(corpus, nl, if (n >= 0) n else corpus.count())
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assigned = corpus.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, v, lb) =>
+        (id, nearestCentroids(v, bc.value, 1).head, lb)
+      }
+      .toDF("cid", "centroid", "label")
+    val probes = queries.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, lb) =>
+        nearestCentroids(v, bc.value, np).map(c => (id, c, lb))
+      }
+      .toDF("qid", "centroid", "label")
+
+    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      Similarity.l2norm(col("embedding")).as("q_norm"))
+    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+      Similarity.l2norm(col("embedding")).as("c_norm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    probes.join(assigned, Seq("centroid", "label"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+      .join(broadcast(qEmb), "qid")
+      .join(cEmb, "cid")
+      .withColumn("sim",
+        graft.Num.r6(Similarity.dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "sim")
+  }
 }

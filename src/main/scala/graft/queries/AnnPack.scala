@@ -44,6 +44,27 @@ object AnnPack extends QueryPack {
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     }
 
+  /** Exact SAME-LABEL cosine top-5 per query — ground truth for the n9
+    * filtered-ANN frame: per query, the top-5 among corpus vectors
+    * sharing its label (self excluded). Memoized like [[annTruth]]; the
+    * label equi-join bounds the scan at selectivity · |Q| · |C|. */
+  private def annFilteredTruth(s: SparkSession, dir: String): Map[Long, Set[Long]] =
+    graft.Fingerprint.memo("ann_truth_filtered_k5", s"$dir/embeddings.parquet") {
+      val e = Tables.embeddings(s, dir)
+      val q = queriesSet(e).select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("label"))
+      val c = e.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      q.join(c, "label").filter(col("qid") =!= col("cid"))
+        .withColumn("sim", Num.r6(Similarity.cosine(col("qe"), col("ce"))))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("qid", "cid").collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    }
+
   /** Mean recall@5 of `approx` (qid, cid rows) against the exact truth,
     * emitted as the driver-checkable frame (n_queries, recall_ge bool). */
   private def recallFrame(s: SparkSession, dir: String, approx: DataFrame,
@@ -174,6 +195,7 @@ object AnnPack extends QueryPack {
     * the n8 standing index outside any timed region. */
   override def warm(s: SparkSession, dir: String): Unit = {
     annTruth(s, dir)
+    annFilteredTruth(s, dir)
     embNeardupTruth(s, dir)
     annBaseIndex(s, dir)
     ()
@@ -214,6 +236,38 @@ object AnnPack extends QueryPack {
       val e = Tables.embeddings(s, dir)
       recallFrame(s, dir, graft.ann.Ivf.topK(s, e, queriesSet(e), k = 5),
         IvfBound, "recall5_ge_030")
+    }),
+
+    // FILTERED ANN: per-query same-label top-5 with the predicate pushed
+    // into the posting lists (inverted-list key = (centroid, label) — at
+    // scale the index partitions on that compound key and the filter
+    // prunes partitions before any vector byte is read; post-filtering
+    // would pay ~10× the candidate cosines at this fixture's
+    // selectivity). Frame: recall vs the exact same-label truth, plus
+    // the HARD exactness invariant that every returned neighbor carries
+    // its query's label — checked distributed (two label joins + a
+    // mismatch count), never by collecting the corpus.
+    "n9_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val found = graft.ann.Ivf.topKFiltered(s, e, queriesSet(e), k = 5)
+        .persist()
+      try {
+        val mismatches = found
+          .join(e.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+          .join(e.select(col("vec_id").as("cid"), col("label").as("cl")), "cid")
+          .filter(col("ql") =!= col("cl")).count()
+        val truth = annFilteredTruth(s, dir)
+        val got = found.select("qid", "cid").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val recalls = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+        }
+        val mean = if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size
+        Seq((truth.size.toLong, mean >= IvfBound, mismatches == 0L))
+          .toDF("n_queries", "recall5_ge_030", "labels_match")
+      } finally { found.unpersist(); () }
     }),
 
     // Product-quantization top-5: 8-byte codes (32x smaller than floats),
@@ -423,6 +477,10 @@ object AnnPack extends QueryPack {
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "n5_ann_pq" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_030
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "n9_ann_filtered" ->
+      """SELECT count(*) AS n_queries, true AS recall5_ge_030,
+        |       true AS labels_match
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "n7_ann_ivfpq" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_025

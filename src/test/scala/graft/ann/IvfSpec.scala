@@ -32,6 +32,32 @@ class IvfSpec extends SparkSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("filtered top-k with exhaustive probing equals the filtered brute force") {
+    import spark.implicits._
+    val df = clustered(4, 16, 16)
+      .withColumn("label", (pmod(col("vec_id"), lit(3))).cast("int"))
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    // exact same-label truth
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
+    val c = df.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val bf = q.join(c, "label").filter(col("qid") =!= col("cid"))
+      .withColumn("sim", graft.Num.r6(Similarity.cosine(col("qe"), col("ce"))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe = nLists probes every list: the only approximation left is
+    // the list pruning, which exhaustive probing removes — results must
+    // be EXACTLY the filtered brute force, not merely high-recall
+    val got = Ivf.topKFiltered(spark, df, queries, k = 3, nLists = 8, nProbe = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === bf)
+    // and every neighbor carries its query's label
+    val lbl = df.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    got.foreach { case (qid, cid) => assert(lbl(qid) === lbl(cid)) }
+  }
+
   test("centroid assignment is deterministic and probe lists are bounded") {
     val df = clustered(4, 8, 16)
     val cents = Ivf.centroids(df, 8, df.count())
