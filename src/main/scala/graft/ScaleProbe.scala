@@ -56,6 +56,11 @@ object ScaleProbe {
     // should track t2's map-only slope (the rename replica is fair
     // here: bucket smearing changes WHICH buckets fill, not the work)
     "t17_dsir_importance",
+    // video keyframes: map-only frame explode + one doc-keyed window.
+    // Byte-level but PER-DOC temporal (no cross-doc collision surface),
+    // so the rename replica is fair here unlike m3: work is linear in
+    // content bytes whatever the bytes are
+    "m4_video_keyframes",
     // source rebalance: one source-keyed counting shuffle + broadcast
     // thresholds + map-only decision — should track c1's slope
     "c12_source_rebalance",

@@ -71,6 +71,52 @@ object MultimodalPack extends QueryPack {
       // Σ|bucket|² evaluations, measured 65 s at sf0.1 vs sub-second
       // with the signature materialized once.
       Multimodal.phashNeardupPairs(sg)
+    }),
+
+    // Video frame sampling + keyframe detection — the frame-level half
+    // of a video curation pipeline: content bytes split into fixed
+    // 16-byte "frames" MAP-SIDE (the deterministic stand-in for a
+    // demuxer; a real build swaps the byte slice for a codec call in
+    // mapPartitions, same plan shape), every 2nd frame SAMPLED (the
+    // fixed-rate frame-sample step — unsampled frames are never hashed,
+    // the whole point of sampling before decode at scale), each sampled
+    // frame gets a 15-bit adjacent-byte dHash (the m3 recipe at frame
+    // grain), and a frame is a KEYFRAME when it's the first sample or
+    // its signature sits ≥ 4 Hamming bits from the previous sample —
+    // perceptual-hash scene-change detection. Scale shape: the frame
+    // explode is map-only (bounded ×n_frames/2 fan-out of narrow rows),
+    // the temporal pass is ONE doc-keyed exchange+sort shared by the
+    // lag window and the per-doc agg; nothing driver-side.
+    "m4_video_keyframes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+        expr("CAST(length(text) DIV 16 AS BIGINT)").as("n_frames"))
+      val frames = docs.filter(length(col("text")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          // sampled frame indices f = 0, 2, 4, …: 15 adjacent-byte
+          // difference bits over bytes [16f+1 .. 16f+16]
+          "transform(filter(sequence(0, CAST(length(text) DIV 16 AS INT) - 1), " +
+          "f -> f % 2 = 0), f -> struct(f AS fi, " +
+          "aggregate(transform(sequence(1, 15), i -> " +
+          "IF(ascii(substring(text, f * 16 + i + 1, 1)) > " +
+          "ascii(substring(text, f * 16 + i, 1)), " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS sig))")).as("g"))
+        .select(col("doc_id"), col("g.fi").as("fi"), col("g.sig").as("sig"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("fi")
+      val marked = frames
+        .withColumn("prev", lag("sig", 1).over(w))
+        .withColumn("keyframe", col("prev").isNull ||
+          expr("CAST(bit_count(sig ^ prev) AS INT)") >= 4)
+      base.join(
+          marked.groupBy("doc_id").agg(
+            count(lit(1)).as("n_sampled"),
+            sum(when(col("keyframe"), 1L).otherwise(0L)).as("n_keyframes")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("n_keyframes"), lit(0L)).as("n_keyframes"))
     })
   )
 
@@ -106,6 +152,35 @@ object MultimodalPack extends QueryPack {
         |FROM chk a JOIN chk b
         |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    "m4_video_keyframes" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(strlen(text) // 16 AS BIGINT) AS n_frames,
+        |    text
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, CAST(f AS BIGINT) AS fi,
+        |    CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CASE WHEN ord(substr(text, CAST(f * 16 + i + 1 AS INT), 1)) >
+        |                     ord(substr(text, CAST(f * 16 + i AS INT), 1))
+        |                THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM base, unnest(range(0, n_frames)) AS t(f)
+        |  WHERE n_frames >= 1 AND f % 2 = 0
+        |), mk AS (
+        |  SELECT doc_id, fi, sig,
+        |    lag(sig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |  FROM fr
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(CASE WHEN prev IS NULL
+        |                       OR bit_count(xor(sig, prev)) >= 4
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes
+        |  FROM mk GROUP BY 1
+        |)
+        |SELECT base.doc_id, n_frames,
+        |  coalesce(n_sampled, 0) AS n_sampled,
+        |  coalesce(n_keyframes, 0) AS n_keyframes
+        |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,
     "m2_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

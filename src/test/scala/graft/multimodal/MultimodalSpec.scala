@@ -74,4 +74,25 @@ class MultimodalSpec extends SparkSuite {
     info(f"planted Hamming<=3 recall = $recall%.3f over ${planted.size} pairs")
     assert(recall >= 0.9, f"planted recall $recall%.3f below the m3 pin")
   }
+
+  test("m4 keyframes: constructed scenes produce exactly the expected cuts") {
+    import spark.implicits._
+    // frame A (ascending bytes): all 15 dHash diff bits set; frame B
+    // (descending): none — Hamming(A, B) = 15 ≥ 4, a guaranteed cut
+    val A = "abcdefghijklmnop"
+    val B = "ponmlkjihgfedcba"
+    val dir = java.nio.file.Files.createTempDirectory("m4spec").toString
+    Seq(
+      (1L, A * 4),      // frames AAAA, sampled {0,2}: equal sigs -> 1 keyframe
+      (2L, A + A + B + B), // sampled {0,2} = A,B: scene cut -> 2 keyframes
+      (3L, "tiny")      // < 16 bytes: no frames at all
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.MultimodalPack.queries("m4_video_keyframes")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (4L, 2L, 1L))
+    assert(out(2L) == (4L, 2L, 2L))
+    assert(out(3L) == (0L, 0L, 0L))
+  }
 }
