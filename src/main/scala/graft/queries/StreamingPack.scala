@@ -46,6 +46,22 @@ object StreamingPack extends QueryPack {
     "st7_transform_with_state" -> ((s, dir) =>
       Streams.transformWithStateTotals(s, dir)),
 
+    // Streaming windowed approximate distinct: the HLL++ partial
+    // aggregate IS the per-window state, so state is fixed-width per
+    // day where exact distinct would hold every user id. Frame: per-day
+    // estimate within 5% of the exact count the oracle recomputes.
+    "st11_stream_approx_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val approx = Streams.dailyApproxDistinct(s, dir)
+      val exact = graft.Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      approx.join(exact, "day")
+        .select(col("day"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) /
+            col("exact_users") <= 0.05).as("within_rel_005"))
+    }),
+
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
     // (tj3), which is what the oracle expresses. Boundary semantics: an
@@ -97,6 +113,11 @@ object StreamingPack extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    "st11_stream_approx_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS within_rel_005
+        |FROM events GROUP BY 1""".stripMargin,
     "st4_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -387,6 +387,27 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("day"), col("value"))
   }
 
+  /** Tumbling 1-day APPROXIMATE user counting — the sketch-in-stream
+    * composition (a17's mergeable-sketch point made incremental): the
+    * HLL++ partial aggregate is the state store's per-window value, so
+    * state stays fixed-width per (window) regardless of how many
+    * distinct users a day carries — exact count(DISTINCT) in a stream
+    * would hold every user id in state. Checked as the a17 invariant
+    * frame: per-day estimates within the published error envelope of the
+    * exact counts the oracle recomputes. */
+  def dailyApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 days")
+      .groupBy(window(col("ts"), "1 day"))
+      // the Datasketches HLL (a17's sketch — ~1.6% typical at lgK 12),
+      // not approx_count_distinct's HLL++ whose default 5% rsd actually
+      // exceeds the frame bound on ~1k-distinct days
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("window.start").cast("date").as("day"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+    runToTable(agg, spark, "graft_stream_approx_distinct", "complete")
+  }
+
   /** Tumbling 1-day windowed aggregation per event_type with exact decimal
     * sums (complete mode so all windows surface on the bounded fixture). */
   def dailyAgg(spark: SparkSession, sfDir: String): DataFrame = {
