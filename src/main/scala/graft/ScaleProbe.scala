@@ -36,6 +36,10 @@ object ScaleProbe {
     // duplicated-substring spans: one FNV-keyed gram-count shuffle +
     // semi-join + a doc-keyed window — should track d8's slope
     "d13_substring_spans",
+    // triangle counting: degree-ordered orientation bounds wedge volume
+    // at O(m^1.5); replica key shifts keep the 10× order graph as 10
+    // disjoint copies, so triangles scale linearly with the data
+    "g2_triangle_count",
     "t12_bm25", // scan + one broadcast stats row: should track t2's slope
     // bigram-LM scoring: two vocab-keyed gram joins — should track d8's
     // slope (the vocab rename keeps cross-copy grams disjoint, so count
