@@ -101,7 +101,7 @@ object ScaleProbe {
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans
-    "d2_minhash_lsh_op", "d3_simhash_op",
+    "d2_minhash_lsh_op", "d3_simhash_op", "d14_fuzzy_decontam_op",
     "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
     "n9_ann_filtered_op", "d10_neardup_lsh_op", "d11_semantic_dedup_op")
 
@@ -129,6 +129,19 @@ object ScaleProbe {
       "d3_simhash_op" -> ((s, dir) =>
         graft.text.Dedup.simhashPairs(s,
           graft.queries.DedupPack.withNearDups(s, dir), maxDist = 3).toDF()),
+      // bipartite decontamination miner: train side streams, test side
+      // (the near-dup population, ~5% of docs) broadcasts — per-unit
+      // cost should sit at or below d2's banded self-join. The split is
+      // on pmod(doc_id, 1e8): replica copies shift ids by 1e8·i, so the
+      // planted +1e6 twins stay on the test side in every copy (a plain
+      // < 1e6 cut would misclassify every copy-i original as test)
+      "d14_fuzzy_decontam_op" -> ((s, dir) => {
+        val pop = graft.queries.DedupPack.withNearDups(s, dir)
+        graft.text.Dedup.minhashLshBipartite(s,
+          pop.filter(pmod(col("doc_id"), lit(100000000L)) < 1000000L),
+          pop.filter(pmod(col("doc_id"), lit(100000000L)) >= 1000000L),
+          shingleW = 3, threshold = 0.5).toDF()
+      }),
       "n3_ann_lsh_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.Similarity.lshTopK(s, e, qs(e), k = 5)

@@ -230,6 +230,39 @@ object DedupPack extends QueryPack {
         .toDF("n_true_pairs", "recall_ge_090", "found_subset_of_true")
     }),
 
+    // Fuzzy train/test DECONTAMINATION (the GPT-3/Llama eval-leakage
+    // step, at near-dup grain where t8 works at exact-gram grain):
+    // train = the original documents, test = the planted truncated
+    // re-posts; a train doc is contaminated when it is near-duplicate
+    // (exact Jaccard ≥ 0.5 on 3-shingles) to ANY test doc. The miner is
+    // BIPARTITE MinHash-LSH (Dedup.minhashLshBipartite): the two band
+    // tables equi-join on (band, bucket) — no train×train or test×test
+    // candidate is ever generated, and the small test side broadcasts —
+    // with exact-Jaccard verification in-stage. Frame: the bipartite
+    // truth is the (train, test) slice of the memoized exhaustive pair
+    // set; recall + found⊆truth are the engine-defined quantities, and
+    // the contaminated-train count is exact (oracle recomputes it
+    // symbolically).
+    "d14_fuzzy_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val pop = withNearDups(s, dir)
+      val train = pop.filter(col("doc_id") < 1000000L)
+      val test = pop.filter(col("doc_id") >= 1000000L)
+      val found = Dedup.minhashLshBipartite(s, train, test,
+          shingleW = 3, threshold = 0.5)
+        .toDF().select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))) // contamination-sized
+      val truth = jaccardTruth(s, dir)
+        .filter { case (a, b) => a < 1000000L && b >= 1000000L }
+      val nFoundTrue = found.count(truth.contains)
+      val recall = if (truth.isEmpty) 1.0 else nFoundTrue.toDouble / truth.size
+      Seq((truth.size.toLong,
+          truth.map(_._1).size.toLong, // distinct contaminated train docs
+          recall >= 0.90, found.length == nFoundTrue))
+        .toDF("n_true_pairs", "n_contaminated_train",
+          "recall_ge_090", "found_subset_of_true")
+    }),
+
     // SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit chunk banding.
     // Invariant frame: by pigeonhole (≤3 differing bits over 4 chunks ⇒
     // some chunk identical) the banded pair set must EQUAL the exhaustive
@@ -422,7 +455,7 @@ object DedupPack extends QueryPack {
   /** CTE chain rebuilding withNearDups + the w=3 shingle sets in DuckDB:
     * the oracle recomputes the exact-Jaccard ground-truth pair count the
     * Spark invariant frames report. */
-  private val shingleCtes: String =
+  private val shinglePrefixCtes: String =
     """WITH ws AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       |  FROM documents
@@ -439,7 +472,12 @@ object DedupPack extends QueryPack {
       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |    END) AS s
       |  FROM corpus
-      |), truth AS (
+      |)""".stripMargin
+
+  private val shingleCtes: String =
+    shinglePrefixCtes.dropRight(1) +
+    """,
+      | truth AS (
       |  SELECT count(*) AS n_true_pairs
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -460,6 +498,18 @@ object DedupPack extends QueryPack {
     "d5_mllib_minhash" ->
       s"""$shingleCtes
          |SELECT n_true_pairs, true AS recall_ge_080 FROM truth""".stripMargin,
+    "d14_fuzzy_decontam" ->
+      s"""$shinglePrefixCtes, bip AS (
+         |  SELECT a.doc_id AS ta, b.doc_id AS tb
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < 1000000 AND b.doc_id >= 1000000
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(count(DISTINCT ta) AS BIGINT) AS n_contaminated_train,
+         |  true AS recall_ge_090, true AS found_subset_of_true
+         |FROM bip""".stripMargin,
     "d7_neardup_clusters" ->
       s"""$shingleCtes
          |SELECT n_true_pairs, true AS cc_matches_union_find,

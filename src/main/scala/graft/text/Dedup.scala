@@ -180,6 +180,63 @@ object Dedup {
       .distinct()
   }
 
+  /** BIPARTITE near-dup mining between a large `left` corpus and a small
+    * `right` corpus — the train × test fuzzy-decontamination shape
+    * (GPT-3/Llama-style: drop training documents near-duplicate to any
+    * eval document). Candidates come from the (band, bucket) equi-join
+    * of the two band tables — never a self-join, so no left×left or
+    * right×right candidate work is ever generated; verification runs
+    * in-stage exactly like [[minhashLshPairs]]. The right side is the
+    * one worth broadcasting: a held-out eval set is orders of magnitude
+    * smaller than the training corpus, so its band table and shingle
+    * sets ride a broadcast and the train corpus streams through the
+    * stage map-only. Left-side shingle sets broadcast only under the
+    * same bound; past it, the linear doc-id shuffle join. */
+  def minhashLshBipartite(spark: SparkSession, left: DataFrame,
+      right: DataFrame, shingleW: Int, threshold: Double,
+      broadcastBytes: Long = 256L << 20): Dataset[DupPair] = {
+    import spark.implicits._
+    def shingled(docs: DataFrame): Dataset[DocShingles] = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val a = shingleHashes(t, shingleW)
+        java.util.Arrays.sort(a)
+        DocShingles(id, a)
+      }
+    def bandsOf(sh: Dataset[DocShingles]): Dataset[BandRow] = sh.flatMap { d =>
+      bandHashes(minhashSignature(d.shingles)).iterator.zipWithIndex
+        .map { case (h, b) => BandRow(d.doc_id, b, h) }
+    }
+    // each side's shingle set feeds its band derivation AND the verify
+    // join — cached so the 64-perm signature runs once per document
+    val shL = shingled(left).cache()
+    val shR = shingled(right).cache()
+    def fits(sh: Dataset[DocShingles]): Boolean = {
+      val r = sh.toDF("doc_id", "shingles")
+        .select(sum(size(col("shingles"))).cast("long").as("n"),
+          count(lit(1)).as("d")).head()
+      (Option(r.get(0)).getOrElse(0L).asInstanceOf[Long] * 8L
+        + r.getLong(1) * 24L) <= broadcastBytes
+    }
+    val fitsR = fits(shR)
+    val fitsL = fits(shL)
+    def shAs(sh: Dataset[DocShingles], ok: Boolean, idCol: String,
+        setCol: String) = {
+      val side = sh.toDF(idCol, setCol)
+      if (ok) broadcast(side) else side
+    }
+    val bandsR = bandsOf(shR).toDF("doc_b", "band", "bucket")
+    bandsOf(shL).toDF("doc_a", "band", "bucket")
+      .join(if (fitsR) broadcast(bandsR) else bandsR, Seq("band", "bucket"))
+      .join(shAs(shL, fitsL, "doc_a", "sh_a"), "doc_a")
+      .join(shAs(shR, fitsR, "doc_b", "sh_b"), "doc_b")
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) => DupPair(a, b, jaccardSorted(sa, sb)) }
+      .filter(_.jaccard >= threshold)
+      .distinct()
+  }
+
   /** Exhaustive exact-Jaccard pairs over the hashed shingle sets — the
     * ground-truth side of the d2/d5 recall invariants. Broadcast of the
     * (bounded) shingle-set table + primitive sorted-array intersection;

@@ -61,6 +61,27 @@ class DedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("bipartite miner finds cross-corpus near-dups and never within-side pairs") {
+    import spark.implicits._
+    val train = Seq(
+      doc(1, base),                    // near-dup of test doc 101
+      doc(2, base + " entirely"),      // near-dup of 1 AND of test 101
+      doc(3, "unrelated text about catalyst plans shuffles and codegen stages everywhere")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      doc(101, base + " today"),
+      doc(102, "nothing here resembles any training document at all in any way whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshBipartite(spark, train, test, shingleW = 3,
+      threshold = 0.5).collect().map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs.contains((1L, 101L)))
+    assert(pairs.contains((2L, 101L)))
+    // doc_a is always from the left corpus, doc_b from the right — the
+    // train×train near-dup (1, 2) must NOT surface
+    assert(pairs.forall { case (a, b) => a < 100L && b >= 100L })
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 102L })
+  }
+
   test("d13 duplicated-substring spans: hand-computed coverage and island merge") {
     import spark.implicits._
     // ids chosen indivisible by 20 so withNearDups plants nothing extra
