@@ -475,9 +475,8 @@ object DedupPack extends QueryPack {
       |)""".stripMargin
 
   private val shingleCtes: String =
-    shinglePrefixCtes.dropRight(1) +
-    """,
-      | truth AS (
+    shinglePrefixCtes +
+    """, truth AS (
       |  SELECT count(*) AS n_true_pairs
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
