@@ -285,6 +285,86 @@ class PlanAuditSpec extends SparkSuite {
       s"only source-keyed counting shuffles allowed, got $keyed:\n$plan")
   }
 
+  test("t17: the DSIR model attaches by broadcast — no sort-merge join anywhere") {
+    val plan = executedString("t17_dsir_importance")
+    // the 8192-bucket log-ratio table and the totals row are broadcast;
+    // the corpus side never sorts for a join
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // every hash exchange keys on the bucket (model-sized) or doc_id
+    // (the per-doc agg) — never on a gram or word string
+    val keyed = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keyed.subsetOf(Set("b", "doc_id")),
+      s"unexpected exchange keys $keyed:\n$plan")
+  }
+
+  test("d13: both window passes share one doc-keyed sort; dup grams semi-join") {
+    val plan = executedString("d13_substring_spans")
+    // the lag window and the running-sum island window have the same
+    // (doc_id, p) spec — one exchange + ONE sort serves both
+    assert("Window".r.findAllIn(plan).size >= 2, plan)
+    assert("Sort ".r.findAllIn(plan).size == 1,
+      s"both windows must share one sort:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"duplicated grams must prune via semi join:\n$plan")
+    // gram-count exchange keys on the FNV hash, never the gram text
+    assert("hashpartitioning\\(h#".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("m4: frame explode is map-only; one doc-keyed exchange serves window + agg") {
+    val plan = executedString("m4_video_keyframes")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$plan")
+    assert("Sort ".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("n9: the filtered candidate join keys on (centroid, label)") {
+    // the predicate-pushdown property: the posting-list key is the
+    // COMPOUND (centroid, label), so no candidate outside the filter is
+    // ever generated
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.lit(50)) === 0)
+    val df = graft.ann.Ivf.topKFiltered(spark, e, q, k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\[centroid#[^]]*label#".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(centroid[^)]*label".r.findFirstIn(plan).isDefined,
+      s"candidate join must key on (centroid, label):\n$plan")
+  }
+
+  test("g2: the edge table is built once and reused; no cartesian anywhere") {
+    val plan = executedString("g2_triangle_count")
+    // degree, orientation, wedge, and closing consumers all reuse the
+    // one (sa, sb) edge exchange instead of recomputing the per-order
+    // self-join
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the closing-edge join keys on the wedge endpoints
+    assert("\\[x#[^]]*y#".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(x#[^)]*y#".r.findFirstIn(plan).isDefined,
+      s"closing join must key on (x, y):\n$plan")
+  }
+
+  test("d14: bipartite miner broadcasts the test side and dedups survivors only") {
+    val pop = graft.queries.DedupPack.withNearDups(spark, sf)
+    val df = graft.text.Dedup.minhashLshBipartite(spark,
+      pop.filter(org.apache.spark.sql.functions.col("doc_id") < 1000000L),
+      pop.filter(org.apache.spark.sql.functions.col("doc_id") >= 1000000L),
+      shingleW = 3, threshold = 0.5).toDF()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"test band table + shingle sides must broadcast:\n$plan")
+    assert("hashpartitioning\\(doc_a[^)]*doc_b[^)]*jaccard".r
+      .findFirstIn(plan).isDefined,
+      s"distinct must key on the scored row (post-filter):\n$plan")
+  }
+
   test("ml_kmeans_step: seeds broadcast, two keyed exchanges, partial aggs") {
     val plan = executedString("ml_kmeans_step")
     // the k seed rows ride a broadcast, never a shuffled join side
