@@ -115,6 +115,41 @@ class ScaleSpec extends SparkSuite
     assert(recall >= 0.50, f"10x recall $recall%.3f below the n3 frame bound")
   }
 
+  test("n9 filtered IVF holds the n4 recall frame against the FILTERED truth at the 10× replica") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, x10dir)
+    val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "cid").collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // exact same-label truth (the n9 frame's definition, at replica scale)
+    val q = qs.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("label"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val truth = sets(q.join(c, "label").filter(col("qid") =!= col("cid"))
+      .withColumn("sim",
+        graft.Num.r6(graft.ann.Similarity.cosine(col("qe"), col("ce"))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5))
+    val found = sets(graft.ann.Ivf.topKFiltered(spark, emb, qs, k = 5))
+    val recall = truth.map { case (qid, t) =>
+      found.getOrElse(qid, Set.empty[Long]).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"n9 10x mean filtered recall@5 = $recall%.3f over ${truth.size} queries")
+    // the label filter constrains truth and candidates symmetrically, so
+    // the unfiltered IVF frame bound carries over; every neighbor must
+    // also carry its query's label (the hard exactness invariant)
+    assert(recall >= 0.30, f"10x filtered recall $recall%.3f below the n9 bound")
+    val lbl = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    found.foreach { case (qid, cs) =>
+      cs.foreach(cid => assert(lbl(qid) == lbl(cid),
+        s"neighbor $cid label ${lbl(cid)} != query $qid label ${lbl(qid)}"))
+    }
+  }
+
   test("n4 adaptive IVF holds its recall floor at a 30× replica") {
     import org.apache.spark.sql.functions._
     // VERDICT r7 #6: the 30× IVF reading (recall@5 0.560 at the 63k-vector
