@@ -27,6 +27,12 @@ object ScaleProbe {
     // shuffle + per-doc agg — should track d1's slope
     "d12_paragraph_dedup",
     "o1_sort_topn", "sc4_global_rank", "sc5_topk_exec",
+    // cross-sectional z: one day-keyed partial agg + broadcast stats +
+    // map-only scoring — should track t2's slope
+    "w16_cross_sectional_z",
+    // Zipf slope: vocab count shuffle + range-partitioned vocab rank +
+    // one moment agg — should track the sc4 global-rank slope
+    "t19_zipf_slope",
     "t2_quality_score", "x5_grouping_sets", "u4_except",
     // gram-index text ops (the 100 TB-relevant dedup recipe) and the
     // iterative graph op: no embedded checkers, probed as-is. Replica

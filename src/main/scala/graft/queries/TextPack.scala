@@ -493,6 +493,40 @@ object TextPack extends QueryPack {
         col("cum_tokens"), (col("cum_tokens") <= lit(budget)).as("selected"))
     }),
 
+    // Zipf rank-frequency diagnostics — the corpus-health check every
+    // tokenizer/dedup pipeline runs (a natural corpus reads slope ≈ −1
+    // on log rank vs log freq; template spam bends it): type frequencies
+    // from one count shuffle, GLOBAL rank via the range-partitioned
+    // sort + zipWithIndex primitive (never a one-task window — the
+    // vocabulary at web scale is billions of types), then an OLS slope
+    // whose every term is exact: ln(rank)/ln(freq) round ONCE to e6
+    // fixed-point, the moment sums accumulate in DECIMAL(38,0) (operands
+    // cast before the product — BIGINT x·y sums overflow past ~1e6
+    // types), and the slope is one IEEE division of two exact integers.
+    "t19_zipf_slope" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val ranked = graft.Ranks.globalRankRows(vocab, "rnk",
+        Seq(col("freq").desc, col("token").asc))
+      val pts = ranked.select(
+        expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+          .as("x_e6"),
+        expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+          .as("y_e6"))
+      pts.agg(count(lit(1)).as("n"),
+          sum(col("x_e6").cast("decimal(38,0)")).as("sx"),
+          sum(col("y_e6").cast("decimal(38,0)")).as("sy"),
+          sum(col("x_e6").cast("decimal(38,0)") * col("y_e6")).as("sxy"),
+          sum(col("x_e6").cast("decimal(38,0)") * col("x_e6")).as("sxx"))
+        .select(col("n").as("n_types"),
+          Num.r6(
+            (col("n").cast("decimal(38,0)") * col("sxy") -
+              col("sx") * col("sy")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("sxx") -
+              col("sx") * col("sx")).cast("double")).as("zipf_slope"))
+    }),
+
     // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     // via Importance Resampling"): score every raw document by how
     // target-like its hashed-bigram distribution is — here target = the
@@ -716,6 +750,34 @@ object TextPack extends QueryPack {
          |SELECT doc_id, n_tokens, stop_hits, cum_tokens,
          |  cum_tokens <= budget AS selected
          |FROM o CROSS JOIN b""".stripMargin,
+    "t19_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), v AS (
+        |  SELECT token, count(*) AS freq FROM toks GROUP BY 1
+        |), r AS (
+        |  SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+        |  FROM v
+        |), p AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x_e6,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y_e6
+        |  FROM r
+        |), s AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(x_e6 AS HUGEINT)) AS sx,
+        |    sum(CAST(y_e6 AS HUGEINT)) AS sy,
+        |    sum(CAST(x_e6 AS HUGEINT) * y_e6) AS sxy,
+        |    sum(CAST(x_e6 AS HUGEINT) * x_e6) AS sxx
+        |  FROM p
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  floor((CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |         CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000 AS zipf_slope
+        |FROM s""".stripMargin,
     // DSIR: the FNV-1a fold is re-derived per gram exactly as t4 does it
     // (HUGEINT products mod 2^64); bucket = uh % 8192 equals Spark's
     // pmod over the wrapped signed long because 8192 divides 2^64.

@@ -80,6 +80,34 @@ object WindowPack extends QueryPack {
         .select("event_id", "user_id", "corr20")
     }),
 
+    // Cross-sectional standardization — the per-DATE z-score (neutralize
+    // each day's level/dispersion before comparing series), the other
+    // axis from the per-key windows above: stats come from ONE day-keyed
+    // partial agg over exact integer cents (n, Σc, Σc²), the ~30-row
+    // stats table attaches by broadcast, and the z itself is map-only.
+    // FP discipline: the variance term n·Σc² − (Σc)² is computed in
+    // DECIMAL(38,0) (operands cast BEFORE the product — a BIGINT product
+    // overflows near ~1e6 rows/day of 1e5-cent values) and converted to
+    // double once; the z expression replays token-for-token in the
+    // oracle. Degenerate days (n < 2 or zero variance) yield NULL.
+    "w16_cross_sectional_z" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("date").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val stats = ev.groupBy("day").agg(count(lit(1)).as("n"),
+        sum("c").as("sc"), sum(col("c") * col("c")).as("sc2"))
+      ev.join(broadcast(stats), "day")
+        .withColumn("vt",
+          (col("n").cast("decimal(38,0)") * col("sc2") -
+            col("sc").cast("decimal(38,0)") * col("sc")).cast("double"))
+        .select(col("event_id"), col("day"), col("user_id"),
+          when(col("n") >= 2 && col("vt") > 0,
+            Num.r6((col("n") * col("c") - col("sc")).cast("double") /
+              sqrt(col("n").cast("double") * col("vt") / (col("n") - 1))))
+            .as("z"))
+    }),
+
     // W5: trailing rolling sum (preprocessing.py:331).
     "w5_rolling_sum" -> ((s, dir) =>
       base(s, dir)
@@ -180,6 +208,25 @@ object WindowPack extends QueryPack {
          |  floor((stddev_samp(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS vol3,
          |  floor((stddev_samp(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS vol5
          |FROM events $oracleWindow""".stripMargin,
+    "w16_cross_sectional_z" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), st AS (
+        |  SELECT day, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT event_id, day, user_id,
+        |  CASE WHEN n >= 2 AND
+        |    CAST(CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE) > 0
+        |  THEN floor((CAST(n * c - sc AS DOUBLE) /
+        |    sqrt(CAST(n AS DOUBLE) *
+        |      CAST(CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+        |      / (n - 1))) * 1000000 + 0.5) / 1000000
+        |  END AS z
+        |FROM ev JOIN st USING (day)""".stripMargin,
     "w15_rolling_corr" ->
       s"""WITH c AS (
          |  SELECT event_id, user_id, ts,
