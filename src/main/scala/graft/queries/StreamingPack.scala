@@ -62,6 +62,13 @@ object StreamingPack extends QueryPack {
             col("exact_users") <= 0.05).as("within_rel_005"))
     }),
 
+    // STREAMING session_window under a watermark (append mode): per-user
+    // session state merges as events arrive and emits when the watermark
+    // passes the session close — st4's assignment made genuinely
+    // incremental. Sentinel-advanced watermark on the bounded fixture
+    // (the st10 recipe); output equals the batch sessionization.
+    "st12_stream_sessionize" -> ((s, dir) => Streams.streamingSessions(s, dir)),
+
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
     // (tj3), which is what the oracle expresses. Boundary semantics: an
@@ -113,6 +120,22 @@ object StreamingPack extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    "st12_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+        |         WHEN ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "st11_stream_approx_distinct" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(DISTINCT user_id) AS exact_users,

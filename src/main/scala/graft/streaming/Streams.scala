@@ -345,6 +345,89 @@ object Streams {
     spark.table("graft_stream_outer_join").filter(col("user_id") >= 0)
   }
 
+  /** STREAMING sessionization — session_window under a watermark in
+    * append mode (st4 runs the same session assignment in batch mode;
+    * this is the real streaming shape: per-user session state merges as
+    * events arrive and a session EMITS only when the watermark passes
+    * its close). On the bounded fixture the watermark stops short of the
+    * tail sessions, so the staged input adds one far-future sentinel
+    * batch after the data drains (the st10 recipe — and like there, the
+    * sentinel exclusion must NOT ride the streaming plan or file pruning
+    * would drop the sentinel before the watermark sees it; sentinels
+    * filter from the RESULT in batch context). Output equals the batch
+    * sessionization the oracle expresses. */
+  def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val inDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_sess/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def writeSentinel(name: String, when: String): Unit = {
+      val at = java.sql.Timestamp.valueOf(when)
+      val rows = spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, at, -1L, "click", 0.0, "{}")),
+        StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+      val cast = tsType match {
+        case LongType => rows.withColumn("ts", expr("unix_micros(ts) * 1000"))
+        case _ => rows.withColumn("ts", col("ts").cast(tsType))
+      }
+      val scratch = inDir.resolve(s"_${name}_build")
+      cast.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val listing = java.nio.file.Files.list(scratch)
+      val part =
+        try listing.toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("sentinel part file not found"))
+        finally listing.close()
+      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+    java.nio.file.Files.deleteIfExists(inDir.resolve("sentinel.parquet"))
+    java.nio.file.Files.deleteIfExists(inDir.resolve("sentinel2.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream0 = spark.readStream.schema(schema).parquet(inDir.toString)
+    val stream = tsType match {
+      case LongType => stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => stream0.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    val sess = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sess.writeStream.format("memory")
+        .queryName("graft_stream_sessions").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        writeSentinel("sentinel", "2100-01-01 00:00:00")
+        q.processAllAvailable()
+        // session emission uses the watermark set at the END of the
+        // sentinel batch; one more data batch flushes the tail (st10's
+        // second-sentinel lesson applied to aggregation state)
+        writeSentinel("sentinel2", "2101-01-01 00:00:00")
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table("graft_stream_sessions").filter(col("user_id") >= 0)
+  }
+
   /** The production sink path: `foreachBatch` writing day-partitioned
     * parquet with DYNAMIC partition overwrite — re-processing a batch
     * replaces exactly the partitions it touches (the reference Glue job's
