@@ -314,6 +314,42 @@ object DedupPack extends QueryPack {
         .toDF("n_true_pairs", "cc_matches_union_find", "clusters_min_size_2")
     }),
 
+    // Cluster REPRESENTATIVE selection by quality — the production keep
+    // policy (RefinedWeb keeps the longest/highest-quality member of a
+    // near-dup family, not the smallest id): over the d7 component
+    // labeling, each cluster's representative is its argmax
+    // (n_words, −doc_id) member, computed distributed as ONE max(struct)
+    // partial agg keyed by component — the argmax shuffles k counters
+    // per partition, never member lists. Frame: the distributed argmax
+    // must EQUAL a driver-side recompute over the same (bounded,
+    // near-dup-population-sized) label + quality maps, every cluster
+    // keeps exactly one representative, and the oracle re-derives the
+    // pair-graph anchor symbolically.
+    "d15_cluster_rep_select" -> ((s, dir) => {
+      import s.implicits._
+      val found = foundPairs(s, dir)
+      val cc = graft.ops.Components.connectedComponents(s,
+        found.toSeq.toDF("a", "b"))
+      val quality = withNearDups(s, dir).select(col("doc_id").as("node"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("q"))
+      val reps = cc.join(quality, "node")
+        .groupBy("component")
+        .agg(max(struct(col("q"), (-col("node")).as("neg"))).as("m"))
+        .select(col("component"), (-col("m.neg")).as("rep"),
+          col("m.q").as("rep_q"))
+      val got = reps.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // driver recompute over the bounded maps
+      val lab = cc.as[(Long, Long)].collect().toMap
+      val qm = quality.as[(Long, Long)].collect().toMap
+      val want = lab.groupBy(_._2).map { case (comp, members) =>
+        comp -> members.keys.map(n => (qm(n), -n)).max
+      }.map { case (comp, (q, negN)) => comp -> ((-negN, q)) }
+      val oneEach = got.keySet == lab.values.toSet
+      Seq((jaccardTruth(s, dir).size.toLong, got == want, oneEach))
+        .toDF("n_true_pairs", "rep_is_argmax_quality", "one_rep_per_cluster")
+    }),
+
     // Cross-document shared-n-gram filter (the C4/RefinedWeb recipe:
     // drop spans seen verbatim elsewhere in the corpus). Per doc: how
     // many of its word-5-gram occurrences also appear in ANOTHER doc,
@@ -513,6 +549,11 @@ object DedupPack extends QueryPack {
       s"""$shingleCtes
          |SELECT n_true_pairs, true AS cc_matches_union_find,
          |       true AS clusters_min_size_2
+         |FROM truth""".stripMargin,
+    "d15_cluster_rep_select" ->
+      s"""$shingleCtes
+         |SELECT n_true_pairs, true AS rep_is_argmax_quality,
+         |       true AS one_rep_per_cluster
          |FROM truth""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
