@@ -33,6 +33,9 @@ object ScaleProbe {
     // Zipf slope: vocab count shuffle + range-partitioned vocab rank +
     // one moment agg — should track the sc4 global-rank slope
     "t19_zipf_slope",
+    // CCNet ppl buckets: t13's scoring + a doc-count range sort —
+    // should read t13's slope plus the sc4 rank term
+    "t20_ppl_buckets",
     "t2_quality_score", "x5_grouping_sets", "u4_except",
     // gram-index text ops (the 100 TB-relevant dedup recipe) and the
     // iterative graph op: no embedded checkers, probed as-is. Replica

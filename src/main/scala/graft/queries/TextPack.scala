@@ -115,7 +115,10 @@ object TextPack extends QueryPack {
     ()
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    mainQueries ++ moreQueries
+
+  private val mainQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Whitespace token count + BPE-ish regex token count.
     "t1_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -220,7 +223,71 @@ object TextPack extends QueryPack {
     // second pass over the corpus). Hash collisions merge gram types at
     // ~n²/2⁶⁴ probability — the same accepted trade as d8/d9, far below
     // any fixture or production vocabulary. Nothing driver-side.
-    "t13_lm_perplexity" -> ((s, dir) => {
+    "t13_lm_perplexity" -> ((s, dir) => lmPerplexity(s, dir)),
+
+    // CCNet-style perplexity bucketing — the canonical head/middle/tail
+    // split: rank documents by their LM cross-entropy (t13's score,
+    // ascending = most fluent first; doc_id tiebreak makes the order
+    // total), then cut exact TERTILES by integer rank arithmetic
+    // (bucket = (rank−1)·3 div n — no FP threshold anywhere). The rank
+    // comes from the range-partitioned sort + zipWithIndex primitive,
+    // never a one-task window; docs too short to score (no bigrams)
+    // fall outside the buckets with NULL rank. head docs feed training
+    // as-is, middle gets sampled, tail gets dropped — the knob this
+    // table parameterizes.
+    "t20_ppl_buckets" -> ((s, dir) => {
+      val ppl = lmPerplexity(s, dir)
+      val scored = ppl.filter(col("cross_entropy").isNotNull)
+        .select(col("doc_id"), col("cross_entropy"))
+      val ranked = graft.Ranks.globalRankRows(scored, "rnk",
+        Seq(col("cross_entropy").asc, col("doc_id").asc))
+      val n = scored.count()
+      ppl.select(col("doc_id"), col("n_words"), col("cross_entropy"))
+        .join(ranked.select(col("doc_id"), col("rnk")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("cross_entropy"),
+          col("rnk"),
+          expr(s"CAST((rnk - 1) * 3 DIV $n AS INT)").as("bucket"))
+    })
+  )
+
+  /** The t13 LM scoring CTE chain, shared by the t13 and t20 oracles. */
+  private val lmCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, len(words) AS n_words FROM d
+      |), bg AS (
+      |  SELECT doc_id, words[i] AS w1, words[i] || ' ' || words[i + 1] AS bg
+      |  FROM d, unnest(range(1, len(words))) AS t(i)
+      |  WHERE len(words) >= 2
+      |), m AS (
+      |  SELECT doc_id, w1, bg, count(*) AS m FROM bg GROUP BY 1, 2, 3
+      |), cbg AS (
+      |  SELECT bg, CAST(sum(m) AS BIGINT) AS cbg FROM m GROUP BY 1
+      |), cu AS (
+      |  SELECT w1, CAST(sum(m) AS BIGINT) AS cu FROM m GROUP BY 1
+      |), vocab AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(words) AS w FROM d)
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(m * lp_e6) AS BIGINT) AS s_e6
+      |  FROM (
+      |    SELECT m.doc_id, m.m,
+      |      CASE WHEN cbg >= 2 THEN
+      |        CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)
+      |      ELSE
+      |        CAST(floor(ln(1.0 / (cu + v)) * 1000000 + 0.5) AS BIGINT)
+      |      END AS lp_e6
+      |    FROM m JOIN cbg USING (bg) JOIN cu USING (w1) CROSS JOIN vocab
+      |  ) GROUP BY 1
+      |)""".stripMargin
+
+  /** t13's LM scoring, factored so t20's bucketing reuses the identical
+    * plan (and the identical rounded cross-entropy values). */
+  private def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    {
       graft.functions.Fnv64.register(s)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
@@ -282,8 +349,10 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), col("n_words"), col("n_bigrams"),
           Num.r6(ce).as("cross_entropy"),
           Num.r6(exp(ce)).as("ppl"))
-    }),
+    }
+  }
 
+  private val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF top-3 terms per document (smooth idf, the sklearn convention:
     // idf = ln((N+1)/(df+1)) + 1). Scores are rounded to 6 decimals BEFORE
     // ranking so both engines rank identical values; ties break on term asc.
@@ -827,43 +896,29 @@ object TextPack extends QueryPack {
         |    CAST(ts AS DECIMAL(38,0)) * n_bigrams AS selected
         |FROM base LEFT JOIN perdoc USING (doc_id) CROSS JOIN seltot""".stripMargin,
     "t13_lm_perplexity" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-        |  FROM documents
-        |), base AS (
-        |  SELECT doc_id, len(words) AS n_words FROM d
-        |), bg AS (
-        |  SELECT doc_id, words[i] AS w1, words[i] || ' ' || words[i + 1] AS bg
-        |  FROM d, unnest(range(1, len(words))) AS t(i)
-        |  WHERE len(words) >= 2
-        |), m AS (
-        |  SELECT doc_id, w1, bg, count(*) AS m FROM bg GROUP BY 1, 2, 3
-        |), cbg AS (
-        |  SELECT bg, CAST(sum(m) AS BIGINT) AS cbg FROM m GROUP BY 1
-        |), cu AS (
-        |  SELECT w1, CAST(sum(m) AS BIGINT) AS cu FROM m GROUP BY 1
-        |), vocab AS (
-        |  SELECT count(DISTINCT w) AS v
-        |  FROM (SELECT unnest(words) AS w FROM d)
-        |), perdoc AS (
-        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(m * lp_e6) AS BIGINT) AS s_e6
-        |  FROM (
-        |    SELECT m.doc_id, m.m,
-        |      CASE WHEN cbg >= 2 THEN
-        |        CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)
-        |      ELSE
-        |        CAST(floor(ln(1.0 / (cu + v)) * 1000000 + 0.5) AS BIGINT)
-        |      END AS lp_e6
-        |    FROM m JOIN cbg USING (bg) JOIN cu USING (w1) CROSS JOIN vocab
-        |  ) GROUP BY 1
-        |)
-        |SELECT base.doc_id, n_words, n_bigrams,
-        |  floor((CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
-        |        * 1000000 + 0.5) / 1000000 AS cross_entropy,
-        |  floor(exp(CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
-        |        * 1000000 + 0.5) / 1000000 AS ppl
-        |FROM base LEFT JOIN perdoc USING (doc_id)""".stripMargin,
+      s"""$lmCtes
+         |SELECT base.doc_id, n_words, n_bigrams,
+         |  floor((CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
+         |        * 1000000 + 0.5) / 1000000 AS cross_entropy,
+         |  floor(exp(CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
+         |        * 1000000 + 0.5) / 1000000 AS ppl
+         |FROM base LEFT JOIN perdoc USING (doc_id)""".stripMargin,
+    "t20_ppl_buckets" ->
+      s"""$lmCtes, ppl AS (
+         |  SELECT base.doc_id, n_words,
+         |    floor((CAST(s_e6 AS DOUBLE) * -1.0 / (n_bigrams * 1000000.0))
+         |          * 1000000 + 0.5) / 1000000 AS cross_entropy
+         |  FROM base LEFT JOIN perdoc USING (doc_id)
+         |), ranked AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY cross_entropy ASC, doc_id ASC) AS rnk
+         |  FROM ppl WHERE cross_entropy IS NOT NULL
+         |), nn AS (
+         |  SELECT count(*) AS n FROM ranked
+         |)
+         |SELECT ppl.doc_id, n_words, cross_entropy, rnk,
+         |  CAST((rnk - 1) * 3 // n AS INT) AS bucket
+         |FROM ppl LEFT JOIN ranked USING (doc_id) CROSS JOIN nn""".stripMargin,
     "t7_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
