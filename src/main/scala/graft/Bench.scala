@@ -223,12 +223,15 @@ object Bench {
     // separately so a watchdog timeout can't masquerade as runtime.
     val totalOk = r3(results.collect { case (_, v, true) => v }.sum)
     val totalAll = r3(results.map(_._2).sum)
-    // the 10 streaming queries are micro-batch SCHEDULING floors (~18 s
-    // of wall-clock that is ~invariant to data size and box speed, AQE
-    // off in stateful mode) — report the suite total without them too,
-    // so round-over-round comparisons track compute, not scheduler waits
-    // (VERDICT r8 #7)
-    val floorSet = graft.queries.StreamingPack.queries.keySet
+    // the streaming queries are micro-batch SCHEDULING floors (~1.5 s
+    // each of wall-clock that is ~invariant to data size and box speed,
+    // AQE off in stateful mode) — report the suite total without them
+    // too, so round-over-round comparisons track compute, not scheduler
+    // waits (VERDICT r8 #7). st4 is EXCLUDED from the floor set: it runs
+    // session_window in plain batch mode and has no micro-batch floor
+    // (code-review r9 — a batch regression there must stay visible in
+    // total_excl_floors).
+    val floorSet = graft.queries.StreamingPack.queries.keySet - "st4_session_window"
     val totalExclFloors = r3(
       results.collect { case (n, v, true) if !floorSet(n) => v }.sum)
     val nOk = results.count(_._3)

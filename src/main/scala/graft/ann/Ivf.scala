@@ -84,46 +84,8 @@ object Ivf {
     * count() action is the analog of AQE's runtime statistics and feeds
     * both the knobs and the centroid sample (one scan, not two). */
   def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int, nLists: Int = 0, nProbe: Int = 0): DataFrame = {
-    import spark.implicits._
-    val n = if (nLists > 0 && nProbe > 0) -1L else corpus.count()
-    val nl =
-      if (nLists > 0) nLists
-      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val np =
-      if (nProbe > 0) nProbe
-      else math.max(math.max(4, math.ceil(math.sqrt(nl.toDouble)).toInt),
-        (nl + 5) / 6)
-    val cents = centroids(corpus, nl, if (n >= 0) n else corpus.count())
-    val bc = spark.sparkContext.broadcast(cents)
-
-    val assigned = corpus.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => Assigned(id, nearestCentroids(v, bc.value, 1).head) }
-      .toDF("cid", "centroid")
-    val probes = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        nearestCentroids(v, bc.value, np).map(c => (id, c))
-      }
-      .toDF("qid", "centroid")
-
-    val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-      Similarity.l2norm(col("embedding")).as("q_norm"))
-    val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-      Similarity.l2norm(col("embedding")).as("c_norm"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    probes.join(assigned, "centroid")
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-      .join(broadcast(qEmb), "qid")
-      .join(cEmb, "cid")
-      .withColumn("sim",
-        graft.Num.r6(Similarity.dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "cid", "sim")
-  }
+      k: Int, nLists: Int = 0, nProbe: Int = 0): DataFrame =
+    topKImpl(spark, corpus, queries, k, nLists, nProbe, filtered = false)
 
   /** FILTERED top-k: each query retrieves only corpus vectors whose
     * `label` equals the query's own — the metadata-constrained ANN every
@@ -145,9 +107,22 @@ object Ivf {
     * standard filtered-ANN caveat, surfaced by the frame's recall bound
     * rather than hidden. */
   def topKFiltered(spark: SparkSession, corpus: DataFrame,
-      queries: DataFrame, k: Int, nLists: Int = 0, nProbe: Int = 0): DataFrame = {
+      queries: DataFrame, k: Int, nLists: Int = 0, nProbe: Int = 0): DataFrame =
+    topKImpl(spark, corpus, queries, k, nLists, nProbe, filtered = true)
+
+  /** Shared IVF core (code-review r9: topK/topKFiltered were ~45
+    * duplicated lines). `filtered = true` threads the `label` column
+    * through assignment and probing and widens the posting-list join key
+    * to (centroid, label); everything else — knob derivation, centroid
+    * broadcast, verify joins, rank cut — is identical by construction. */
+  private def topKImpl(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, nLists: Int, nProbe: Int,
+      filtered: Boolean): DataFrame = {
     import spark.implicits._
-    val n = if (nLists > 0 && nProbe > 0) -1L else corpus.count()
+    // one count action feeds knobs AND the centroid sample step (the
+    // old two-branch -1L dodge never actually saved it: centroids()
+    // needs n for its stride either way)
+    val n = corpus.count()
     val nl =
       if (nLists > 0) nLists
       else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -155,28 +130,46 @@ object Ivf {
       if (nProbe > 0) nProbe
       else math.max(math.max(4, math.ceil(math.sqrt(nl.toDouble)).toInt),
         (nl + 5) / 6)
-    val cents = centroids(corpus, nl, if (n >= 0) n else corpus.count())
+    val cents = centroids(corpus, nl, n)
     val bc = spark.sparkContext.broadcast(cents)
 
-    val assigned = corpus.select(col("vec_id"), col("embedding"), col("label"))
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, v, lb) =>
-        (id, nearestCentroids(v, bc.value, 1).head, lb)
+    val (assigned, probes, joinKeys) =
+      if (filtered) {
+        val a = corpus.select(col("vec_id"), col("embedding"), col("label"))
+          .as[(Long, Array[Float], Int)]
+          .map { case (id, v, lb) =>
+            (id, nearestCentroids(v, bc.value, 1).head, lb)
+          }
+          .toDF("cid", "centroid", "label")
+        val p = queries.select(col("vec_id"), col("embedding"), col("label"))
+          .as[(Long, Array[Float], Int)]
+          .flatMap { case (id, v, lb) =>
+            nearestCentroids(v, bc.value, np).map(c => (id, c, lb))
+          }
+          .toDF("qid", "centroid", "label")
+        (a, p, Seq("centroid", "label"))
+      } else {
+        val a = corpus.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, v) =>
+            Assigned(id, nearestCentroids(v, bc.value, 1).head)
+          }
+          .toDF("cid", "centroid")
+        val p = queries.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            nearestCentroids(v, bc.value, np).map(c => (id, c))
+          }
+          .toDF("qid", "centroid")
+        (a, p, Seq("centroid"))
       }
-      .toDF("cid", "centroid", "label")
-    val probes = queries.select(col("vec_id"), col("embedding"), col("label"))
-      .as[(Long, Array[Float], Int)]
-      .flatMap { case (id, v, lb) =>
-        nearestCentroids(v, bc.value, np).map(c => (id, c, lb))
-      }
-      .toDF("qid", "centroid", "label")
 
     val qEmb = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
       Similarity.l2norm(col("embedding")).as("q_norm"))
     val cEmb = corpus.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
       Similarity.l2norm(col("embedding")).as("c_norm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    probes.join(assigned, Seq("centroid", "label"))
+    probes.join(assigned, joinKeys)
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
       .join(broadcast(qEmb), "qid")

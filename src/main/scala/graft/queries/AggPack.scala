@@ -409,7 +409,7 @@ object AggPack extends QueryPack {
     * harness (the estimates are checked against these; the DuckDB oracle
     * recomputes them independently), memoized per data fingerprint. The
     * driver-held map is |days|-sized. */
-  private def hllExactCounts(s: SparkSession, dir: String)
+  private[queries] def hllExactCounts(s: SparkSession, dir: String)
       : (Map[java.sql.Date, Long], Long) =
     graft.Fingerprint.memo[(Map[java.sql.Date, Long], Long)](
         "a17_exact_distinct", s"$dir/events.parquet") {

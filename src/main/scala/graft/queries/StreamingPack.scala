@@ -11,6 +11,13 @@ import graft.streaming.Streams
   */
 object StreamingPack extends QueryPack {
 
+  /** st11's exact per-day distinct checker is the memoized a17 truth —
+    * pre-paid here so timed runs measure the streaming sketch path. */
+  override def warm(s: SparkSession, dir: String): Unit = {
+    AggPack.hllExactCounts(s, dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup" -> ((s, dir) => Streams.dedupKeys(s, dir)),
     "st2_stream_window_agg" -> ((s, dir) => Streams.dailyAgg(s, dir)),
@@ -46,17 +53,20 @@ object StreamingPack extends QueryPack {
     "st7_transform_with_state" -> ((s, dir) =>
       Streams.transformWithStateTotals(s, dir)),
 
-    // Streaming windowed approximate distinct: the HLL++ partial
-    // aggregate IS the per-window state, so state is fixed-width per
-    // day where exact distinct would hold every user id. Frame: per-day
-    // estimate within 5% of the exact count the oracle recomputes.
+    // Streaming windowed approximate distinct: the Datasketches HLL
+    // partial aggregate IS the per-window state, so state is fixed-width
+    // per day where exact distinct would hold every user id. Frame:
+    // per-day estimate within 5% of the exact count the oracle
+    // recomputes — the exact checker is the MEMOIZED a17 truth set, paid
+    // in warm (code-review r9: the inline countDistinct re-scanned
+    // events on every timed invocation).
     "st11_stream_approx_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      import s.implicits._
       val approx = Streams.dailyApproxDistinct(s, dir)
-      val exact = graft.Tables.events(s, dir)
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
-      approx.join(exact, "day")
+      val (dayExact, _) = AggPack.hllExactCounts(s, dir)
+      val exactDf = dayExact.toSeq.toDF("day", "exact_users")
+      approx.join(broadcast(exactDf), "day")
         .select(col("day"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) /
             col("exact_users") <= 0.05).as("within_rel_005"))

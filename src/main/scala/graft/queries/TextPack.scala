@@ -20,8 +20,10 @@ object TextPack extends QueryPack {
 
   /** t13's KenLM-style min-count prune knob: bigram types seen fewer than
     * this many times are dropped from the trained LM (scored occurrences
-    * back off to the context's add-one unseen probability). Shared with
-    * the oracle SQL's `cbg >= 2` branch. */
+    * back off to the context's add-one unseen probability). Interpolated
+    * into the oracle's `lmCtes` prune branch, so changing it here changes
+    * both engines (code-review r9: the old comment claimed sharing while
+    * the SQL hardcoded the literal). */
   private[graft] val MinBigramCount = 2
 
   /** The t14 BPE trainer body: 4 rounds of corpus-weighted pair counts
@@ -236,7 +238,12 @@ object TextPack extends QueryPack {
     // as-is, middle gets sampled, tail gets dropped — the knob this
     // table parameterizes.
     "t20_ppl_buckets" -> ((s, dir) => {
-      val ppl = lmPerplexity(s, dir)
+      // the LM scoring feeds three consumers (the count knob, the rank
+      // sort, and the final join) — cached so the two gram shuffles and
+      // the vocab agg run ONCE per invocation, not three times (the a17
+      // triple-scan lesson; lifetime left to Spark's LRU, the
+      // minhashLshPairs discipline, since the returned frame is lazy)
+      val ppl = lmPerplexity(s, dir).cache()
       val scored = ppl.filter(col("cross_entropy").isNotNull)
         .select(col("doc_id"), col("cross_entropy"))
       val ranked = graft.Ranks.globalRankRows(scored, "rnk",
@@ -252,8 +259,8 @@ object TextPack extends QueryPack {
 
   /** The t13 LM scoring CTE chain, shared by the t13 and t20 oracles. */
   private val lmCtes: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+    s"""WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
       |  FROM documents
       |), base AS (
       |  SELECT doc_id, len(words) AS n_words FROM d
@@ -275,7 +282,7 @@ object TextPack extends QueryPack {
       |    CAST(sum(m * lp_e6) AS BIGINT) AS s_e6
       |  FROM (
       |    SELECT m.doc_id, m.m,
-      |      CASE WHEN cbg >= 2 THEN
+      |      CASE WHEN cbg >= $MinBigramCount THEN
       |        CAST(floor(ln((cbg + 1.0) / (cu + v)) * 1000000 + 0.5) AS BIGINT)
       |      ELSE
       |        CAST(floor(ln(1.0 / (cu + v)) * 1000000 + 0.5) AS BIGINT)

@@ -249,30 +249,37 @@ object Streams {
     * the oracle. At scale the sentinel trick is unnecessary (real streams
     * keep advancing the watermark); the bounded-state contract is the
     * same two-sided time-range constraint st5 pins. */
-  def clickPurchaseOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared sentinel staging for the bounded-fixture watermark trick
+    * (st10/st12 — code-review r9: the two inline copies meant the ADVICE
+    * r8 fd-leak fix had to be applied twice). Copies the events fixture
+    * into a FLAT streaming-source dir (the file source lists only the
+    * top level — it ignores recursiveFileLookup — so sentinels must land
+    * as flat files next to events.parquet, written via a scratch dir and
+    * a part-file move) and returns (inDir, tsType, writeSentinels) where
+    * writeSentinels(name, when) stages one far-future row per requested
+    * (event_id, user_id, event_type). */
+  private def stageWithSentinels(spark: SparkSession, sfDir: String,
+      tag: String, sentinelRows: Seq[(Long, Long, String)])
+      : (java.nio.file.Path, org.apache.spark.sql.types.DataType,
+         (String, String) => Unit) = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
-    // stage: fixture file + a sentinel file with one far-future row per
-    // join side (the sentinel must pass each side's event_type filter to
-    // advance THAT side's watermark)
     val inDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_outer/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_$tag/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(inDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       inDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // the streaming file source lists only the top-level directory (it
-    // ignores recursiveFileLookup), so each sentinel must land as a FLAT
-    // file next to events.parquet — write to a scratch dir and move the
-    // part file up
     def writeSentinels(name: String, when: String): Unit = {
       val at = java.sql.Timestamp.valueOf(when)
-      val rows = spark.createDataFrame(java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, at, -1L, "click", 0.0, "{}"),
-          org.apache.spark.sql.Row(-2L, at, -2L, "purchase", 0.0, "{}")),
+      val rowList = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      sentinelRows.foreach { case (eid, uid, et) =>
+        rowList.add(org.apache.spark.sql.Row(eid, at, uid, et, 0.0, "{}"))
+      }
+      val rows = spark.createDataFrame(rowList,
         StructType(Seq(
           StructField("event_id", LongType), StructField("ts", TimestampType),
           StructField("user_id", LongType), StructField("event_type", StringType),
@@ -297,6 +304,15 @@ object Streams {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
     }
+    (inDir, tsType, writeSentinels)
+  }
+
+  def clickPurchaseOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // one far-future sentinel per JOIN SIDE (each must pass its side's
+    // event_type filter to advance THAT side's watermark)
+    val (inDir, tsType, writeSentinels) = stageWithSentinels(spark, sfDir,
+      "outer", Seq((-1L, -1L, "click"), (-2L, -2L, "purchase")))
     writeSentinels("sentinel", "2100-01-01 00:00:00")
     // a second sentinel is staged AFTER the first drain (below): outer-join
     // null emission uses the PREVIOUS batch's watermark, so one more data
@@ -358,41 +374,8 @@ object Streams {
     * sessionization the oracle expresses. */
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
-    val inDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_sess/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(inDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      inDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    def writeSentinel(name: String, when: String): Unit = {
-      val at = java.sql.Timestamp.valueOf(when)
-      val rows = spark.createDataFrame(java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, at, -1L, "click", 0.0, "{}")),
-        StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", TimestampType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-      val cast = tsType match {
-        case LongType => rows.withColumn("ts", expr("unix_micros(ts) * 1000"))
-        case _ => rows.withColumn("ts", col("ts").cast(tsType))
-      }
-      val scratch = inDir.resolve(s"_${name}_build")
-      cast.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val listing = java.nio.file.Files.list(scratch)
-      val part =
-        try listing.toArray
-          .map(_.asInstanceOf[java.nio.file.Path])
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error("sentinel part file not found"))
-        finally listing.close()
-      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
-    }
+    val (inDir, tsType, writeSentinel) = stageWithSentinels(spark, sfDir,
+      "sess", Seq((-1L, -1L, "click")))
     java.nio.file.Files.deleteIfExists(inDir.resolve("sentinel.parquet"))
     java.nio.file.Files.deleteIfExists(inDir.resolve("sentinel2.parquet"))
     val schema = StructType(Seq(

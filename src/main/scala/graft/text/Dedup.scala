@@ -124,41 +124,59 @@ object Dedup {
     * pipelined CPU on a sorted-merge intersection instead of three
     * shuffles of the full candidate stream. Past the broadcast bound the
     * plan degrades to the linear shuffle joins on doc ids. */
-  def minhashLshPairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
-      threshold: Double, broadcastBytes: Long = 256L << 20): Dataset[DupPair] = {
-    import spark.implicits._
-    val sh: Dataset[DocShingles] = docs
-      .select(col("doc_id"), col("text"))
+  /** Sorted shingle-hash sets per doc — the shared first stage of every
+    * MinHash miner (sorting enables merge-intersection per candidate). */
+  private def shingledSets(docs: DataFrame, shingleW: Int): Dataset[DocShingles] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) =>
         val a = shingleHashes(t, shingleW)
-        java.util.Arrays.sort(a) // enables merge-intersection per candidate
+        java.util.Arrays.sort(a)
         DocShingles(id, a)
       }
+  }
+
+  /** Band rows from the 64-perm signature — shared by the self-join and
+    * bipartite miners. */
+  private def bandRows(sh: Dataset[DocShingles]): Dataset[BandRow] = {
+    val s = sh.sparkSession
+    import s.implicits._
+    sh.flatMap { d =>
+      val bh = bandHashes(minhashSignature(d.shingles))
+      bh.iterator.zipWithIndex.map { case (h, b) => BandRow(d.doc_id, b, h) }
+    }
+  }
+
+  /** Bounded-broadcast decision for a shingle table (one exact size job —
+    * 8 bytes per shingle + row overhead). The bound is on RAW payload
+    * bytes — resident HashedRelation ≈ 3× that, × aliased sides, so the
+    * executor worst case is ~6× the bound (default 256 MB → ≲ 1.5 GB,
+    * sized for multi-GB executors; pass a smaller bound for lean
+    * profiles). Past it: linear shuffle joins on doc ids. */
+  private def shingleFits(sh: Dataset[DocShingles], broadcastBytes: Long): Boolean = {
+    val r = sh.toDF("doc_id", "shingles")
+      .select(sum(size(col("shingles"))).cast("long").as("n"),
+        count(lit(1)).as("d"))
+      .head()
+    (Option(r.get(0)).getOrElse(0L).asInstanceOf[Long] * 8L
+      + r.getLong(1) * 24L) <= broadcastBytes
+  }
+
+  def minhashLshPairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      threshold: Double, broadcastBytes: Long = 256L << 20): Dataset[DupPair] = {
+    import spark.implicits._
+    val sh = shingledSets(docs, shingleW)
     sh.cache() // shingle sets: joined back on both pair sides for verification
 
     // bands cached too: they feed BOTH sides of the bucket self-join, and
     // the 64-perm signature is the expensive step — without caching it
     // runs twice per document. Lifetime is left to Spark's LRU (the query
     // result is lazy, so eager unpersist here would defeat the cache).
-    val bands: Dataset[BandRow] = sh.flatMap { d =>
-      val bh = bandHashes(minhashSignature(d.shingles))
-      bh.iterator.zipWithIndex.map { case (h, b) => BandRow(d.doc_id, b, h) }
-    }.cache()
+    val bands: Dataset[BandRow] = bandRows(sh).cache()
 
-    // bounded broadcast of the shingle table (one exact size job over the
-    // cached sets — 8 bytes per shingle + row overhead); the d10 embedding
-    // rule applied to the verification payload. The bound is on RAW
-    // payload bytes — resident HashedRelation ≈ 3× that, × two aliased
-    // sides, so the executor worst case is ~6× the bound (default 256 MB
-    // → ≲ 1.5 GB, sized for multi-GB executors; pass a smaller bound for
-    // lean profiles). Past it: linear shuffle joins on doc ids.
-    val shBytes = sh.toDF("doc_id", "shingles")
-      .select(sum(size(col("shingles"))).cast("long").as("n"),
-        count(lit(1)).as("d"))
-      .head()
-    val fits = (Option(shBytes.get(0)).getOrElse(0L).asInstanceOf[Long] * 8L
-      + shBytes.getLong(1) * 24L) <= broadcastBytes
+    val fits = shingleFits(sh, broadcastBytes)
     def shAs(idCol: String, setCol: String) = {
       val side = sh.toDF(idCol, setCol)
       if (fits) broadcast(side) else side
@@ -196,37 +214,21 @@ object Dedup {
       right: DataFrame, shingleW: Int, threshold: Double,
       broadcastBytes: Long = 256L << 20): Dataset[DupPair] = {
     import spark.implicits._
-    def shingled(docs: DataFrame): Dataset[DocShingles] = docs
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        val a = shingleHashes(t, shingleW)
-        java.util.Arrays.sort(a)
-        DocShingles(id, a)
-      }
-    def bandsOf(sh: Dataset[DocShingles]): Dataset[BandRow] = sh.flatMap { d =>
-      bandHashes(minhashSignature(d.shingles)).iterator.zipWithIndex
-        .map { case (h, b) => BandRow(d.doc_id, b, h) }
-    }
     // each side's shingle set feeds its band derivation AND the verify
     // join — cached so the 64-perm signature runs once per document
-    val shL = shingled(left).cache()
-    val shR = shingled(right).cache()
-    def fits(sh: Dataset[DocShingles]): Boolean = {
-      val r = sh.toDF("doc_id", "shingles")
-        .select(sum(size(col("shingles"))).cast("long").as("n"),
-          count(lit(1)).as("d")).head()
-      (Option(r.get(0)).getOrElse(0L).asInstanceOf[Long] * 8L
-        + r.getLong(1) * 24L) <= broadcastBytes
-    }
-    val fitsR = fits(shR)
-    val fitsL = fits(shL)
+    // (shingling/banding/bound logic shared with minhashLshPairs —
+    // code-review r9)
+    val shL = shingledSets(left, shingleW).cache()
+    val shR = shingledSets(right, shingleW).cache()
+    val fitsR = shingleFits(shR, broadcastBytes)
+    val fitsL = shingleFits(shL, broadcastBytes)
     def shAs(sh: Dataset[DocShingles], ok: Boolean, idCol: String,
         setCol: String) = {
       val side = sh.toDF(idCol, setCol)
       if (ok) broadcast(side) else side
     }
-    val bandsR = bandsOf(shR).toDF("doc_b", "band", "bucket")
-    bandsOf(shL).toDF("doc_a", "band", "bucket")
+    val bandsR = bandRows(shR).toDF("doc_b", "band", "bucket")
+    bandRows(shL).toDF("doc_a", "band", "bucket")
       .join(if (fitsR) broadcast(bandsR) else bandsR, Seq("band", "bucket"))
       .join(shAs(shL, fitsL, "doc_a", "sh_a"), "doc_a")
       .join(shAs(shR, fitsR, "doc_b", "sh_b"), "doc_b")
