@@ -88,6 +88,9 @@ object ScaleProbe {
     // mergeable HLL sketches: partial-agg day shuffle carries sketches;
     // the exact-distinct checker dominates (it's the verification half)
     "a17_hll_union",
+    // Count-Min: one (row, cell)-keyed partial agg bounded at 4096
+    // counters per partition — the corpus pays a map-only hash pass
+    "a18_countmin",
     // curation family: per-series window ops scale with series count
     // (user_id shifts give 10× series of unchanged length); c3's
     // cumulative pass is bounded by value cardinality, which the replica

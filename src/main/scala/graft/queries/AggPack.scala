@@ -75,6 +75,41 @@ object AggPack extends QueryPack {
     // both checkers and a 3×-recomputed `daily` rode every timed
     // invocation, so bench/probe cells read the checker, not the
     // flat-by-construction union.
+    // Count-Min sketch — the OTHER mergeable frequency primitive (a15's
+    // Misra–Gries answers "which keys are heavy"; CM answers "how often
+    // is THIS key", supports deletes, and merges by cell-wise addition):
+    // depth 4 × width 1024 counters built in ONE partial-agg shuffle of
+    // (row, cell) keys — the sketch is 4096 counters regardless of
+    // corpus size, the exchange carries ≤ 4096 counters per partition,
+    // and daily sketches would merge like a17's. Point queries (the
+    // top-20 tokens) broadcast against the sketch; est = min over rows.
+    // The sketch is DETERMINISTIC given the row-salted FNV hash, so the
+    // oracle replays every cell and estimate exactly — est ≥ exact holds
+    // by construction and the overcount column shows the collision error
+    // the width bounds (E ≤ N/w per row, min over 4 rows).
+    "a18_countmin" -> ((s, dir) => {
+      graft.functions.Fnv64.register(s)
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val cells = toks
+        .select(explode(expr(
+          "transform(sequence(0, 3), j -> struct(j AS j, " +
+          "pmod(graft_fnv64(concat(CAST(j AS STRING), ':', token)), 1024)" +
+          " AS cell))")).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.cell").as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(20)
+      probes
+        .select(col("token"), col("exact"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("cell", expr(
+          "pmod(graft_fnv64(concat(CAST(j AS STRING), ':', token)), 1024)"))
+        .join(cells, Seq("j", "cell"))
+        .groupBy("token", "exact").agg(min(col("cnt")).as("cm_est"))
+        .withColumn("overcount", col("cm_est") - col("exact"))
+    }),
+
     "a17_hll_union" -> ((s, dir) => {
       import s.implicits._
       val daily = hllDailySketches(s, dir)
@@ -254,6 +289,39 @@ object AggPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // a18: the row-salted FNV fold is re-derived per (j, token) exactly
+    // as t4 does it; cell = uh % 1024 equals Spark's pmod over the
+    // wrapped signed long because 1024 divides 2^64.
+    "a18_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT token, j, CAST(
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(CAST(j AS VARCHAR) || ':' || token) + 1),
+        |          i -> ord(substring(CAST(j AS VARCHAR) || ':' || token,
+        |                             CAST(i AS INT), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211)
+        |                  % 18446744073709551616) % 1024 AS BIGINT) AS cell
+        |  FROM toks, unnest(range(0, 4)) AS t(j)
+        |), cells AS (
+        |  SELECT j, cell, count(*) AS cnt FROM hashed GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT token, count(*) AS exact FROM toks GROUP BY 1
+        |  ORDER BY exact DESC, token LIMIT 20
+        |), pq AS (
+        |  SELECT p.token, p.exact, h.j, h.cell
+        |  FROM probes p JOIN (SELECT DISTINCT token, j, cell FROM hashed) h
+        |    ON p.token = h.token
+        |), est AS (
+        |  SELECT token, exact, CAST(min(cnt) AS BIGINT) AS cm_est
+        |  FROM pq JOIN cells USING (j, cell)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT token, exact, cm_est, cm_est - exact AS overcount
+        |FROM est""".stripMargin,
     "a1_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
