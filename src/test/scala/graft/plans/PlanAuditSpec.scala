@@ -365,6 +365,44 @@ class PlanAuditSpec extends SparkSuite {
       s"distinct must key on the scored row (post-filter):\n$plan")
   }
 
+  test("w16: day stats broadcast onto a map-only scoring pass — no sort-merge join") {
+    val plan = executedString("w16_cross_sectional_z")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only hash exchange is the ~30-row day-stats aggregation
+    val keyed = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keyed.subsetOf(Set("day")), s"unexpected exchange keys $keyed:\n$plan")
+  }
+
+  test("t19: vocab rank comes from the RDD sort path, never a global window") {
+    val plan = executedString("t19_zipf_slope")
+    assert(plan.contains("ExistingRDD") || plan.contains("SerializeFromObject"),
+      s"rank must come from the RDD sort:\n$plan")
+    assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
+  }
+
+  test("t20: the LM scoring is cached — consumers read InMemoryTableScan") {
+    // code-review r9: uncached, the count knob + rank sort + final join
+    // re-trained the bigram LM three times per invocation
+    val plan = executedString("t20_ppl_buckets")
+    assert(plan.contains("InMemoryTableScan"),
+      s"ppl frame must be cached:\n$plan")
+    assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
+  }
+
+  test("a18: the sketch build is one (row, cell) partial agg; probes broadcast") {
+    val plan = executedString("a18_countmin")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exchanges: the (j, cell) sketch agg (whose struct-field keys print
+    // as the synthetic _groupingexpression) and the token probe agg only
+    // — the corpus never shuffles on a row key
+    val keyed = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keyed.subsetOf(Set("j", "token", "_groupingexpression")),
+      s"unexpected exchange keys $keyed:\n$plan")
+  }
+
   test("ml_kmeans_step: seeds broadcast, two keyed exchanges, partial aggs") {
     val plan = executedString("ml_kmeans_step")
     // the k seed rows ride a broadcast, never a shuffled join side
