@@ -69,6 +69,9 @@ object ScaleProbe {
     // should track t2's map-only slope (the rename replica is fair
     // here: bucket smearing changes WHICH buckets fill, not the work)
     "t17_dsir_importance",
+    // corpus KL: the same bucket-count shuffle as t17, then all math on
+    // the 8192-row table — should read t17's slope minus the per-doc agg
+    "t22_corpus_kl",
     // video keyframes: map-only frame explode + one doc-keyed window.
     // Byte-level but PER-DOC temporal (no cross-doc collision surface),
     // so the rename replica is fair here unlike m3: work is linear in

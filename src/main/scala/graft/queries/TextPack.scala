@@ -257,6 +257,31 @@ object TextPack extends QueryPack {
     })
   )
 
+  /** DSIR hashed-bigram feature space size, shared by t17 and t22. */
+  private[graft] val DsirBuckets = 8192
+
+  /** The (doc_id, lang, bucket) hashed-bigram occurrence stream — the
+    * shared first stage of the DSIR family (t17 importance weighting,
+    * t22 corpus KL). Map-only: FNV + pmod per bigram. */
+  private def dsirBucketStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fnv64.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(words, 1, size(words) - 1), " +
+        "slice(words, 2, size(words) - 1), " +
+        s"(a, b) -> pmod(graft_fnv64(concat(a, ' ', b)), $DsirBuckets))")).as("b"))
+  }
+
+  /** Per-bucket raw/target occurrence counts (one map-side-combined
+    * partial agg; output is at most `DsirBuckets` rows). */
+  private def dsirBucketCounts(bg: DataFrame): DataFrame =
+    bg.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+
   /** The t13 LM scoring CTE chain, shared by the t13 and t20 oracles. */
   private val lmCtes: String =
     s"""WITH d AS (
@@ -621,20 +646,12 @@ object TextPack extends QueryPack {
     // micro-nats from exact integer counts (the t13 recipe); per-doc
     // sums are exact integer arithmetic.
     "t17_dsir_importance" -> ((s, dir) => {
-      graft.functions.Fnv64.register(s)
-      val B = 8192
+      val B = DsirBuckets
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           split(trim(col("text")), "\\s+").as("words"))
-      val bg = docs
-        .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "zip_with(slice(words, 1, size(words) - 1), " +
-          "slice(words, 2, size(words) - 1), " +
-          s"(a, b) -> pmod(graft_fnv64(concat(a, ' ', b)), $B))")).as("b"))
-      val counts = bg.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        count(when(col("lang") === "en", 1)).as("ct"))
+      val bg = dsirBucketStream(s, dir)
+      val counts = dsirBucketCounts(bg)
       val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
       val lr = counts.crossJoin(broadcast(totals))
         .withColumn("lr_e6", expr(
@@ -662,6 +679,48 @@ object TextPack extends QueryPack {
           (col("s_e6").cast("decimal(38,0)") * col("tn") >
             col("ts").cast("decimal(38,0)") * col("n_bigrams"))
             .as("selected"))
+    }),
+
+    // Corpus-level distribution shift — KL divergence both ways between
+    // the target (en) and raw hashed-bigram bucket models (t17's
+    // feature space): the data-mixing diagnostic that says HOW FAR a
+    // candidate source sits from the target distribution before any
+    // per-doc scoring. Both divergences are exact fixed-point sums:
+    // each nonzero bucket contributes floor(θ·Δlnθ·1e12+0.5) as a
+    // BIGINT, the (B − n_used) EMPTY buckets contribute one shared
+    // add-one term times their count (smoothed distributions put mass
+    // everywhere — dropping empty buckets would understate the
+    // divergence), and the final value is one IEEE division. The whole
+    // computation runs on the B-row bucket table — corpus cost is the
+    // one map-side-combined count shuffle.
+    "t22_corpus_kl" -> ((s, dir) => {
+      val B = DsirBuckets
+      val counts = dsirBucketCounts(dsirBucketStream(s, dir))
+      val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+        count(lit(1)).as("nb"))
+      val terms = counts.crossJoin(broadcast(totals))
+        .withColumn("t_tr_e12", expr(
+          s"CAST(floor(((ct + 1.0) / (nt + $B)) * " +
+          s"(ln((ct + 1.0) / (nt + $B)) - ln((cr + 1.0) / (nr + $B))) " +
+          "* 1000000000000 + 0.5) AS BIGINT)"))
+        .withColumn("t_rt_e12", expr(
+          s"CAST(floor(((cr + 1.0) / (nr + $B)) * " +
+          s"(ln((cr + 1.0) / (nr + $B)) - ln((ct + 1.0) / (nt + $B))) " +
+          "* 1000000000000 + 0.5) AS BIGINT)"))
+      terms.agg(sum("t_tr_e12").as("s_tr"), sum("t_rt_e12").as("s_rt"))
+        .crossJoin(broadcast(totals))
+        .select(col("nt").as("n_target_bigrams"), col("nr").as("n_raw_bigrams"),
+          col("nb").as("n_buckets_used"),
+          Num.r6(expr(
+            s"CAST(s_tr + ($B - nb) * " +
+            s"CAST(floor((1.0 / (nt + $B)) * (ln(1.0 / (nt + $B)) - " +
+            s"ln(1.0 / (nr + $B))) * 1000000000000 + 0.5) AS BIGINT) " +
+            "AS DOUBLE) / 1000000000000.0")).as("kl_target_raw"),
+          Num.r6(expr(
+            s"CAST(s_rt + ($B - nb) * " +
+            s"CAST(floor((1.0 / (nr + $B)) * (ln(1.0 / (nr + $B)) - " +
+            s"ln(1.0 / (nt + $B))) * 1000000000000 + 0.5) AS BIGINT) " +
+            "AS DOUBLE) / 1000000000000.0")).as("kl_raw_target"))
     })
   )
 
@@ -902,6 +961,58 @@ object TextPack extends QueryPack {
         |  CAST(s_e6 AS DECIMAL(38,0)) * tn >
         |    CAST(ts AS DECIMAL(38,0)) * n_bigrams AS selected
         |FROM base LEFT JOIN perdoc USING (doc_id) CROSS JOIN seltot""".stripMargin,
+    "t22_corpus_kl" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS g
+        |  FROM d, unnest(range(1, len(words))) AS t(i)
+        |  WHERE len(words) >= 2
+        |), hb AS (
+        |  SELECT doc_id, lang, CAST(
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(g) + 1),
+        |                       i -> ord(substring(g, CAST(i AS INT), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211)
+        |                  % 18446744073709551616) % 8192 AS BIGINT) AS b
+        |  FROM bg
+        |), counts AS (
+        |  SELECT b, count(*) AS cr,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |  FROM hb GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+        |    count(*) AS nb
+        |  FROM counts
+        |), terms AS (
+        |  SELECT
+        |    CAST(floor(((ct + 1.0) / (nt + 8192)) *
+        |      (ln((ct + 1.0) / (nt + 8192)) - ln((cr + 1.0) / (nr + 8192)))
+        |      * 1000000000000 + 0.5) AS BIGINT) AS t_tr,
+        |    CAST(floor(((cr + 1.0) / (nr + 8192)) *
+        |      (ln((cr + 1.0) / (nr + 8192)) - ln((ct + 1.0) / (nt + 8192)))
+        |      * 1000000000000 + 0.5) AS BIGINT) AS t_rt
+        |  FROM counts CROSS JOIN totals
+        |), s AS (
+        |  SELECT CAST(sum(t_tr) AS BIGINT) AS s_tr,
+        |    CAST(sum(t_rt) AS BIGINT) AS s_rt
+        |  FROM terms
+        |)
+        |SELECT nt AS n_target_bigrams, nr AS n_raw_bigrams,
+        |  CAST(nb AS BIGINT) AS n_buckets_used,
+        |  floor((CAST(s_tr + (8192 - nb) *
+        |    CAST(floor((1.0 / (nt + 8192)) * (ln(1.0 / (nt + 8192)) -
+        |      ln(1.0 / (nr + 8192))) * 1000000000000 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1000000000000.0) * 1000000 + 0.5) / 1000000
+        |    AS kl_target_raw,
+        |  floor((CAST(s_rt + (8192 - nb) *
+        |    CAST(floor((1.0 / (nr + 8192)) * (ln(1.0 / (nr + 8192)) -
+        |      ln(1.0 / (nt + 8192))) * 1000000000000 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1000000000000.0) * 1000000 + 0.5) / 1000000
+        |    AS kl_raw_target
+        |FROM s CROSS JOIN totals""".stripMargin,
     "t13_lm_perplexity" ->
       s"""$lmCtes
          |SELECT base.doc_id, n_words, n_bigrams,
