@@ -420,4 +420,16 @@ class PlanAuditSpec extends SparkSuite {
     assert("HashAggregate\\(keys=\\[cluster_id".r.findAllIn(plan).size == 2,
       s"partial + final pooling agg:\n$plan")
   }
+
+  test("sc9: dim filter prunes fact partitions via dynamic partition pruning") {
+    val plan = executedString("sc9_dpp_join")
+    // the fact scan's PartitionFilters must carry the runtime subquery —
+    // static pruning is impossible (the fact has no year column), so this
+    // string is present iff DPP actually fired
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruning expression in the fact scan:\n$plan")
+    // the dim side must broadcast (DPP here reuses the broadcast exchange
+    // rather than running a duplicate filter job)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
