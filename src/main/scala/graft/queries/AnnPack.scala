@@ -30,6 +30,12 @@ object AnnPack extends QueryPack {
     * mean recall on the isotropic fixtures sits well above (IvfPqSpec). */
   private val IvfPqBound = 0.25
 
+  /** SQ8 approximates every score (it never DROPS candidates the way the
+    * bucketed variants do) and its per-element distortion is ≤ span/510,
+    * so its floor is far tighter than the bucketed 0.30 — measured mean
+    * recall on the fixtures is ≈1.0 (Sq8Spec). */
+  private val Sq8Bound = 0.60
+
   /** Exact cosine top-5 per query — the ground truth for the n3/n4/n5
     * recall frames. Same computation as the n2 query (whose values the
     * DuckDB oracle hash-checks), memoized per embeddings fingerprint so
@@ -291,6 +297,21 @@ object AnnPack extends QueryPack {
         IvfPqBound, "recall5_ge_025")
     }),
 
+    // Scalar-quantization top-5 (SQ8, the FAISS IndexScalarQuantizer
+    // layout): per-dimension affine int8 codes — 4× smaller than float32
+    // with far less distortion than PQ's 8-byte codes, the middle tier
+    // of the memory/recall curve. Scoring is ASYMMETRIC: each
+    // full-precision query folds the affine map into per-dim weights
+    // (score = base + Σ w_i·code_i), so the code scan does dim
+    // byte-weighted multiply-adds per pair and never reads the 4× bigger
+    // floats; exact-cosine refine of the TopK survivors. Recall
+    // invariant frame (operator spec: Sq8Spec).
+    "n10_ann_sq8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallFrame(s, dir, graft.ann.Sq8.topK(s, e, queriesSet(e), k = 5),
+        Sq8Bound, "recall5_ge_060")
+    }),
+
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
@@ -484,6 +505,9 @@ object AnnPack extends QueryPack {
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "n7_ann_ivfpq" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_025
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "n10_ann_sq8" ->
+      """SELECT count(*) AS n_queries, true AS recall5_ge_060
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // d11's frame: the planted-twin truth is LINEAR (each original paired
     // with its own perturbed twin), so the oracle recomputes it as a
