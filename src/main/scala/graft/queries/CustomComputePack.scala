@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Num, QueryPack, Tables}
-import graft.ops.{Ar1, Ewm, Interpolate, SeriesStats}
+import graft.ops.{Ar1, Ewm, Holt, Interpolate, SeriesStats}
 
 /** Custom per-series compute (SURVEY §2.9, §7.4): operators with no
   * frame-window equivalent, run as typed sorted-group folds.
@@ -180,6 +180,19 @@ object CustomComputePack extends QueryPack {
           Num.r6(when(isnan(col("v_interp")), col("gmean"))
             .otherwise(col("v_interp"))).as("v_interp"))
     }),
+
+    // Per-series Holt linear-trend smoothing (double exponential
+    // smoothing — the trend-aware forecaster between w8's EWM and
+    // stats_ar1's regression): one sequential fold per ordered series via
+    // flatMapSortedGroups, O(1) state. The recursion runs in 1e-6-unit
+    // BIGINTs with truncating integer division, so the DuckDB oracle
+    // replays it EXACTLY as a WITH RECURSIVE lockstep — an exact hash
+    // check on a doubly-recursive sequential model, like g1's PageRank.
+    "stats_holt" -> ((s, dir) =>
+      Holt.smooth(s, Tables.events(s, dir)).toDF()
+        .select(col("user_id"), col("n"),
+          col("level"), col("trend"), col("forecast"),
+          Num.r6(col("mae")).as("mae"))),
 
     // Per-series AR(1)+drift fit (train.py:250-291's per-ticker SARIMAX
     // loop, closed-form sibling): one sequential conditional-least-squares
@@ -387,6 +400,39 @@ object CustomComputePack extends QueryPack {
     "stats_adf_ljungbox" -> SeriesStats.adfLjungBoxOracle(10),
     // Same lag-1 pair moments as stats_autocorr; the estimator arithmetic
     // mirrors Ar1.fit's double op-order exactly.
+    // Holt recursion replayed exactly: same 1e-6-unit BIGINTs, same
+    // truncating `//` division (DuckDB truncates toward zero like the
+    // JVM — verified on negative operands), advanced in lockstep over
+    // per-series row numbers by the recursive CTE.
+    "stats_holt" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000 AS v
+        |  FROM events
+        |), nmax AS (
+        |  SELECT user_id, max(rn) AS n FROM seq GROUP BY 1
+        |), rec AS (
+        |  SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b,
+        |         CAST(0 AS BIGINT) AS sae
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    (5 * s.v + 5 * (r.l + r.b)) // 10 AS l,
+        |    (3 * ((5 * s.v + 5 * (r.l + r.b)) // 10 - r.l) + 7 * r.b) // 10
+        |      AS b,
+        |    r.sae + abs(s.v - (r.l + r.b)) AS sae
+        |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        |)
+        |SELECT rec.user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(l AS DOUBLE) / 1000000.0 AS level,
+        |  CAST(b AS DOUBLE) / 1000000.0 AS trend,
+        |  CAST(l + b AS DOUBLE) / 1000000.0 AS forecast,
+        |  floor((CAST(sae AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 1000000.0)
+        |        * 1000000 + 0.5) / 1000000 AS mae
+        |FROM rec JOIN nmax ON rec.user_id = nmax.user_id AND rec.rn = nmax.n
+        |WHERE n >= 2""".stripMargin,
     "stats_ar1_fit" ->
       """WITH paired AS (
         |  SELECT user_id,
