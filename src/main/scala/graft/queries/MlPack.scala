@@ -515,6 +515,53 @@ object MlPack extends QueryPack {
     // map-side (partial max over the k candidate rows of each point
     // before the shuffle), re-estimation shuffles (cluster, pos) keyed
     // integer counters — the same two-shuffle plan a full distributed
+    // Logistic regression, one exact Newton/IRLS step from β = 0 — the
+    // classification twin of the closed-form OLS ops. At β = 0 every
+    // p_i = ½, so the step has a CLOSED FORM: β₁ = H⁻¹g =
+    // 4·(ΣxxᵀΣ)⁻¹·Σx(y−½) — one distributed moment aggregation (five
+    // partial-agg sums, nothing driver-side but the 2×2 solve folded
+    // into the projection), exactly how a production IRLS iterates:
+    // broadcast β, one pass for (g, H), solve on the driver, repeat.
+    // Exactness: x in integer cents, all moments DECIMAL(38,0) ≙
+    // DuckDB HUGEINT, the ½ cleared by doubling (g' = [2Sy−n,
+    // 2Sxy−Sx]), Cramer numerators/determinant exact integers, ONE
+    // double division at the end. The slope is reported per kUSD
+    // (β₁·1e5 in cent units) so the 1e-6 rounding grid retains
+    // signal.
+    "ml_logreg_newton" -> ((s, dir) => {
+      val b = Tables.orders(s, dir).select(
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .cast(DecimalType(10, 0)).as("y"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(12, 0)).as("x"))
+      val m = b.agg(
+        count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+        sum(col("x")).cast(DecimalType(22, 0)).as("sx"),
+        sum(col("y")).cast(DecimalType(14, 0)).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(26, 0)))
+          .cast(DecimalType(36, 0)).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(24, 0)))
+          .cast(DecimalType(34, 0)).as("sxy"))
+      m.select(
+          col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+          (col("sy") * 2 - col("n")).cast(DecimalType(16, 0)).as("gy"),
+          (col("sxy") * 2 - col("sx")).cast(DecimalType(36, 0)).as("gx"))
+        .select(
+          col("n").cast("long").as("n"),
+          Num.r6(col("sy").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("mean_y"),
+          Num.r6((
+            (col("sxx") * col("gy") - col("sx") * col("gx"))
+              .cast(DecimalType(38, 0)) * 2).cast(DoubleType)
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DecimalType(38, 0)).cast(DoubleType)).as("beta0"),
+          Num.r6((
+            (col("n") * col("gx") - col("sx") * col("gy"))
+              .cast(DecimalType(38, 0)) * 200000).cast(DoubleType)
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DecimalType(38, 0)).cast(DoubleType)).as("beta1_per_kusd"))
+    }),
+
     // k-means pays per iteration, which is how MLlib's own KMeans
     // structures Lloyd's at scale.
     "ml_kmeans_step" -> ((s, dir) => {
@@ -861,6 +908,35 @@ object MlPack extends QueryPack {
         |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS oh_household,
         |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS oh_machinery
         |FROM customer""".stripMargin,
+    "ml_logreg_newton" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |           AS y,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+        |           AS x
+        |  FROM orders
+        |), m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM b
+        |), g AS (
+        |  SELECT n, sx, sy, sxx, sxy,
+        |    2 * sy - n AS gy, 2 * sxy - sx AS gx,
+        |    n * sxx - sx * sx AS det
+        |  FROM m
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS mean_y,
+        |  floor((CAST((sxx * gy - sx * gx) * 2 AS DOUBLE)
+        |         / CAST(det AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS beta0,
+        |  floor((CAST((n * gx - sx * gy) * 200000 AS DOUBLE)
+        |         / CAST(det AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS beta1_per_kusd
+        |FROM g""".stripMargin,
     "ml_kmeans_step" ->
       s"""${AnnPack.seedAssignOracleCtes}, ex AS (
         |  SELECT cluster_id, i - 1 AS pos,

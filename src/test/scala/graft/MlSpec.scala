@@ -115,4 +115,30 @@ class MlSpec extends SparkSuite {
       assert(bad === 0, "fixed-point centroid arithmetic")
     } finally df.unpersist()
   }
+
+  test("ml_logreg_newton: one Newton step from 0 matches the closed form and points downhill") {
+    val row = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect().head
+    val n = row.getAs[Long]("n")
+    val meanY = row.getAs[Double]("mean_y")
+    val beta0 = row.getAs[Double]("beta0")
+    assert(n > 0 && meanY > 0.0 && meanY < 1.0)
+    // independent driver-side replay of the closed form in doubles
+    val rows = graft.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect()
+    val xs = rows.map(r => math.round(r.getDouble(1) * 100.0).toDouble)
+    val ys = rows.map(r => if (r.getString(0) == "1-URGENT") 1.0 else 0.0)
+    val nn = xs.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val det = nn * sxx - sx * sx
+    val b0 = (sxx * (2 * sy - nn) - sx * (2 * sxy - sx)) * 2 / det
+    assert(math.abs(beta0 - b0) < 1e-4, s"beta0 $beta0 vs replay $b0")
+    // with mean_y < 0.5 the intercept step must be negative (toward the
+    // minority-class log-odds), and one Newton step from 0 with a
+    // near-uninformative feature lands between 0 and the full logit
+    assert(beta0 < 0.0 && beta0 > math.log(meanY / (1 - meanY)) * 2)
+  }
 }
