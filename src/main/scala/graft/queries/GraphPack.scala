@@ -19,6 +19,23 @@ object GraphPack extends QueryPack {
 
   private val SuppOffset = 1000000L
 
+  /** Undirected supplier co-occurrence edges (suppliers sharing ≥ `minW`
+    * orders) — the pruned graph g2 and g3 both run on. The per-order
+    * self-join is bounded by order size (≤ 7 lineitems on TPC-H-shaped
+    * data), and the weight threshold keeps the demonstrated graph on the
+    * sparse regime (see g2's rationale). Returns one (sa < sb) row per
+    * edge. */
+  private def cooccurrenceEdges(s: SparkSession, dir: String,
+      minW: Long): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sid"))
+    val a = li.select(col("ok"), col("sid").as("sa"))
+    val b = li.select(col("ok"), col("sid").as("sb"))
+    a.join(b, "ok").filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW).select("sa", "sb")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
@@ -59,10 +76,6 @@ object GraphPack extends QueryPack {
     // (degree, id) into one BIGINT so the total order costs a single
     // integer compare everywhere.
     "g2_triangle_count" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sid"))
-      val a = li.select(col("ok"), col("sid").as("sa"))
-      val b = li.select(col("ok"), col("sid").as("sb"))
       // noise-edge pruning (the g1 rationale, harder here): keep pairs
       // co-occurring in ≥ 5 orders. The fixture's supplier set is tiny
       // relative to its order count, so the UNpruned co-occurrence graph
@@ -71,9 +84,7 @@ object GraphPack extends QueryPack {
       // co-occurrence stays O(1), naturally sparse); the threshold keeps
       // the demonstrated wedge volume on the sparse regime the algorithm
       // targets (453k → 49k edges at sf0.1).
-      val edges = a.join(b, "ok").filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5).select("sa", "sb")
+      val edges = cooccurrenceEdges(s, dir, minW = 5)
       val deg = edges.select(col("sa").as("node"))
         .unionAll(edges.select(col("sb").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -97,6 +108,28 @@ object GraphPack extends QueryPack {
       deg.select("node").join(perNode, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    }),
+
+    // Community detection by synchronous label propagation (Raghavan et
+    // al. 2007) over the same pruned co-occurrence graph: every node
+    // starts in its own community (label = node id) and each round takes
+    // the most frequent label among its neighbors, ties broken toward
+    // the SMALLEST label — a fully deterministic variant of LPA (the
+    // stock algorithm's random tie-break and visit order make it
+    // irreproducible; synchronized rounds + ordered tie-break is what a
+    // distributed engine runs anyway). Three fixed rounds, each ONE
+    // (message groupBy + argmax) shuffle pair over the edge list —
+    // O(rounds·|E|) total message volume like g1, with the
+    // iteration-invariant symmetric edge list cached once outside the
+    // loop. The per-node argmax is the one-pass max(struct(count,
+    // −label)) partial agg (no window), so a hub node's votes collapse
+    // map-side. Oracle: three unrolled CTEs replay the rounds exactly —
+    // like g1, an exact hash check on an iterative graph algorithm.
+    "g3_label_propagation" -> ((s, dir) => {
+      val und = cooccurrenceEdges(s, dir, minW = 5)
+      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
+      graft.ops.LabelProp.run(s, edges, rounds = 3)
     })
   )
 
@@ -113,7 +146,37 @@ object GraphPack extends QueryPack {
          |    GROUP BY e.dst) m ON nd.node = m.node
          |)""".stripMargin
     }.mkString(",\n")
+    // g3's three synchronous label-propagation rounds, unrolled: each
+    // round is the deterministic argmax (count desc, label asc) of the
+    // previous round's neighbor labels
+    val lpCtes = (1 to 3).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS (
+         |  SELECT dst AS node, lab FROM (
+         |    SELECT e.dst, p.lab, count(*) AS c
+         |    FROM sym e JOIN $prev p ON e.src = p.node
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY dst ORDER BY c DESC, lab ASC) = 1
+         |)""".stripMargin
+    }.mkString(",\n")
     Map(
+      "g3_label_propagation" ->
+        s"""WITH li AS (
+           |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
+           |  FROM lineitem
+           |), edges AS (
+           |  SELECT a.sid AS sa, b.sid AS sb
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.sid < b.sid
+           |  GROUP BY 1, 2 HAVING count(*) >= 5
+           |), sym AS (
+           |  SELECT sa AS src, sb AS dst FROM edges
+           |  UNION ALL SELECT sb AS src, sa AS dst FROM edges
+           |), l0 AS (
+           |  SELECT DISTINCT src AS node, src AS lab FROM sym
+           |),
+           |$lpCtes
+           |SELECT node, lab AS community FROM l3""".stripMargin,
       "g2_triangle_count" ->
         """WITH li AS (
           |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
