@@ -87,6 +87,42 @@ object MultimodalPack extends QueryPack {
     // explode is map-only (bounded ×n_frames/2 fan-out of narrow rows),
     // the temporal pass is ONE doc-keyed exchange+sort shared by the
     // lag window and the per-doc agg; nothing driver-side.
+    // Audio frame energy + silence detection — the audio half of the m4
+    // recipe: content bytes split into fixed 8-sample "frames" MAP-SIDE
+    // (the deterministic stand-in for PCM decode; a real build swaps the
+    // byte read for a codec call in mapPartitions, same plan shape),
+    // per-frame energy = Σ(sample − 32)² (spaces ARE silence on the
+    // ASCII stand-in), frames under the threshold marked silent, and per
+    // doc the silent-frame count, mean energy, and the leading-silence
+    // trim index (count of silent frames before the first loud one — the
+    // VAD-style head-trim an audio curation pipeline applies before
+    // transcription). Scale shape: the per-frame energies come from one
+    // HOF expression on the map-only scan; the only shuffle is the
+    // doc-keyed partial agg (count/sum/min collapse map-side).
+    "m5_audio_energy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+        expr("CAST(length(text) DIV 8 AS BIGINT)").as("n_frames"))
+      val frames = docs.filter(length(col("text")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(length(text) DIV 8 AS INT) - 1), " +
+          "f -> aggregate(transform(sequence(1, 8), " +
+          "i -> CAST(ascii(substring(text, f * 8 + i, 1)) - 32 AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x * x))")).as(Seq("fi", "e")))
+      val agg = frames.groupBy("doc_id").agg(
+        count(lit(1)).as("n_fr"),
+        sum(when(col("e") < 5000L, 1L).otherwise(0L)).as("n_silent"),
+        sum(col("e")).as("e_total"),
+        min(when(col("e") >= 5000L, col("fi").cast("long"))).as("first_loud"))
+      base.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+          coalesce(coalesce(col("first_loud"), col("n_fr")), lit(0L))
+            .as("lead_trim"),
+          graft.Num.r6(col("e_total").cast("double")
+            / col("n_fr").cast("double")).as("mean_energy"))
+    }),
+
     "m4_video_keyframes" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = docs.select(col("doc_id"),
@@ -152,6 +188,34 @@ object MultimodalPack extends QueryPack {
         |FROM chk a JOIN chk b
         |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    "m5_audio_energy" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(strlen(text) // 8 AS BIGINT) AS n_frames,
+        |    text
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, CAST(f AS BIGINT) AS fi,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(ord(substr(text, CAST(f * 8 + i AS INT), 1)) - 32
+        |             AS BIGINT)
+        |         * CAST(ord(substr(text, CAST(f * 8 + i AS INT), 1)) - 32
+        |             AS BIGINT))) AS BIGINT) AS e
+        |  FROM base, unnest(range(0, n_frames)) AS t(f)
+        |  WHERE n_frames >= 1
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fr,
+        |    CAST(sum(CASE WHEN e < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_silent,
+        |    CAST(sum(e) AS BIGINT) AS e_total,
+        |    min(CASE WHEN e >= 5000 THEN fi END) AS first_loud
+        |  FROM fr GROUP BY 1
+        |)
+        |SELECT base.doc_id, n_frames,
+        |  coalesce(n_silent, 0) AS n_silent,
+        |  coalesce(coalesce(first_loud, n_fr), 0) AS lead_trim,
+        |  floor((CAST(e_total AS DOUBLE) / CAST(n_fr AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000 AS mean_energy
+        |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,
     "m4_video_keyframes" ->
       """WITH base AS (
         |  SELECT doc_id, CAST(strlen(text) // 16 AS BIGINT) AS n_frames,

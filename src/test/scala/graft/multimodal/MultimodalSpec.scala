@@ -95,4 +95,32 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2L) == (4L, 2L, 2L))
     assert(out(3L) == (0L, 0L, 0L))
   }
+
+  test("m5 audio energy: silence, head-trim, and mean energy on constructed frames") {
+    import spark.implicits._
+    // 8 spaces = a frame of zero energy (silent); 8 'x' (ascii 120):
+    // energy 8·88² = 61952 ≥ 5000 (loud)
+    val S = " " * 8
+    val L = "x" * 8
+    val dir = java.nio.file.Files.createTempDirectory("m5spec").toString
+    Seq(
+      (1L, S + S + L + S),  // lead_trim 2, 3 silent, 4 frames
+      (2L, L + L),          // no silence
+      (3L, S * 3),          // all silent: lead_trim = n_frames
+      (4L, "tiny")          // < 8 bytes: no frames
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.MultimodalPack.queries("m5_audio_energy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(1L)._1 == (4L, 3L, 2L))
+    assert(out(1L)._2.contains(61952.0 / 4))
+    assert(out(2L)._1 == (2L, 0L, 0L))
+    assert(out(2L)._2.contains(61952.0))
+    assert(out(3L)._1 == (3L, 3L, 3L))
+    assert(out(3L)._2.contains(0.0))
+    assert(out(4L)._1 == (0L, 0L, 0L))
+    assert(out(4L)._2.isEmpty, "frameless doc has NULL mean energy")
+  }
 }
