@@ -52,6 +52,36 @@ object CurationPack extends QueryPack {
     // engines and runs, membership survives text edits (the c1 rule).
     // Scale: one partial-agg shuffle for per-source counts, thresholds
     // broadcast back (a source-cardinality dim), keep decision map-only.
+    // Blocked fuzzy record linkage — the entity-resolution step a data
+    // lake runs before dimension conflation: a "dirty" feed (every 10th
+    // part name re-appears with its last character lost — the
+    // withNearDups recipe at record grain) links back to the clean
+    // registry. Candidates come from an equi-join on a BLOCKING key
+    // (the name's first word; at scale: zip code, soundex, sorted
+    // n-gram key), so comparisons are Σ|block|² with bounded blocks —
+    // never the |dirty|·|clean| cross product; the edit-distance verify
+    // (levenshtein ≤ 2, a native codegen expression in both engines)
+    // rides INSIDE the join stage, and per dirty record the best match
+    // resolves via one max(struct) partial agg (dist asc, clean id asc
+    // — no window). Oracle: DuckDB's levenshtein is the same classic
+    // DP, so the pair set and resolution replay exactly.
+    "c14_fuzzy_linkage" -> ((s, dir) => {
+      val clean = Tables.part(s, dir).select(
+        col("p_partkey").as("clean_id"), col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      val dirty = clean.filter(pmod(col("clean_id"), lit(10)) === 0)
+        .select((col("clean_id") + 1000000L).as("dirty_id"),
+          expr("substring(name, 1, length(name) - 1)").as("dname"),
+          col("blk"))
+      dirty.join(clean, "blk")
+        .withColumn("dist", levenshtein(col("dname"), col("name")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("dirty_id"))
+        .agg(min(struct(col("dist"), col("clean_id"))).as("m"))
+        .select(col("dirty_id"), col("m.clean_id").as("matched_id"),
+          col("m.dist").cast("long").as("dist"))
+    }),
+
     "c12_source_rebalance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
@@ -411,6 +441,25 @@ object CurationPack extends QueryPack {
         |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "c14_fuzzy_linkage" ->
+      """WITH clean AS (
+        |  SELECT p_partkey AS clean_id, p_name AS name,
+        |         split_part(p_name, ' ', 1) AS blk
+        |  FROM part
+        |), dirty AS (
+        |  SELECT clean_id + 1000000 AS dirty_id,
+        |         substr(name, 1, length(name) - 1) AS dname, blk
+        |  FROM clean WHERE clean_id % 10 = 0
+        |), cand AS (
+        |  SELECT dirty_id, clean_id,
+        |         CAST(levenshtein(dname, name) AS BIGINT) AS dist
+        |  FROM dirty JOIN clean USING (blk)
+        |  WHERE levenshtein(dname, name) <= 2
+        |)
+        |SELECT dirty_id, clean_id AS matched_id, dist
+        |FROM cand
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY dirty_id ORDER BY dist, clean_id) = 1""".stripMargin,
     "c12_source_rebalance" ->
       """WITH c AS (
         |  SELECT source, count(*) AS cnt FROM documents GROUP BY 1

@@ -65,6 +65,58 @@ object ExtendedPack extends QueryPack {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           "metric", "val"))
+        ,
+
+    // Ordered funnel analysis (view → click → purchase, each stage
+    // STRICTLY after the previous one's first occurrence — the sequenced
+    // product-analytics funnel, not three independent counts): stage k's
+    // first-timestamp aggregation joins back on user_id, so the plan is
+    // one user-keyed exchange per funnel stage (bounded by funnel depth,
+    // never by data) and AQE co-partitions the stage joins after the
+    // first agg. One summary row: per-stage user counts + conversion
+    // rates.
+    "x7_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val funnel = v.join(c.select(col("user_id"), lit(1L).as("clicked")),
+          Seq("user_id"), "left")
+        .join(p.select(col("user_id"), lit(1L).as("purchased")),
+          Seq("user_id"), "left")
+      funnel.agg(
+        count(lit(1)).as("n_view"),
+        count(col("clicked")).as("n_click"),
+        count(col("purchased")).as("n_purchase"),
+        graft.Num.r6(count(col("clicked")).cast("double")
+          / count(lit(1)).cast("double")).as("view_to_click"),
+        graft.Num.r6(count(col("purchased")).cast("double")
+          / count(lit(1)).cast("double")).as("view_to_purchase"))
+    }),
+
+    // Cohort retention: users cohorted by first-seen day; for offsets
+    // 0..7 the count of cohort users active that many days later — the
+    // classic retention triangle. Two user-keyed aggs + one join; the
+    // (user, day) DISTINCT collapses map-side before the shuffle, and
+    // the final (cohort, offset) agg carries one row per user-day.
+    "x8_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      active.join(first, "user_id")
+        .withColumn("offset_d", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("offset_d").between(0, 7))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("offset_d"))
+        .agg(count(lit(1)).as("n_users"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,6 +154,42 @@ object ExtendedPack extends QueryPack {
         |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
         |           l_extendedprice, l_discount, l_tax FROM lineitem)
         |  ON l_quantity, l_extendedprice, l_discount, l_tax
-        |  INTO NAME metric VALUE val)""".stripMargin
+        |  INTO NAME metric VALUE val)""".stripMargin,
+    "x7_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT count(*) AS n_view,
+        |  count(c.user_id) AS n_click,
+        |  count(p.user_id) AS n_purchase,
+        |  floor((CAST(count(c.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000 AS view_to_click,
+        |  floor((CAST(count(p.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000 AS view_to_purchase
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "x8_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(datediff('day', cohort, day) AS BIGINT) AS offset_d,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE datediff('day', cohort, day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -604,6 +604,31 @@ object TextPack extends QueryPack {
     // fixed-point, the moment sums accumulate in DECIMAL(38,0) (operands
     // cast before the product — BIGINT x·y sums overflow past ~1e6
     // types), and the slope is one IEEE division of two exact integers.
+    // Sliding-window chunking with overlap — the pretraining/RAG
+    // document splitter: fixed 50-word windows at stride 40 (10-word
+    // overlap), the tail chunk allowed short. Entirely MAP-ONLY: the
+    // word split, the start sequence, and the per-chunk metadata are one
+    // HOF expression chain on the scan — no shuffle anywhere, which is
+    // the property that makes chunking free at 100 TB (it pipelines
+    // into whatever the chunks feed). Emits per chunk its start token,
+    // length, and first/last tokens (the cheap identity the downstream
+    // embedder can verify against).
+    "t18_chunking" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w) - 1, 40)")).as("start_tok"))
+        .select(col("doc_id"),
+          (col("start_tok") / 40).cast("long").as("chunk_id"),
+          col("start_tok").cast("long").as("start_tok"),
+          least(lit(50), size(col("w")) - col("start_tok")).cast("long")
+            .as("n_tok"),
+          element_at(col("w"), col("start_tok") + 1).as("first_tok"),
+          element_at(col("w"),
+            col("start_tok")
+              + least(lit(50), size(col("w")) - col("start_tok")))
+            .as("last_tok"))),
+
     "t19_zipf_slope" -> ((s, dir) => {
       val vocab = Tables.documents(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
@@ -885,6 +910,18 @@ object TextPack extends QueryPack {
          |SELECT doc_id, n_tokens, stop_hits, cum_tokens,
          |  cum_tokens <= budget AS selected
          |FROM o CROSS JOIN b""".stripMargin,
+    "t18_chunking" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(t.i // 40 AS BIGINT) AS chunk_id,
+        |  CAST(t.i AS BIGINT) AS start_tok,
+        |  CAST(least(50, len(w) - t.i) AS BIGINT) AS n_tok,
+        |  w[CAST(t.i + 1 AS INT)] AS first_tok,
+        |  w[CAST(t.i + least(50, len(w) - t.i) AS INT)] AS last_tok
+        |FROM ws, unnest(range(0, len(w), 40)) AS t(i)""".stripMargin,
     "t19_zipf_slope" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
