@@ -104,6 +104,36 @@ object ScaleProbe {
     // min-of-2 keeps gbt's memoized fit out of the measured pass (the
     // same fits-paid-in-warm accounting Bench uses).
     "stats_ar1_fit", "ml_halving_search", "ml_gbt_backtest",
+    // Holt smoothing: the stats_ar1_fit plan shape exactly (one
+    // exchange, secondary sort, O(1) fold) — should read its slope
+    "stats_holt",
+    // logistic Newton step: one scan + five partial-agg moments + a
+    // driver-free 2×2 solve in the projection — t2's map-only slope
+    "ml_logreg_newton",
+    // label propagation: 3 fixed rounds over the cached pruned edge
+    // list — should track g1's iterative slope (messages linear in |E|)
+    "g3_label_propagation",
+    // audio energy: map-only HOF frames + one doc-keyed partial agg —
+    // per-doc byte-level like m4, so the rename replica is fair
+    "m5_audio_energy",
+    // funnel: one user-keyed exchange per stage (3 stages fixed)
+    "x7_funnel",
+    // cohort retention: two user-keyed aggs + join; (user, day)
+    // distinct collapses map-side
+    "x8_cohort_retention",
+    // chunking: fully map-only HOF chain — should track t2's slope
+    "t18_chunking",
+    // DPP join: min-of-2 keeps the one-time partitioned-layout write
+    // out of the measured pass (the sc2/gbt accounting); the measured
+    // run is the partition-pruned broadcast join
+    "sc9_dpp_join",
+    // NOT probed: c14_fuzzy_linkage — the replica shifts p_partkey but
+    // keeps p_name, so every copy reuses the SAME 64 names and the
+    // blocking join's Σ|block|² grows quadratically in copies by
+    // construction (the identical-copy artifact the vocabulary rename
+    // exists to avoid — but parts have no vocabulary to rename). A fair
+    // probe would need per-copy name perturbation that preserves
+    // within-copy edit-distance structure.
     // k-means Lloyd step: broadcast seeds + two partial-agg shuffles —
     // should scale like the n6 pooling shape (the replica's rotated
     // copies change WHICH cluster each copy's vectors pick, not the
@@ -118,7 +148,8 @@ object ScaleProbe {
     // at 10× would measure verification cost, not the bucketed plans
     "d2_minhash_lsh_op", "d3_simhash_op", "d14_fuzzy_decontam_op",
     "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
-    "n9_ann_filtered_op", "d10_neardup_lsh_op", "d11_semantic_dedup_op")
+    "n9_ann_filtered_op", "n10_ann_sq8_op",
+    "d10_neardup_lsh_op", "d11_semantic_dedup_op")
 
   /** Operator-only probes for the similarity family: the production
     * bucketed paths (banded joins, multi-table LSH, inverted lists, ADC)
@@ -179,6 +210,14 @@ object ScaleProbe {
       "n9_ann_filtered_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.Ivf.topKFiltered(s, e, qs(e), k = 5)
+      }),
+      // SQ8: the asymmetric int8 code scan is linear in the corpus per
+      // query (every code scored — no bucket cut), so with fixed |Q| the
+      // per-unit cost should read ~flat; the fit's (pos → min/max) agg
+      // is one tiny partial-agg shuffle
+      "n10_ann_sq8_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.Sq8.topK(s, e, qs(e), k = 5)
       }),
       "d10_neardup_lsh_op" -> ((s, dir) =>
         graft.ann.Similarity.neardupPairsLsh(s,
