@@ -515,6 +515,43 @@ object MlPack extends QueryPack {
     // map-side (partial max over the k candidate rows of each point
     // before the shuffle), re-estimation shuffles (cluster, pos) keyed
     // integer counters — the same two-shuffle plan a full distributed
+    // One distributed power-iteration step toward the top principal
+    // direction (the PCA engine primitive): w = Xᵀ(X·v) from the
+    // all-ones start, i.e. two MATVEC passes — pass 1 is MAP-ONLY
+    // (s_i = Σ_d e_{i,d}, the broadcast-v dot product folded per row),
+    // pass 2 one (pos)-keyed partial agg (w_d = Σ_i s_i·e_{i,d} — the
+    // n×dim explode collapses to dim×partitions rows map-side). This is
+    // how distributed PCA/Lanczos actually iterates: broadcast v, one
+    // pass for Xᵀ X v, normalize on the driver-free projection, repeat.
+    // Exactness: elements quantized at 1e-6 (the ml_kmeans_step recipe),
+    // every sum an exact DECIMAL(38,0) ≙ HUGEINT, the rescale a
+    // truncating integer div (both engines truncate toward zero), and
+    // the final normalize TWO double ops in pinned order. Emits the
+    // normalized eigvec estimate plus the Rayleigh-quotient λ estimate.
+    "ml_power_iter" -> ((s, dir) => {
+      val e6 = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("e6"))
+      val rows = e6.withColumn("s",
+        expr("aggregate(e6, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      val w = rows
+        .select(col("s"), posexplode(col("e6")).as(Seq("pos", "el")))
+        .groupBy("pos")
+        .agg(sum((col("el") * col("s")).cast(DecimalType(38, 0))).as("w"))
+        .withColumn("wp", expr("CAST(w div 1000000 AS DECIMAL(38,0))"))
+      val scal = w.agg(
+        sum((col("wp") * col("wp")).cast(DecimalType(38, 0))).as("n2"),
+        sum(col("wp")).cast(DecimalType(38, 0)).as("sw"),
+        count(lit(1)).as("nd"))
+      w.crossJoin(broadcast(scal))
+        .select(col("pos"),
+          Num.r6(col("wp").cast(DoubleType)
+            / sqrt(col("n2").cast(DoubleType))).as("v1"),
+          Num.r6(col("sw").cast(DoubleType)
+            / col("nd").cast(DoubleType) / lit(1000000.0)).as("rayleigh"))
+    }),
+
     // Logistic regression, one exact Newton/IRLS step from β = 0 — the
     // classification twin of the closed-form OLS ops. At β = 0 every
     // p_i = ½, so the step has a CLOSED FORM: β₁ = H⁻¹g =
@@ -908,6 +945,35 @@ object MlPack extends QueryPack {
         |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS oh_household,
         |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS oh_machinery
         |FROM customer""".stripMargin,
+    "ml_power_iter" ->
+      """WITH e6 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |      AS e6
+        |  FROM embeddings
+        |), rows_s AS (
+        |  SELECT vec_id, e6,
+        |    CAST(list_sum(e6) AS HUGEINT) AS s
+        |  FROM e6
+        |), ex AS (
+        |  SELECT i - 1 AS pos, CAST(e6[i] AS HUGEINT) AS el, s
+        |  FROM rows_s, unnest(range(1, len(e6) + 1)) AS t(i)
+        |), w AS (
+        |  SELECT pos, CAST(sum(el * s) AS HUGEINT) // 1000000 AS wp
+        |  FROM ex GROUP BY 1
+        |), scal AS (
+        |  SELECT CAST(sum(wp * wp) AS HUGEINT) AS n2,
+        |         CAST(sum(wp) AS HUGEINT) AS sw,
+        |         count(*) AS nd
+        |  FROM w
+        |)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  floor((CAST(wp AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)))
+        |        * 1000000 + 0.5) / 1000000 AS v1,
+        |  floor((CAST(sw AS DOUBLE) / CAST(nd AS DOUBLE) / 1000000.0)
+        |        * 1000000 + 0.5) / 1000000 AS rayleigh
+        |FROM w, scal""".stripMargin,
     "ml_logreg_newton" ->
       """WITH b AS (
         |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END

@@ -89,6 +89,33 @@ object ProjectionPack extends QueryPack {
     // seeded sample ⊆ input, and each stratum's size lands within 4σ of
     // its binomial expectation. Per-stratum counts are a 3-row collect
     // (bounded by stratum cardinality, not data size).
+    // Weighted sampling, EXACTLY k and exactly replayable: systematic
+    // (equal-spaced) selection over the cumulative weight line — the
+    // particle-filter/low-variance resampler. Each doc owns the weight
+    // interval [cw−w, cw); sample point j sits at (j+½)·total/k; a doc
+    // is drawn once per point inside its interval, so inclusion counts
+    // are pure integer arithmetic: F(x) = (2kx + total) div (2·total)
+    // points fall below x, and n_copies = F(cw) − F(cw−w) — Σ = k by
+    // telescoping, deterministic, reproducible across engines (unlike
+    // exponential-key A-ES sampling, whose ln() ranking is libm-
+    // dependent). The cumulative line comes from the distributed prefix
+    // sum (range sort + broadcast offsets — never a one-task window);
+    // the draw itself is map-only. Weight = doc byte length (the
+    // "sample long docs proportionally" curation knob).
+    "p14_weighted_sample" -> ((s, dir) => {
+      val k = 200L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      val (cum, total) = graft.Ranks.globalPrefixSumWithTotal(
+        docs, "w", Seq(col("doc_id")), "cw")
+      cum
+        .withColumn("n_copies",
+          expr(s"least($k, (${2 * k} * cw + $total) div (${2} * $total))") -
+          expr(s"least($k, (${2 * k} * (cw - w) + $total) div (${2} * $total))"))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("w"), col("n_copies"))
+    }),
+
     "p13_stratified_sample" -> ((s, dir) => {
       import s.implicits._
       val fracs = Map("O" -> 0.05, "F" -> 0.10, "P" -> 0.20)
@@ -152,6 +179,21 @@ object ProjectionPack extends QueryPack {
       """SELECT count(*) AS n_input, true AS sample_subset_of_input,
         |       true AS count_within_4sigma
         |FROM orders""".stripMargin,
+    "p14_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id) AS cw,
+        |    (SELECT sum(w) FROM d) AS tot
+        |  FROM d
+        |)
+        |SELECT doc_id, w, n_copies FROM (
+        |  SELECT doc_id, w,
+        |    least(200, (400 * cw + tot) // (2 * tot))
+        |      - least(200, (400 * (cw - w) + tot) // (2 * tot)) AS n_copies
+        |  FROM c)
+        |WHERE n_copies >= 1""".stripMargin,
     "p13_stratified_sample" ->
       """SELECT count(DISTINCT o_orderstatus) AS n_strata,
         |       true AS sample_subset_of_input,

@@ -141,4 +141,28 @@ class MlSpec extends SparkSuite {
     // near-uninformative feature lands between 0 and the full logit
     assert(beta0 < 0.0 && beta0 > math.log(meanY / (1 - meanY)) * 2)
   }
+
+  test("ml_power_iter: unit norm, and matches a driver-side float matvec replay") {
+    val rows = SparkEntry.queries("ml_power_iter")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val v1 = rows.map(_._2)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-4, "normalized output")
+    assert(rows.map(_._3).distinct.length == 1, "one Rayleigh value")
+    // independent double-precision replay of w = Xᵀ(X·1)
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val w = new Array[Double](embs.head.length)
+    embs.foreach { e =>
+      val s = e.sum
+      var d = 0
+      while (d < e.length) { w(d) += s * e(d); d += 1 }
+    }
+    val norm = math.sqrt(w.map(x => x * x).sum)
+    v1.indices.foreach { d =>
+      assert(math.abs(v1(d) - w(d) / norm) < 1e-3,
+        s"dim $d: ${v1(d)} vs ${w(d) / norm}")
+    }
+  }
 }
