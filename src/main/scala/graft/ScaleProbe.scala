@@ -123,6 +123,12 @@ object ScaleProbe {
     "x8_cohort_retention",
     // chunking: fully map-only HOF chain — should track t2's slope
     "t18_chunking",
+    // power iteration: map-only matvec + one (pos)-keyed partial agg —
+    // should track ml_kmeans_step's constant-per-vector slope
+    "ml_power_iter",
+    // systematic weighted sampling: prefix-sum line (the sc4 range-sort
+    // shape) + map-only draw — should track t16's slope
+    "p14_weighted_sample",
     // DPP join: min-of-2 keeps the one-time partitioned-layout write
     // out of the measured pass (the sc2/gbt accounting); the measured
     // run is the partition-pruned broadcast join
