@@ -116,6 +116,27 @@ object ExtendedPack extends QueryPack {
         .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
           col("offset_d"))
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Event-transition matrix (first-order Markov counts): consecutive
+    // event-type pairs per user stream — the path-analysis primitive
+    // behind "what do users do after X". One lag over the shared
+    // user-keyed window spec, then a 25-cell partial agg; transition
+    // PROBABILITIES divide by the from-state's row total via a window-
+    // free self-join on the marginals.
+    "x9_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      pairs.join(marg, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          graft.Num.r6(col("n").cast("double") / col("tot").cast("double"))
+            .as("p"))
     })
   )
 
@@ -190,6 +211,23 @@ object ExtendedPack extends QueryPack {
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id)
         |WHERE datediff('day', cohort, day) BETWEEN 0 AND 7
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "x9_event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS from_type
+        |    FROM events)
+        |  WHERE from_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), marg AS (
+        |  SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1
+        |)
+        |SELECT from_type, to_type, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS p
+        |FROM pairs JOIN marg USING (from_type)""".stripMargin
   )
 }

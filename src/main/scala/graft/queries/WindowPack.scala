@@ -183,7 +183,23 @@ object WindowPack extends QueryPack {
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .over(w).cast("double"))
         .select("event_id", "user_id", "n_1h", "sum_1h")
-    })
+    }),
+
+    // Running-peak drawdown — the risk metric every financial pipeline
+    // derives (max-to-date vs current): running max is an O(1)-state
+    // unbounded-preceding frame on the SAME shared window spec (still
+    // one exchange + one sort), drawdown = (peak − value)/peak with the
+    // division guarded for non-positive peaks. Exactness: running max
+    // picks an existing 2-decimal value (no accumulation), so the only
+    // float op is the final guarded divide, r6-rounded in both engines.
+    "w17_drawdown" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("peak",
+          max(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("drawdown",
+          when(col("peak") > 0,
+            graft.Num.r6((col("peak") - col("value")) / col("peak"))))
+        .select("event_id", "user_id", "value", "peak", "drawdown"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,6 +337,23 @@ object WindowPack extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w17_drawdown" ->
+      s"""SELECT event_id, user_id, value,
+         |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |  CASE WHEN max(value) OVER (PARTITION BY user_id
+         |         ORDER BY ts, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+         |    THEN floor(((max(value) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - value)
+         |          / max(value) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |          * 1000000 + 0.5) / 1000000
+         |  END AS drawdown
+         |FROM events""".stripMargin
   )
 }
