@@ -421,6 +421,42 @@ class PlanAuditSpec extends SparkSuite {
       s"partial + final pooling agg:\n$plan")
   }
 
+  test("w17: drawdown rides the shared window spec — one exchange, one sort") {
+    val plan = executedString("w17_drawdown")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("Sort ".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("t18: chunking is map-only — no exchange anywhere") {
+    val plan = executedString("t18_chunking")
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
+  }
+
+  test("p14: weighted sampling uses the RDD prefix-sum path, never a global window") {
+    val plan = executedString("p14_weighted_sample")
+    assert(plan.contains("ExistingRDD"), s"prefix-sum path missing:\n$plan")
+    assert(!plan.contains("Window"), s"must not use a global window:\n$plan")
+  }
+
+  test("ml_power_iter: matvec is map-side + partial aggs, no cartesian blowup") {
+    val plan = executedString("ml_power_iter")
+    // scalar attach must broadcast; candidate generation must not
+    // materialize any cross product beyond it
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (pos)-keyed exchange for w is computed ONCE and reused by the
+    // scalar-norm side (the two consumers of the same agg share one
+    // shuffle — the property that makes the iteration one-pass)
+    assert(plan.contains("ReusedExchange"), s"w exchange not reused:\n$plan")
+  }
+
+  test("x9: transitions cost one window sort plus partial aggs") {
+    val plan = executedString("x9_event_transitions")
+    assert("Sort ".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sc9: dim filter prunes fact partitions via dynamic partition pruning") {
     val plan = executedString("sc9_dpp_join")
     // the fact scan's PartitionFilters must carry the runtime subquery —
