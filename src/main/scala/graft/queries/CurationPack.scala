@@ -43,15 +43,6 @@ object CurationPack extends QueryPack {
         .withColumn("split", splitFromBucket(col("bucket")))
         .select("doc_id", "bucket", "split")),
 
-    // Source-mix rebalancing (the DoReMi-style downsampling step): bring
-    // every source to the uniform target share by hash-thresholded keep
-    // decisions. keep_rate(s) = min(1, target/actual) becomes an exact
-    // integer threshold over the 0..255 md5-byte space:
-    // thr = min(256, 256·total div (n_sources·cnt_s)); a doc survives iff
-    // its salted key byte < thr — deterministic, reproducible across
-    // engines and runs, membership survives text edits (the c1 rule).
-    // Scale: one partial-agg shuffle for per-source counts, thresholds
-    // broadcast back (a source-cardinality dim), keep decision map-only.
     // Blocked fuzzy record linkage — the entity-resolution step a data
     // lake runs before dimension conflation: a "dirty" feed (every 10th
     // part name re-appears with its last character lost — the
@@ -62,9 +53,10 @@ object CurationPack extends QueryPack {
     // never the |dirty|·|clean| cross product; the edit-distance verify
     // (levenshtein ≤ 2, a native codegen expression in both engines)
     // rides INSIDE the join stage, and per dirty record the best match
-    // resolves via one max(struct) partial agg (dist asc, clean id asc
-    // — no window). Oracle: DuckDB's levenshtein is the same classic
-    // DP, so the pair set and resolution replay exactly.
+    // resolves via one min(struct(dist, clean_id)) partial agg (dist
+    // asc, clean id asc — no window). Oracle: DuckDB's levenshtein is
+    // the same classic DP, so the pair set and resolution replay
+    // exactly.
     "c14_fuzzy_linkage" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(
         col("p_partkey").as("clean_id"), col("p_name").as("name"),
@@ -82,6 +74,15 @@ object CurationPack extends QueryPack {
           col("m.dist").cast("long").as("dist"))
     }),
 
+    // Source-mix rebalancing (the DoReMi-style downsampling step): bring
+    // every source to the uniform target share by hash-thresholded keep
+    // decisions. keep_rate(s) = min(1, target/actual) becomes an exact
+    // integer threshold over the 0..255 md5-byte space:
+    // thr = min(256, 256·total div (n_sources·cnt_s)); a doc survives iff
+    // its salted key byte < thr — deterministic, reproducible across
+    // engines and runs, membership survives text edits (the c1 rule).
+    // Scale: one partial-agg shuffle for per-source counts, thresholds
+    // broadcast back (a source-cardinality dim), keep decision map-only.
     "c12_source_rebalance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))

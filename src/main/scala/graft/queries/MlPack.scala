@@ -538,7 +538,11 @@ object MlPack extends QueryPack {
       val w = rows
         .select(col("s"), posexplode(col("e6")).as(Seq("pos", "el")))
         .groupBy("pos")
-        .agg(sum((col("el") * col("s")).cast(DecimalType(38, 0))).as("w"))
+        // el cast BEFORE the multiply (the t19 discipline): a BIGINT
+        // el*s wraps silently past ~380-magnitude elements where the
+        // oracle's HUGEINT product stays exact
+        .agg(sum((col("el").cast(DecimalType(19, 0)) * col("s"))
+          .cast(DecimalType(38, 0))).as("w"))
         .withColumn("wp", expr("CAST(w div 1000000 AS DECIMAL(38,0))"))
       val scal = w.agg(
         sum((col("wp") * col("wp")).cast(DecimalType(38, 0))).as("n2"),

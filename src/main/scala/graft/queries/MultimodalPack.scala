@@ -117,8 +117,7 @@ object MultimodalPack extends QueryPack {
       base.join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_frames"),
           coalesce(col("n_silent"), lit(0L)).as("n_silent"),
-          coalesce(coalesce(col("first_loud"), col("n_fr")), lit(0L))
-            .as("lead_trim"),
+          coalesce(col("first_loud"), col("n_fr"), lit(0L)).as("lead_trim"),
           graft.Num.r6(col("e_total").cast("double")
             / col("n_fr").cast("double")).as("mean_energy"))
     }),
@@ -212,7 +211,7 @@ object MultimodalPack extends QueryPack {
         |)
         |SELECT base.doc_id, n_frames,
         |  coalesce(n_silent, 0) AS n_silent,
-        |  coalesce(coalesce(first_loud, n_fr), 0) AS lead_trim,
+        |  coalesce(first_loud, n_fr, 0) AS lead_trim,
         |  floor((CAST(e_total AS DOUBLE) / CAST(n_fr AS DOUBLE))
         |        * 1000000 + 0.5) / 1000000 AS mean_energy
         |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,

@@ -47,7 +47,12 @@ object ScalePack extends QueryPack {
   private def ensureDppTable(s: SparkSession, dir: String): String = {
     val out = "/tmp/graft_sinks/dpp_lineitem"
     val fp = graft.Fingerprint.dir(s"$dir/lineitem.parquet")
-    if (s.conf.getOption("graft.dpp.fp").forall(_ != fp)) {
+    // existence check alongside the conf fingerprint (the
+    // ensureBucketedTables tableExists discipline): a tmp cleanup
+    // between calls would otherwise skip the rebuild on a matching fp
+    // and scan a missing/foreign path
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)) ||
+        s.conf.getOption("graft.dpp.fp").forall(_ != fp)) {
       Tables.lineitem(s, dir)
         .select(date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
           col("l_quantity"))
