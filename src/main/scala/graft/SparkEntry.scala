@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.GraphPack,
     graft.queries.CurationPack,
     graft.queries.ExtendedPack,
-    graft.queries.BreadthPack
+    graft.queries.BreadthPack,
+    graft.queries.TpchPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

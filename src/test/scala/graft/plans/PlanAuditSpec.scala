@@ -457,6 +457,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("h5: every dimension broadcasts; only the fact join and agg shuffle") {
+    val plan = executedString("h5_local_supplier_volume")
+    // customer/supplier/nation(+region) all ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    // the orders⋈lineitem fact join is the single non-broadcast join
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h3/h10: top-k rides TakeOrderedAndProject, never a global sort") {
+    Seq("h3_shipping_priority", "h10_returned_items").foreach { q =>
+      val plan = executedString(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q:\n$plan")
+    }
+  }
+
   test("sc9: dim filter prunes fact partitions via dynamic partition pruning") {
     val plan = executedString("sc9_dpp_join")
     // the fact scan's PartitionFilters must carry the runtime subquery —
