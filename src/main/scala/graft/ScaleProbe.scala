@@ -123,6 +123,12 @@ object ScaleProbe {
     "x8_cohort_retention",
     // chunking: fully map-only HOF chain — should track t2's slope
     "t18_chunking",
+    // TPC-H analogues: the star-schema shapes. customer/supplier scale
+    // with the fact data (as TPC-H itself scales them) so their
+    // broadcasts grow linearly; nation/region stay fixed dims. Cost is
+    // the fact join + agg — should track j7's slope
+
+    "h3_shipping_priority", "h5_local_supplier_volume", "h10_returned_items",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",
