@@ -487,4 +487,61 @@ object Streams {
         col("n"), col("total"))
     runToTable(agg, spark, "graft_stream_agg", "complete")
   }
+
+  /** Streaming incremental dedup against a PERSISTED historical digest
+    * index — the d9/n8 daily-append pattern in streaming form, i.e. the
+    * production "dedupe today's crawl against everything already
+    * ingested" job: the historical index is a parquet artifact on disk
+    * (written once per dataset, fingerprint-keyed — at scale: the digest
+    * table yesterday's job maintains), the document stream digests
+    * map-side, `dropDuplicates(digest)` dedups WITHIN the stream
+    * (stateful — bounded by new-digest cardinality, never raw text), and
+    * a stream-static LEFT ANTI join drops everything history has seen.
+    * The index side of the anti join re-resolves per micro-batch, so
+    * index updates between batches are picked up without restart.
+    * Output is the deterministic SET of first-seen digests (doc ids stay
+    * out: "first arrival" inside one micro-batch is partition-order
+    * dependent; the surviving digest set is not). History = docs with
+    * doc_id % 7 != 0, so the stream genuinely mixes seen and new. */
+  /** One-time build of st13's historical digest index artifact
+    * (the ensureBucketedTables discipline) — exposed so Bench warm-up
+    * pre-pays the write and the timed run measures the stream. */
+  def ensureDocDigestIndex(spark: SparkSession, sfDir: String): String = {
+    val idxPath = "/tmp/graft_sinks/doc_digest_index_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.Fingerprint.dir(s"$sfDir/documents.parquet")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath)) ||
+        spark.conf.getOption("graft.docidx.fp").forall(_ != fp)) {
+      graft.Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(md5(col("text")).as("digest")).distinct()
+        .write.mode("overwrite").parquet(idxPath)
+      spark.conf.set("graft.docidx.fp", fp)
+    }
+    idxPath
+  }
+
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val index = spark.read.parquet(ensureDocDigestIndex(spark, sfDir))
+
+    // stage the documents fixture as a streaming file source
+    val inDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_docs/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+
+    val fresh = stream
+      .select(md5(col("text")).as("digest"))
+      .dropDuplicates("digest")
+      .join(index, Seq("digest"), "left_anti")
+    runToTable(fresh, spark, "graft_stream_incdedup", "append")
+  }
 }
