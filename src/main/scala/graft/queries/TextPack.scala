@@ -629,6 +629,26 @@ object TextPack extends QueryPack {
               + least(lit(50), size(col("w")) - col("start_tok")))
             .as("last_tok"))),
 
+    // Sequence packing (concat-and-split): documents concatenate in a
+    // fixed order and split at 512-token context-window boundaries — the
+    // standard pretraining batch-packing step (t11 buckets by length,
+    // t16 selects under a budget; this ASSIGNS each doc its window).
+    // The token line comes from the distributed prefix sum (range sort +
+    // broadcast offsets — never a one-task window); the window id and
+    // the boundary-straddle flag are map-only integer arithmetic on the
+    // cumulative count. Exact by construction in both engines.
+    "t21_sequence_packing" -> ((s, dir) => {
+      val W = 512L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      graft.Ranks.globalPrefixSum(docs, "n_tok", Seq(col("doc_id")), "cum_tok")
+        .select(col("doc_id"), col("n_tok"), col("cum_tok"),
+          expr(s"(cum_tok - n_tok) div $W").as("bin_id"),
+          expr(s"((cum_tok - n_tok) div $W) <> ((cum_tok - 1) div $W)")
+            .as("spans_boundary"))
+    }),
+
     "t19_zipf_slope" -> ((s, dir) => {
       val vocab = Tables.documents(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
@@ -910,6 +930,22 @@ object TextPack extends QueryPack {
          |SELECT doc_id, n_tokens, stop_hits, cum_tokens,
          |  cum_tokens <= budget AS selected
          |FROM o CROSS JOIN b""".stripMargin,
+    "t21_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id) AS cum_tok
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+        |  (cum_tok - n_tok) // 512 AS bin_id,
+        |  ((cum_tok - n_tok) // 512) <> ((cum_tok - 1) // 512)
+        |    AS spans_boundary
+        |FROM c""".stripMargin,
     "t18_chunking" ->
       """WITH ws AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
