@@ -135,6 +135,8 @@ object ScaleProbe {
     // systematic weighted sampling: prefix-sum line (the sc4 range-sort
     // shape) + map-only draw — should track t16's slope
     "p14_weighted_sample",
+    // sequence packing: the same prefix-sum line + map-only window ids
+    "t21_sequence_packing",
     // DPP join: min-of-2 keeps the one-time partitioned-layout write
     // out of the measured pass (the sc2/gbt accounting); the measured
     // run is the partition-pruned broadcast join
