@@ -74,6 +74,70 @@ object TpchPack extends QueryPack {
         .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
     }),
 
+    // Q4 analogue: order-priority count for one quarter, restricted to
+    // orders with at least one LATE lineitem (shipped > 60 days after
+    // the order date — the fixture has no commit/receipt dates, so
+    // lateness is ship-lag; the reference's Athena catalog serves the
+    // same EXISTS shape). The EXISTS is a LEFT SEMI join — the probe
+    // side never duplicates (an inner join would multiply an order by
+    // its late-lineitem count and need a distinct), and the lateness
+    // predicate rides the join so each fact row is tested once. One
+    // fact-fact shuffle, then a ~5-row priority count.
+    "h4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q8 analogue: national market share — NATION_1 suppliers' slice of
+    // PROMO-part revenue sold to AMERICA-region customers, by order
+    // year. The classic conditional-aggregate share: numerator and
+    // denominator accumulate in the SAME exact-decimal pass (sum of
+    // rev·[nation=target] over sum of rev), so the share is ONE double
+    // division per year row, r6-rounded. Plan: part filter + all dims
+    // broadcast; the only shuffles are orders⋈lineitem and the ~5-row
+    // year agg.
+    "h8_market_share" -> ((s, dir) => {
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val amer = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+      val natC = Tables.nation(s, dir)
+        .join(broadcast(amer), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revenue.as("rev"))
+      l.join(broadcast(promo), l("l_partkey") === promo("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+        .join(broadcast(natC), cust("c_nationkey") === natC("cn_key"))
+        .join(broadcast(supp), l("l_suppkey") === supp("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(28, 4))))
+            .cast(DoubleType).as("nation_rev"),
+          sum(col("rev")).cast(DoubleType).as("total_rev"))
+        .select(col("o_year"),
+          graft.Num.r6(col("nation_rev") / col("total_rev")).as("mkt_share"))
+    }),
+
     // Q10 analogue: returned-item revenue per customer for one quarter —
     // the churn-investigation report. Orders filtered to the quarter,
     // lineitem to returnflag R; customer dim broadcast onto the
@@ -100,6 +164,38 @@ object TpchPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "h4_order_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "h8_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS rev,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+        |)
+        |SELECT o_year,
+        |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+        |          THEN rev ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS mkt_share
+        |FROM rev GROUP BY 1""".stripMargin,
     "h3_shipping_priority" ->
       """SELECT l.l_orderkey,
         |  strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_day,

@@ -466,6 +466,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("h4: the EXISTS runs as one LEFT SEMI fact join — no row blowup") {
+    val plan = executedString("h4_order_priority")
+    assert(plan.contains("LeftSemi"), plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h8: part and every dim broadcast; only orders⋈lineitem shuffles") {
+    val plan = executedString("h8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("h3/h10: top-k rides TakeOrderedAndProject, never a global sort") {
     Seq("h3_shipping_priority", "h10_returned_items").foreach { q =>
       val plan = executedString(q)
