@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.{Num, QueryPack, Tables}
 import graft.ops.WindowFeatures._
 
@@ -78,6 +79,62 @@ object WindowPack extends QueryPack {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
                  (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
         .select("event_id", "user_id", "corr20")
+    }),
+
+    // Rolling SKEWNESS and KURTOSIS over the 20-row trailing frame — the
+    // higher-moment siblings of w4's volatility (tail diagnostics a risk
+    // pipeline derives next to rolling vol). Exactness is the w15 recipe
+    // extended to 3rd/4th powers: all four frame power-sums are exact
+    // integers (S1–S3 in BIGINT cents — bounded by 20·56021³ < 2^63 —
+    // and S4 in DECIMAL ≙ HUGEINT), the central-moment combinations
+    //   M2 = n·S2 − S1²
+    //   M3 = n²·S3 − 3n·S1·S2 + 2·S1³
+    //   M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
+    // are integer arithmetic with n = 20 folded to literal constants
+    // (the frame gate makes n constant), and the only float ops are the
+    // final ratios — sqrt is IEEE exact-rounded, so the pandas-adjusted
+    //   G1 = M3/M2^1.5 · √(n(n−1))/(n−2)
+    //   G2 = ((n+1)·(M4/M2² − 3) + 6)·(n−1)/((n−2)(n−3))
+    // replay token-for-token in the oracle. Same shared window spec: no
+    // extra exchange over the rest of the family. Degenerate frames
+    // (n < 20 or zero variance) yield NULL.
+    "w18_rolling_skew" -> ((s, dir) => {
+      val f = w.rowsBetween(-19, 0)
+      val d38 = DecimalType(38, 0)
+      base(s, dir)
+        .withColumn("xc",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("x2d", (col("xc") * col("xc")).cast(DecimalType(10, 0)))
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("s1", sum(col("xc")).over(f))
+        .withColumn("s2", sum(col("xc") * col("xc")).over(f))
+        .withColumn("s3", sum(col("xc") * col("xc") * col("xc")).over(f))
+        .withColumn("s4", sum((col("x2d") * col("x2d"))
+          .cast(DecimalType(21, 0))).over(f))
+        .withColumn("m2", lit(20L) * col("s2") - col("s1") * col("s1"))
+        .withColumn("m3", lit(400L) * col("s3")
+          - lit(60L) * col("s1") * col("s2")
+          + lit(2L) * col("s1") * col("s1") * col("s1"))
+        .withColumn("s1d", col("s1").cast(DecimalType(8, 0)))
+        .withColumn("m4",
+          (col("s4") * 8000).cast(d38)
+            - (col("s1d") * col("s3").cast(DecimalType(16, 0)) * 1600).cast(d38)
+            + (col("s1d") * col("s1d") * col("s2").cast(DecimalType(11, 0))
+                * 120).cast(d38)
+            - ((col("s1d") * col("s1d")).cast(DecimalType(17, 0))
+                * (col("s1d") * col("s1d")).cast(DecimalType(17, 0))
+                * 3).cast(d38))
+        .withColumn("m2d", col("m2").cast(DoubleType))
+        .withColumn("skew20", when(col("n") === 20 && col("m2") > 0,
+          Num.r6(col("m3").cast(DoubleType)
+            / (col("m2d") * sqrt(col("m2d")))
+            * sqrt(lit(380.0)) / lit(18.0))))
+        .withColumn("kurt20", when(col("n") === 20 && col("m2") > 0,
+          Num.r6((lit(21.0)
+              * (col("m4").cast(DoubleType)
+                  / (col("m2d") * col("m2d")) - lit(3.0))
+              + lit(6.0)) * lit(19.0) / lit(306.0))))
+        .select("event_id", "user_id", "skew20", "kurt20")
     }),
 
     // Cross-sectional standardization — the per-DATE z-score (neutralize
@@ -271,6 +328,44 @@ object WindowPack extends QueryPack {
          |      / 1000000
          |  END AS corr20
          |FROM m""".stripMargin,
+    "w18_rolling_skew" ->
+      s"""WITH c AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+         |  FROM events
+         |), m AS (
+         |  SELECT event_id, user_id,
+         |    count(*) OVER f AS n,
+         |    sum(xc) OVER f AS s1,
+         |    sum(xc * xc) OVER f AS s2,
+         |    sum(xc * xc * xc) OVER f AS s3,
+         |    sum(CAST(xc AS HUGEINT) * xc * xc * xc) OVER f AS s4
+         |  FROM c
+         |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |), mm AS (
+         |  SELECT event_id, user_id, n,
+         |    20 * s2 - s1 * s1 AS m2,
+         |    400 * s3 - 60 * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+         |    8000 * s4
+         |      - 1600 * (CAST(s1 AS HUGEINT) * s3)
+         |      + 120 * (CAST(s1 AS HUGEINT) * s1 * s2)
+         |      - 3 * (CAST(s1 AS HUGEINT) * s1 * s1 * s1) AS m4
+         |  FROM m
+         |)
+         |SELECT event_id, user_id,
+         |  CASE WHEN n = 20 AND m2 > 0 THEN
+         |    floor((CAST(m3 AS DOUBLE)
+         |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+         |      * sqrt(380.0) / 18.0) * 1000000 + 0.5) / 1000000
+         |  END AS skew20,
+         |  CASE WHEN n = 20 AND m2 > 0 THEN
+         |    floor(((21.0
+         |      * (CAST(m4 AS DOUBLE)
+         |          / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0)
+         |      + 6.0) * 19.0 / 306.0) * 1000000 + 0.5) / 1000000
+         |  END AS kurt20
+         |FROM mm""".stripMargin,
     "w5_rolling_sum" ->
       s"""SELECT event_id, user_id,
          |  floor((sum(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000 AS rs5
