@@ -738,6 +738,44 @@ object TextPack extends QueryPack {
     // divergence), and the final value is one IEEE division. The whole
     // computation runs on the B-row bucket table — corpus cost is the
     // one map-side-combined count shuffle.
+    // Collocation mining by pointwise-mutual-information LIFT — the
+    // corpus-linguistics primitive behind multiword-expression
+    // detection and tokenizer vocabulary curation (which bigrams are
+    // "one unit"?). The ranking statistic is the PMI's exponential,
+    //   lift(a,b) = N · c(ab) / (c(a) · c(b))
+    // (unigram-mass model: p = c/N over total tokens) — an exact
+    // integer rational, so unlike log-PMI there is NO libm call
+    // anywhere: BIGINT numerator/denominator products and ONE double
+    // division, r6-rounded. Min-count 5 prunes the singleton-bigram
+    // tail (the t13 KenLM discipline) BEFORE the unigram joins, so the
+    // joined stream is the collocation candidates, not the corpus.
+    // Plan: one bigram count shuffle + two vocab-keyed unigram-count
+    // joins (t13's LM shape — the unigram table is Heaps-law sublinear
+    // but NOT broadcastable at web scale) + a 1-row total attach.
+    "t23_pmi_collocations" -> ((s, dir) => {
+      val ws = Tables.documents(s, dir)
+        .select(split(trim(col("text")), "\\s+").as("ws"))
+      val uni = ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum("cw").as("n_tokens"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS wa, element_at(ws, i + 1) AS wb))"))
+          .as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      bi.join(uni.select(col("w").as("wa"), col("cw").as("ca")), "wa")
+        .join(uni.select(col("w").as("wb"), col("cw").as("cb")), "wb")
+        .crossJoin(broadcast(tot))
+        .select(
+          concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+          col("cab"),
+          Num.r6((col("cab") * col("n_tokens")).cast("double")
+            / (col("ca") * col("cb")).cast("double")).as("lift"))
+    }),
+
     "t22_corpus_kl" -> ((s, dir) => {
       val B = DsirBuckets
       val counts = dsirBucketCounts(dsirBucketStream(s, dir))
@@ -1192,6 +1230,29 @@ object TextPack extends QueryPack {
         |SELECT token, freq,
         |  row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id
         |FROM top""".stripMargin,
+    "t23_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS cw FROM (
+        |    SELECT unnest(ws) AS w FROM d
+        |  ) GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cw) AS n_tokens FROM uni
+        |), bi AS (
+        |  SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS cab
+        |  FROM d, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT bi.wa || ' ' || bi.wb AS bigram, CAST(cab AS BIGINT) AS cab,
+        |  floor((CAST(cab * n_tokens AS DOUBLE)
+        |    / CAST(ua.cw * ub.cw AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS lift
+        |FROM bi
+        |JOIN uni ua ON bi.wa = ua.w
+        |JOIN uni ub ON bi.wb = ub.w
+        |CROSS JOIN tot""".stripMargin,
     "t11_length_buckets" ->
       """WITH t AS (
         |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
