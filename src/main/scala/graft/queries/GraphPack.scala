@@ -130,6 +130,22 @@ object GraphPack extends QueryPack {
       val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
         .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
       graft.ops.LabelProp.run(s, edges, rounds = 3)
+    }),
+
+    // k-core extraction (graft.ops.KCore) over the same pruned
+    // co-occurrence graph — the degeneracy-based graph-curation
+    // primitive (dense-subgraph mining, spam-farm detection, the "is
+    // this node structurally embedded or peripheral?" filter a
+    // web-graph pipeline runs before trusting link signals). Four
+    // synchronized peel rounds at k = 8; like g1/g3, a fixed round
+    // count makes the iterative computation hash-exact — the oracle
+    // unrolls the same four rounds as CTEs. Each round is one degree
+    // shuffle + two survivor semi-joins: O(rounds·|E|).
+    "g4_kcore" -> ((s, dir) => {
+      val und = cooccurrenceEdges(s, dir, minW = 5)
+      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
+      graft.ops.KCore.run(edges, k = 8, rounds = 4)
     })
   )
 
@@ -160,7 +176,34 @@ object GraphPack extends QueryPack {
          |    PARTITION BY dst ORDER BY c DESC, lab ASC) = 1
          |)""".stripMargin
     }.mkString(",\n")
+    // g4's four synchronized peel rounds, unrolled: each round keeps the
+    // edges whose BOTH endpoints had degree ≥ k in the previous round
+    val kcoreCtes = (1 to 4).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""k$r AS (
+         |  SELECT src FROM $prev GROUP BY src HAVING count(*) >= 8
+         |), e$r AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  WHERE e.src IN (SELECT src FROM k$r)
+         |    AND e.dst IN (SELECT src FROM k$r)
+         |)""".stripMargin
+    }.mkString(",\n")
     Map(
+      "g4_kcore" ->
+        s"""WITH li AS (
+           |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
+           |  FROM lineitem
+           |), edges AS (
+           |  SELECT a.sid AS sa, b.sid AS sb
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.sid < b.sid
+           |  GROUP BY 1, 2 HAVING count(*) >= 5
+           |), e0 AS (
+           |  SELECT sa AS src, sb AS dst FROM edges
+           |  UNION ALL SELECT sb AS src, sa AS dst FROM edges
+           |),
+           |$kcoreCtes
+           |SELECT src AS node, count(*) AS deg_core
+           |FROM e4 GROUP BY 1""".stripMargin,
       "g3_label_propagation" ->
         s"""WITH li AS (
            |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
