@@ -72,6 +72,12 @@ object ScaleProbe {
     // corpus KL: the same bucket-count shuffle as t17, then all math on
     // the 8192-row table — should read t17's slope minus the per-doc agg
     "t22_corpus_kl",
+    // hashed NB language ID: the t17 fixed-model story — the dense
+    // weight table is |langs|·8192 rows at EVERY scale (hashing trick),
+    // so the corpus pays the token-bucket scan, one bounded (lang, b)
+    // count, and ONE (doc_id, lang) partial-agg scoring shuffle — should
+    // track t17's slope (rename smears which buckets fill, not the work)
+    "ml_naive_bayes",
     // video keyframes: map-only frame explode + one doc-keyed window.
     // Byte-level but PER-DOC temporal (no cross-doc collision surface),
     // so the rename replica is fair here unlike m3: work is linear in

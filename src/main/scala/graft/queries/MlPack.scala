@@ -620,7 +620,14 @@ object MlPack extends QueryPack {
         .withColumn("centroid",
           col("sum_e6").cast("double") / (col("n").cast("double") * 1000000.0))
         .select("cluster_id", "pos", "n", "sum_e6", "centroid")
-    })
+    }),
+
+    // Hashed multinomial Naive Bayes language ID — the trained
+    // counterpart of t3's heuristic; model bounded by the hashing trick,
+    // scoring a single (doc_id, lang) shuffle. See graft.ml.NaiveBayes
+    // for the full 100 TB design + exactness notes.
+    "ml_naive_bayes" -> ((s, dir) =>
+      graft.ml.NaiveBayes.classify(s, Tables.documents(s, dir)))
   )
 
   /** Feature columns ranked by ml_select_kbest (shared with the oracle). */
@@ -1017,6 +1024,52 @@ object MlPack extends QueryPack {
         |SELECT cluster_id, pos, count(*) AS n,
         |  CAST(sum(el_e6) AS BIGINT) AS sum_e6,
         |  CAST(sum(el_e6) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
-        |FROM ex GROUP BY 1, 2""".stripMargin
+        |FROM ex GROUP BY 1, 2""".stripMargin,
+    "ml_naive_bayes" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, CAST(
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(w) + 1),
+        |                       i -> ord(substring(w, CAST(i AS INT), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211)
+        |                  % 18446744073709551616) % 8192 AS BIGINT) AS b
+        |  FROM (SELECT doc_id, lang, unnest(words) AS w FROM d)
+        |), cnt AS (
+        |  SELECT lang, b, count(*) AS c FROM tok GROUP BY 1, 2
+        |), nl AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+        |), dense AS (
+        |  SELECT nl.lang, g.b,
+        |    CAST(floor(ln((COALESCE(c, 0) + 1.0) / (n + 8192))
+        |         * 1000000000000 + 0.5) AS BIGINT) AS w_e12
+        |  FROM nl CROSS JOIN range(8192) AS g(b)
+        |  LEFT JOIN cnt ON cnt.lang = nl.lang AND cnt.b = g.b
+        |), pr AS (
+        |  SELECT lang, CAST(floor(ln(CAST(dl AS DOUBLE) / CAST(dd AS DOUBLE))
+        |    * 1000000000000 + 0.5) AS BIGINT) AS p_e12
+        |  FROM (SELECT lang, count(*) AS dl FROM d GROUP BY 1)
+        |  CROSS JOIN (SELECT count(*) AS dd FROM d)
+        |), sc AS (
+        |  SELECT tok.doc_id, dense.lang AS cand,
+        |    CAST(sum(w_e12) AS BIGINT) AS s_e12
+        |  FROM tok JOIN dense USING (b) GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, cand, s_e12 + p_e12 AS sc_e12
+        |  FROM sc JOIN pr ON pr.lang = sc.cand
+        |), pick AS (
+        |  SELECT doc_id, cand, sc_e12,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY sc_e12 DESC, cand) AS rk
+        |  FROM tot
+        |)
+        |SELECT p.doc_id, dd.lang, p.cand AS nb_pred,
+        |  floor((CAST(sc_e12 AS DOUBLE) / 1000000000000.0) * 1000000 + 0.5)
+        |    / 1000000 AS nb_logpost
+        |FROM pick p JOIN documents dd USING (doc_id)
+        |WHERE rk = 1""".stripMargin
   )
 }
