@@ -498,4 +498,21 @@ class PlanAuditSpec extends SparkSuite {
     // rather than running a duplicate filter job)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("ml_naive_bayes: broadcast model, hash-agg argmax, zero sorts/windows") {
+    val plan = executedString("ml_naive_bayes")
+    // the dense weight table and the priors ride broadcasts; the corpus
+    // never joins shuffled sides, and the argmax is min(struct(...)) —
+    // no window, no sort anywhere in the plan
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("(Sort "), plan)
+    // every exchange is keyed by bounded-cardinality model keys or the
+    // (doc_id, ...) scoring keys — never a raw token/row key
+    val keyed = "hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keyed.subsetOf(Set("doc_id", "lang", "cand", "b")),
+      s"unexpected exchange keys $keyed:\n$plan")
+  }
 }
