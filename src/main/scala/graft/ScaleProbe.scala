@@ -135,6 +135,12 @@ object ScaleProbe {
     // the fact join + agg — should track j7's slope
 
     "h3_shipping_priority", "h5_local_supplier_volume", "h10_returned_items",
+    // Q6 analogue: the pure scan-bandwidth benchmark (no join at all) —
+    // the flattest slope in the suite by construction
+    "h6_forecast_revenue",
+    // Q12 analogue: one unfiltered fact-fact join + 3-row agg — the
+    // j7 slope without the dimension broadcasts
+    "h12_late_lines",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",

@@ -160,6 +160,68 @@ object TpchPack extends QueryPack {
           col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // Q6 analogue: forecast-revenue-change — the canonical map-only
+    // filtered aggregate. NO join, NO shuffle beyond the single-row agg;
+    // every predicate (date range, discount band, quantity cap) pushes
+    // to the parquet scan, which is the whole point of the query: at
+    // 100 TB this is a scan-bandwidth benchmark and nothing else.
+    // Σ price·discount accumulates as exact DECIMAL(28,4) (2-dec ×
+    // 2-dec), one double conversion at the end.
+    "h6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2)))
+            .cast(DecimalType(28, 4)))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // Q12 analogue: late-line priority audit — the fixture has no
+    // shipmode/commitdate, so the Q12 grouping runs per returnflag and
+    // lateness is the h4 ship-lag predicate (> 60 days after the order
+    // date), tested INSIDE the join so each fact row is filtered during
+    // the probe. One orders⋈lineitem shuffle, then a 3-row conditional
+    // count split (urgent+high vs rest — Q12's exact output shape).
+    "h12_late_lines" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    // Q14 analogue: promo-revenue share for one ship month. The part dim
+    // broadcasts; numerator and denominator accumulate in the SAME
+    // exact-decimal pass (the h8 conditional-share discipline), ONE
+    // double division at the end, r6-rounded.
+    "h14_promo_share" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_partkey"), revenue.as("rev"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(28, 4))))
+            .cast(DoubleType).as("promo_rev"),
+          sum(col("rev")).cast(DoubleType).as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          graft.Num.r6(lit(100.0) * col("promo_rev") / col("total_rev"))
+            .as("promo_pct"))
     })
   )
 
@@ -240,6 +302,47 @@ object TpchPack extends QueryPack {
         |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "h6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "h12_late_lines" ->
+      """SELECT l.l_returnflag,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "h14_promo_share" ->
+      """WITH rev AS (
+        |  SELECT p.p_type,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS rev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-04-01'
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |        ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS promo_rev,
+        |    CAST(sum(rev) AS DOUBLE) AS total_rev
+        |  FROM rev
+        |)
+        |SELECT promo_rev, total_rev,
+        |  floor((100.0 * promo_rev / total_rev) * 1000000 + 0.5) / 1000000
+        |    AS promo_pct
+        |FROM a""".stripMargin
   )
 }

@@ -487,6 +487,32 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("h6: map-only filtered agg — predicates pushed, no join anywhere") {
+    val plan = executedString("h6_forecast_revenue")
+    // the date filter reaches the scan (the toString truncates the full
+    // PushedFilters list, so pin the first entries)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(!plan.contains("Join"), s"Q6 must not join:\n$plan")
+    // column pruning: the scan reads only the 4 referenced columns
+    assert(!plan.contains("l_orderkey"), s"scan must prune:\n$plan")
+  }
+
+  test("h12: lateness tested inside the single fact join; 3-row agg after") {
+    val plan = executedString("h12_late_lines")
+    // exactly ONE join (AQE may legally demote it to broadcast at this
+    // tiny sf), with the lateness predicate riding the join condition
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size == 1, plan)
+    assert(plan.contains("INTERVAL '60' DAY"), s"lateness must ride the join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h14: part broadcasts; share is one conditional-agg pass") {
+    val plan = executedString("h14_promo_share")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("sc9: dim filter prunes fact partitions via dynamic partition pruning") {
     val plan = executedString("sc9_dpp_join")
     // the fact scan's PartitionFilters must carry the runtime subquery —
