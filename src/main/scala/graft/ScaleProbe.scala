@@ -141,6 +141,29 @@ object ScaleProbe {
     // Q12 analogue: one unfiltered fact-fact join + 3-row agg — the
     // j7 slope without the dimension broadcasts
     "h12_late_lines",
+    // Q4 analogue: LEFT SEMI fact-fact join + 5-row agg — each orders
+    // row is emitted at most once, so the semi join bounds the output
+    // at |orders| whatever the lineitem fan-in: the h12 slope or better
+    "h4_order_priority",
+    // Q8 analogue: conditional-share single pass — the fact join work of
+    // h5 (broadcast dims) plus a per-year 7-row agg
+    "h8_market_share",
+    // Q14 analogue: one-month filtered fact scan + broadcast part dim +
+    // single-row conditional agg — between h6's scan slope and h3's
+    "h14_promo_share",
+    // rolling skew/kurt: per-series window over exact integer frame
+    // moments — the replica's user_id shifts give 10× series of
+    // unchanged length, so this should track w3's per-series slope
+    "w18_rolling_skew",
+    // PMI collocations: one (bigram)-keyed count shuffle + two unigram
+    // attaches against bounded type tables — t5's bigram-freq slope
+    // (the rename replica grows the type table linearly like t13's
+    // worst case, so expect the type-table premium, not t2's slope)
+    "t23_pmi_collocations",
+    // k-core peeling: synchronized rounds over the cached edge list —
+    // g1/g3's iterative slope (messages linear in |E| per round; the
+    // replica shifts node ids so degree structure is copy-identical)
+    "g4_kcore",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",
