@@ -164,6 +164,18 @@ object ScaleProbe {
     // g1/g3's iterative slope (messages linear in |E| per round; the
     // replica shifts node ids so degree structure is copy-identical)
     "g4_kcore",
+    // Q13 analogue: per-customer order count + |customer|-scale outer
+    // join + distribution agg — two keyed shuffles, both linear
+    "h13_order_distribution",
+    // Q17 analogue: brand-slice stats agg + join-back — the fact scan
+    // dominates (brand filter cuts 1/25 before any shuffle)
+    "h17_small_qty_revenue",
+    // Q18 analogue: per-order qty agg + orders join + TakeOrdered —
+    // the h12 fact-join slope plus a heap-bounded top-100
+    "h18_large_volume",
+    // Q22 analogue: 1-row stats broadcast + anti join on the above-mean
+    // slice — the anti probe side is |customer|-scale
+    "h22_idle_balance",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",

@@ -222,6 +222,99 @@ object TpchPack extends QueryPack {
         .select(col("promo_rev"), col("total_rev"),
           graft.Num.r6(lit(100.0) * col("promo_rev") / col("total_rev"))
             .as("promo_pct"))
+    }),
+
+    // Q13 analogue: customer order-count distribution. The fact side
+    // pre-aggregates FIRST (orders → one row per ordering customer), so
+    // the outer join carries ≤ |customer| rows instead of the order
+    // stream, and zero-order customers survive via LEFT + coalesce.
+    // Both join sides are |customer|-scale (customer grows with SF in
+    // TPC-H), so this is an honest shuffle join — no forced broadcast;
+    // the final distribution table is ≤ max-orders-per-customer rows.
+    "h13_order_distribution" -> ((s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val c = Tables.customer(s, dir).select("c_custkey")
+      c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q17 analogue: small-quantity revenue for one brand — the classic
+    // correlated scalar subquery (l_quantity < 0.2·avg qty over the same
+    // part), DECORRELATED as a per-part aggregate joined back. The
+    // correlated predicate is rewritten EXACT-INTEGER: qty < sum/(5·cnt)
+    // ⟺ 5·qty·cnt < sum (quantities are integral and cnt > 0), so no
+    // engine ever divides — the FP-tie trap of 0.2·avg disappears. Brand
+    // filter broadcasts onto the fact scan BEFORE the stats agg, so both
+    // the aggregate and the probe side see only the brand's ~4 % slice.
+    "h17_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val lb = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "qty", "l_extendedprice")
+      val stats = lb.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      lb.join(stats, lb("l_partkey") === stats("pk"))
+        .filter(col("qty") * lit(5L) * col("n_lines") < col("sum_qty"))
+        .agg(
+          count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_ext"))
+        .select(col("n_small"), col("total_ext"),
+          graft.Num.r6(col("total_ext") / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // Q18 analogue: large-volume orders. The HAVING subquery is a
+    // per-order quantity pre-aggregate (integral sums — exact across
+    // engines) filtered > 250; qualifying orders join orders (carrying
+    // the already-computed total, so lineitem is never re-joined) and
+    // the customer dim attaches broadcast. Top-100 rides sort+limit
+    // (TakeOrderedAndProject), tie-broken on o_orderkey.
+    "h18_large_volume" -> ((s, dir) => {
+      val bigOrders = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 250L)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q22 analogue: idle above-average balances — customers whose
+    // balance beats the positive-balance mean and who never placed an
+    // URGENT order, grouped by nation. The scalar subquery (global avg)
+    // is a 1-row broadcast; the mean comparison is EXACT-DECIMAL
+    // (bal·n_pos > Σbal — no division anywhere, the h17 discipline);
+    // the NOT EXISTS is a LEFT ANTI join applied AFTER the balance
+    // filter so the anti probe carries only the above-mean slice.
+    "h22_idle_balance" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val avgStats = c.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("tot_bal"), count(lit(1)).as("n_pos"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.crossJoin(broadcast(avgStats))
+        .filter(col("bal") * col("n_pos") > col("tot_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast(DoubleType).as("totacctbal"))
     })
   )
 
@@ -343,6 +436,72 @@ object TpchPack extends QueryPack {
         |SELECT promo_rev, total_rev,
         |  floor((100.0 * promo_rev / total_rev) * 1000000 + 0.5) / 1000000
         |    AS promo_pct
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "h13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT coalesce(o.cnt, 0) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN (
+        |    SELECT o_custkey, count(*) AS cnt
+        |    FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT'
+        |    GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey)
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "h17_small_qty_revenue" ->
+      """WITH lb AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+        |    l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#23'
+        |), st AS (
+        |  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS n_lines
+        |  FROM lb GROUP BY 1
+        |), small AS (
+        |  SELECT lb.l_extendedprice
+        |  FROM lb JOIN st ON lb.l_partkey = st.pk
+        |  WHERE lb.qty * 5 * st.n_lines < st.sum_qty
+        |), a AS (
+        |  SELECT count(*) AS n_small,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_ext
+        |  FROM small
+        |)
+        |SELECT n_small, total_ext,
+        |  floor((total_ext / 7.0) * 1000000 + 0.5) / 1000000 AS avg_yearly
+        |FROM a""".stripMargin,
+    "h18_large_volume" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_day,
+        |  o.o_totalprice, b.total_qty
+        |FROM orders o
+        |JOIN (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem
+        |  GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250) b
+        |ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+    "h22_idle_balance" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |), a AS (
+        |  SELECT sum(bal) AS tot_bal, count(*) AS n_pos
+        |  FROM c WHERE bal > 0
+        |)
+        |SELECT c.c_nationkey, count(*) AS numcust,
+        |  CAST(sum(c.bal) AS DOUBLE) AS totacctbal
+        |FROM c, a
+        |WHERE c.bal * a.n_pos > a.tot_bal
+        |  AND c.c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -513,6 +513,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("h13: fact side pre-aggregates before the outer join") {
+    val plan = executedString("h13_order_distribution")
+    // the per-customer count must be a partial-agg shuffle, and the
+    // outer join must preserve customers (LeftOuter from customer)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h17: brand filter broadcasts onto the scan before the stats agg") {
+    val plan = executedString("h17_small_qty_revenue")
+    // the part filter rides a broadcast join; the decorrelated predicate
+    // is integer arithmetic (no division operator in the plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h18: having-subquery joins carry the precomputed total; top-100 rides TakeOrdered") {
+    val plan = executedString("h18_large_volume")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // customer attaches broadcast; at most the orders⋈bigOrders join shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("h22: scalar avg is a 1-row broadcast; NOT EXISTS is an anti join") {
+    val plan = executedString("h22_idle_balance")
+    assert(plan.contains("LeftAnti"), plan)
+    // the 1-row stats attach is a broadcast nested loop (constant side),
+    // never a real cartesian over data
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sc9: dim filter prunes fact partitions via dynamic partition pruning") {
     val plan = executedString("sc9_dpp_join")
     // the fact scan's PartitionFilters must carry the runtime subquery —
