@@ -176,6 +176,10 @@ object ScaleProbe {
     // Q22 analogue: 1-row stats broadcast + anti join on the above-mean
     // slice — the anti probe side is |customer|-scale
     "h22_idle_balance",
+    // tree split finder: map-only feature explode + one bounded
+    // (feature, bin) histogram agg — the t17 fixed-model slope (the
+    // histogram is ≤ |features|·|bins| cells at every scale)
+    "ml_tree_split",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",

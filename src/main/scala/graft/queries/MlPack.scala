@@ -627,7 +627,62 @@ object MlPack extends QueryPack {
     // scoring a single (doc_id, lang) shuffle. See graft.ml.NaiveBayes
     // for the full 100 TB design + exactness notes.
     "ml_naive_bayes" -> ((s, dir) =>
-      graft.ml.NaiveBayes.classify(s, Tables.documents(s, dir)))
+      graft.ml.NaiveBayes.classify(s, Tables.documents(s, dir))),
+
+    // Histogram-based best-split finder — the distributed core of every
+    // boosted-tree trainer (XGBoost approx / LightGBM): ONE pass over
+    // the data builds per-(feature, bin) label histograms (map-side
+    // combinable — the shuffle carries ≤ |features|·|bins| cells per
+    // partition, never rows), then split evaluation is arithmetic on
+    // the tiny histogram. Regression target = price cents (exact
+    // integers); variance-reduction gain S_L²/n_L + S_R²/n_R − S²/n is
+    // computed in EXPLICIT IEEE double ops from exact integer inputs
+    // (sums ≈ 6e12 « 2^53, so the doubles entering the formula are
+    // exact and both engines round identically) — the argmax is then
+    // deterministic, tie-broken toward the smaller bin via a sort-free
+    // max(struct). Windows run over the ≤ ~40-row histogram, not data.
+    "ml_tree_split" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      val feats = li.select(explode(array(
+          struct(lit("qty").as("feature"),
+            (col("qty") / lit(2)).cast("long").as("bin"), col("y")),
+          struct(lit("disc").as("feature"), col("disc").as("bin"),
+            col("y"))))
+          .as("f"))
+        .select(col("f.feature"), col("f.bin"), col("f.y"))
+      val hist = feats.groupBy("feature", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy("feature").orderBy("bin")
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy("feature")
+      val gain = hist
+        .withColumn("nl", sum(col("n")).over(run))
+        .withColumn("sl", sum(col("s")).over(run))
+        .withColumn("nt", sum(col("n")).over(tot))
+        .withColumn("st", sum(col("s")).over(tot))
+        .filter(col("nl") < col("nt"))
+        .select(col("feature"), col("bin"),
+          col("nl"), (col("nt") - col("nl")).as("nr"),
+          col("sl"), (col("st") - col("sl")).as("sr"),
+          (col("sl").cast(DoubleType) * col("sl").cast(DoubleType)
+              / col("nl").cast(DoubleType)
+            + (col("st") - col("sl")).cast(DoubleType)
+              * (col("st") - col("sl")).cast(DoubleType)
+              / (col("nt") - col("nl")).cast(DoubleType)
+            - col("st").cast(DoubleType) * col("st").cast(DoubleType)
+              / col("nt").cast(DoubleType)).as("gain"))
+      gain.groupBy(col("feature"))
+        .agg(max(struct(col("gain"), (-col("bin")).as("nb"),
+          col("bin"), col("nl"), col("nr"), col("sl"), col("sr"))).as("b"))
+        .select(col("feature"), col("b.bin").as("split_bin"),
+          col("b.nl").as("n_left"), col("b.nr").as("n_right"),
+          col("b.sl").as("sum_left"), col("b.sr").as("sum_right"),
+          col("b.gain").as("gain"))
+    })
   )
 
   /** Feature columns ranked by ml_select_kbest (shared with the oracle). */
@@ -1070,6 +1125,44 @@ object MlPack extends QueryPack {
         |  floor((CAST(sc_e12 AS DOUBLE) / 1000000000000.0) * 1000000 + 0.5)
         |    / 1000000 AS nb_logpost
         |FROM pick p JOIN documents dd USING (doc_id)
-        |WHERE rk = 1""".stripMargin
+        |WHERE rk = 1""".stripMargin,
+    "ml_tree_split" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |), feats AS (
+        |  SELECT 'qty' AS feature, qty // 2 AS bin, y FROM li
+        |  UNION ALL
+        |  SELECT 'disc' AS feature, disc AS bin, y FROM li
+        |), hist AS (
+        |  SELECT feature, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+        |  FROM feats GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT feature, bin,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY bin) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM hist
+        |), gain AS (
+        |  SELECT feature, bin, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |      + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |        / CAST(nt - nl AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS gain
+        |  FROM pre WHERE nl < nt
+        |), pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY feature
+        |    ORDER BY gain DESC, bin ASC) AS rk
+        |  FROM gain
+        |)
+        |SELECT feature, bin AS split_bin,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+        |  CAST(sl AS BIGINT) AS sum_left, CAST(sr AS BIGINT) AS sum_right,
+        |  gain
+        |FROM pick WHERE rk = 1""".stripMargin
   )
 }

@@ -538,6 +538,16 @@ class PlanAuditSpec extends SparkSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("ml_tree_split: one partial-agg histogram shuffle; windows run on the histogram, not rows") {
+    val plan = executedString("ml_tree_split")
+    // the (feature, bin) histogram must map-side combine (partial then
+    // final HashAggregate around a single exchange on the data path)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+    // the scan prunes to the three referenced source columns
+    assert(!plan.contains("l_orderkey"), s"scan must prune:\n$plan")
+  }
+
   test("h22: scalar avg is a 1-row broadcast; NOT EXISTS is an anti join") {
     val plan = executedString("h22_idle_balance")
     assert(plan.contains("LeftAnti"), plan)
