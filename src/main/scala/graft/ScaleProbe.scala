@@ -180,6 +180,14 @@ object ScaleProbe {
     // (feature, bin) histogram agg — the t17 fixed-model slope (the
     // histogram is ≤ |features|·|bins| cells at every scale)
     "ml_tree_split",
+    // frontier BFS: 4 frontier-expansion rounds over the cached edge
+    // list — the g1/g3/g4 iterative band (messages ≤ |E| per round,
+    // and the frontier prune keeps rounds after saturation ~free)
+    "g5_bfs_hops",
+    // inverted index: one (term, doc) tf shuffle + one (term, block)
+    // list build — t5's slope; blocks bound each task's list at 4096
+    // docs however hot the term
+    "t24_inverted_index",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",

@@ -146,6 +146,42 @@ object GraphPack extends QueryPack {
       val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
         .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
       graft.ops.KCore.run(edges, k = 8, rounds = 4)
+    }),
+
+    // Multi-source BFS: shortest hop distance (≤ 4) from the seed
+    // supplier set over the co-occurrence graph — the reachability /
+    // blast-radius primitive. FRONTIER-pruned: each round expands only
+    // the nodes discovered LAST round (an all-nodes re-expansion would
+    // redo every earlier level's messages every round — at web scale the
+    // difference between O(|E|·diam) and O(|E|) total messages), and the
+    // anti join against the known set keeps the frontier monotonically
+    // shrinking once the graph saturates. The edge list is
+    // iteration-invariant and cached once; distances are exact small
+    // ints, so the oracle replays the same semantics as a depth-bounded
+    // recursive CTE with a min() collapse (a walk of length d exists iff
+    // BFS reaches at distance ≤ d).
+    "g5_bfs_hops" -> ((s, dir) => {
+      val und = cooccurrenceEdges(s, dir, minW = 2)
+      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
+        .cache()
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").cast("long").as("node"),
+          lit(0).as("dist"))
+      var known = seeds.cache()
+      var frontier = seeds
+      for (_ <- 1 to 4) {
+        val cand = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node"),
+            (frontier("dist") + 1).as("dist"))
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+        frontier = cand.join(known.select(col("node").as("kn")),
+            cand("node") === col("kn"), "left_anti")
+          .cache()
+        known = known.unionAll(frontier).cache()
+      }
+      known
     })
   )
 
@@ -279,7 +315,27 @@ object GraphPack extends QueryPack {
            |),
            |$iterCtes
            |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
-           |FROM i5""".stripMargin
+           |FROM i5""".stripMargin,
+      "g5_bfs_hops" ->
+        """WITH RECURSIVE li AS (
+          |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
+          |  FROM lineitem
+          |), edges AS (
+          |  SELECT a.sid AS sa, b.sid AS sb
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.sid < b.sid
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym AS (
+          |  SELECT sa AS src, sb AS dst FROM edges
+          |  UNION ALL SELECT sb AS src, sa AS dst FROM edges
+          |), bfs(node, dist) AS (
+          |  SELECT CAST(s_suppkey AS BIGINT), 0 FROM supplier
+          |  WHERE s_suppkey % 10 = 0
+          |  UNION
+          |  SELECT sym.dst, bfs.dist + 1
+          |  FROM bfs JOIN sym ON bfs.node = sym.src
+          |  WHERE bfs.dist < 4
+          |)
+          |SELECT node, min(dist) AS dist FROM bfs GROUP BY 1""".stripMargin
     )
   }
 }

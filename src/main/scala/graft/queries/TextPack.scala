@@ -776,6 +776,32 @@ object TextPack extends QueryPack {
             / (col("ca") * col("cb")).cast("double")).as("lift"))
     }),
 
+    // Blocked inverted index — the retrieval-side artifact t12's BM25
+    // scores FROM (BM25 ranks; this materializes the index itself).
+    // Postings are packed (doc_id·2²⁰ + tf) BIGINTs, sorted, and BLOCKED
+    // by doc-id range (4096 docs per block): at corpus scale a stopword's
+    // posting list is millions of entries — one (term) reduce key would
+    // put a whole stopword on one task, while (term, block) keys bound
+    // every list at the block size, blocks build independently (daily
+    // shards append as new blocks — the same mergeable-artifact story as
+    // a17's sketches), and consecutive blocks concat into the full list.
+    // Two shuffles: (term, doc) tf agg, then (term, block) list build.
+    // The 2²⁰ packing is guarded: a tf ≥ 2²⁰ would corrupt the posting
+    // byte layout, so it fails loudly instead of silently aliasing.
+    "t24_inverted_index" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      tf.filter(assert_true(col("tf") < 1048576L,
+          lit("t24: tf exceeds the 2^20 posting-packing envelope")).isNull)
+        .select(col("term"), (col("doc_id") / lit(4096)).cast("long").as("block"),
+          (col("doc_id") * lit(1048576L) + col("tf")).as("posting"))
+        .groupBy("term", "block")
+        .agg(count(lit(1)).as("df_block"),
+          sort_array(collect_list(col("posting"))).as("postings"))
+    }),
+
     "t22_corpus_kl" -> ((s, dir) => {
       val B = DsirBuckets
       val counts = dsirBucketCounts(dsirBucketStream(s, dir))
@@ -1253,6 +1279,18 @@ object TextPack extends QueryPack {
         |JOIN uni ua ON bi.wa = ua.w
         |JOIN uni ub ON bi.wb = ub.w
         |CROSS JOIN tot""".stripMargin,
+    "t24_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+        |)
+        |SELECT term, doc_id // 4096 AS block,
+        |  count(*) AS df_block,
+        |  list_sort(list(doc_id * 1048576 + tf)) AS postings
+        |FROM tf GROUP BY 1, 2""".stripMargin,
     "t11_length_buckets" ->
       """WITH t AS (
         |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens

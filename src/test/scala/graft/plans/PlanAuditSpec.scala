@@ -548,6 +548,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("l_orderkey"), s"scan must prune:\n$plan")
   }
 
+  test("g5: frontier BFS — known-set anti join present, edges cached once") {
+    val plan = executedString("g5_bfs_hops")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("InMemoryTableScan"), s"edge cache must be reused:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t24: inverted index builds join-free; scan prunes to doc_id+text") {
+    val plan = executedString("t24_inverted_index")
+    assert(!plan.contains("Join"), plan)
+    // (term, doc) tf agg then (term, block) list build — both aggs present
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("n_chars"), s"scan must prune:\n$plan")
+  }
+
   test("h22: scalar avg is a 1-row broadcast; NOT EXISTS is an anti join") {
     val plan = executedString("h22_idle_balance")
     assert(plan.contains("LeftAnti"), plan)
