@@ -188,6 +188,15 @@ object ScaleProbe {
     // list build — t5's slope; blocks bound each task's list at 4096
     // docs however hot the term
     "t24_inverted_index",
+    // attribution: one user-keyed range join (fan bounded by a user's
+    // clicks-per-week) + sort-free struct agg — x7's user-join slope
+    "x10_attribution",
+    // PSI: map-side (bin, half) counts bounded at 20 cells — t2's
+    // map-only slope
+    "c15_psi_drift",
+    // hybrid RRF: two globalRank range-sorts (the sc4 shape) + a
+    // |docs|-scale outer join + TakeOrdered — the sc4 slope
+    "n11_hybrid_rrf",
     // power iteration: map-only matvec + one (pos)-keyed partial agg —
     // should track ml_kmeans_step's constant-per-vector slope
     "ml_power_iter",

@@ -414,6 +414,45 @@ object AnnPack extends QueryPack {
         .unionByName(fresh.withColumn("is_new", lit(true)))
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion — the production RAG
+    // recipe (lexical BM25-family + dense ANN, fused by rank not score,
+    // because the two scores live on incomparable scales). Coverage is
+    // deliberately ASYMMETRIC, as it is in real systems: the lexical leg
+    // ranks every matching document; the dense leg ranks only docs that
+    // HAVE an embedding (at sf0.1, 2000 of 5000) — the FULL OUTER fuse
+    // keeps single-leg docs with the other leg contributing 0. Both legs
+    // rank via Ranks.globalRank (range-partitioned sort + zipWithIndex —
+    // never a one-task window); the RRF term 1/(60+r) is computed as
+    // EXACT rounded integer division at e12 so the fused ordering can't
+    // move with engine FP; top-20 rides TakeOrderedAndProject.
+    "n11_hybrid_rrf" -> ((s, dir) => {
+      val lexScore = Tables.documents(s, dir)
+        .select(col("doc_id"), size(filter(
+          split(trim(col("text")), "\\s+"),
+          w => w.isin("join", "hash", "scan"))).cast("double").as("v"))
+        .filter(col("v") > 0)
+      val lexr = graft.Ranks.globalRank(lexScore, "doc_id", "v", "r_lex",
+        Seq(col("v").desc, col("doc_id")))
+        .select(col("doc_id"), col("r_lex"))
+      val e = Tables.embeddings(s, dir)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb"))
+      val semScore = e.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          Num.r6(Similarity.cosine(col("embedding"), col("p_emb"))).as("v"))
+      val semr = graft.Ranks.globalRank(semScore, "vec_id", "v", "r_sem",
+        Seq(col("v").desc, col("vec_id")))
+        .select(col("vec_id"), col("r_sem"))
+      lexr.join(semr, lexr("doc_id") === semr("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          col("r_lex"), col("r_sem"))
+        .withColumn("rrf_e12", expr(
+          "coalesce((2000000000000 + (60 + r_lex)) DIV ((60 + r_lex) * 2), 0)" +
+          " + coalesce((2000000000000 + (60 + r_sem)) DIV ((60 + r_sem) * 2), 0)"))
+        .orderBy(col("rrf_e12").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "n6_embedding_centroid" -> ((s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "el")))
@@ -467,6 +506,40 @@ object AnnPack extends QueryPack {
       s"""$seedAssignOracleCtes
          |SELECT vec_id, cluster_id, (vec_id % 10 = 0) AS is_new
          |FROM a""".stripMargin,
+    "n11_hybrid_rrf" ->
+      """WITH lex AS (
+        |  SELECT doc_id, len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    w -> w IN ('join', 'hash', 'scan'))) AS score
+        |  FROM documents
+        |), lexr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM lex WHERE score > 0
+        |), probe AS (
+        |  SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0
+        |), sem AS (
+        |  SELECT vec_id, floor(list_cosine_similarity(
+        |      CAST(embedding AS DOUBLE[]), CAST(p_emb AS DOUBLE[]))
+        |    * 1000000 + 0.5) / 1000000 AS sim
+        |  FROM embeddings CROSS JOIN probe
+        |), semr AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY sim DESC, vec_id) AS r_sem
+        |  FROM sem
+        |), fused AS (
+        |  SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+        |    l.r_lex AS r_lex, s.r_sem AS r_sem,
+        |    coalesce((2000000000000 + (60 + l.r_lex))
+        |      // ((60 + l.r_lex) * 2), 0)
+        |    + coalesce((2000000000000 + (60 + s.r_sem))
+        |      // ((60 + s.r_sem) * 2), 0) AS rrf_e12
+        |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id
+        |)
+        |SELECT doc_id, r_lex, r_sem, CAST(rrf_e12 AS BIGINT) AS rrf_e12
+        |FROM fused
+        |ORDER BY rrf_e12 DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "n1_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  floor((list_cosine_similarity(

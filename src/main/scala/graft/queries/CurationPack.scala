@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{QueryPack, Tables}
+import graft.{Num, QueryPack, Tables}
 
 /** Training-data curation operators the reference pipeline implies but never
   * names: deterministic split assignment, PII redaction, distribution-drift
@@ -427,6 +427,41 @@ object CurationPack extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_checksum"),
           sum(col("n_tokens").cast("long")).as("n_tokens_total"))
+    }),
+
+    // Population Stability Index — THE production drift gate (c3's KS
+    // statistic answers "did the distribution move"; PSI answers "by how
+    // much, per bin" and is what model-monitoring thresholds key on,
+    // ref vs current = first vs second half of the month). One map-side
+    // (bin, half) count shuffle bounded at 20 cells; all 20 bins
+    // materialize via a generated bin table so empty bins carry their
+    // Laplace mass; each bin's (p−q)·ln(p/q) term is e12-quantized
+    // BEFORE the sum (the t22/NB discipline — integer addition is
+    // order-free, so engine summation order can't move the hash).
+    "c15_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(Num.cents(col("value")).as("cents"), col("ts"))
+      val counts = ev
+        .select(expr("greatest(least(cents DIV 1000, 19L), 0L)").as("bin"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+      val full = s.range(0, 20).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("nr"), lit(0L)).as("nr"),
+          coalesce(col("nc"), lit(0L)).as("nc"))
+      val tot = full.agg(sum("nr").as("tr"), sum("nc").as("tc"))
+      full.crossJoin(broadcast(tot))
+        .withColumn("term_e12", expr(
+          "CAST(floor((((nc + 1.0) / (tc + 20.0)) - ((nr + 1.0) / (tr + 20.0)))" +
+          " * ln(((nc + 1.0) / (tc + 20.0)) / ((nr + 1.0) / (tr + 20.0)))" +
+          " * 1000000000000 + 0.5) AS BIGINT)"))
+        .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+          sum(col("term_e12")).as("s_e12"))
+        .select(col("n_ref"), col("n_cur"),
+          Num.r6(col("s_e12").cast("double") / 1000000000000.0).as("psi"))
     })
   )
 
@@ -435,6 +470,36 @@ object CurationPack extends QueryPack {
   private val Ipv4Re = "10[.]0[.][0-9]+[.]7"
 
   def oracleSql: Map[String, String] = Map(
+    "c15_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT greatest(least(cents // 1000, 19), 0) AS bin,
+        |    (ts < TIMESTAMP '2024-01-16') AS is_ref
+        |  FROM ev
+        |), counts AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+        |    sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+        |  FROM b GROUP BY 1
+        |), fullb AS (
+        |  SELECT g.range AS bin, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+        |  FROM range(20) g LEFT JOIN counts ON counts.bin = g.range
+        |), tot AS (
+        |  SELECT sum(nr) AS tr, sum(nc) AS tc FROM fullb
+        |), terms AS (
+        |  SELECT tr, tc,
+        |    CAST(floor((((nc + 1.0) / (tc + 20.0)) - ((nr + 1.0) / (tr + 20.0)))
+        |      * ln(((nc + 1.0) / (tc + 20.0)) / ((nr + 1.0) / (tr + 20.0)))
+        |      * 1000000000000 + 0.5) AS BIGINT) AS term_e12
+        |  FROM fullb CROSS JOIN tot
+        |)
+        |SELECT CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur,
+        |  floor((CAST(sum(term_e12) AS DOUBLE) / 1000000000000.0) * 1000000
+        |    + 0.5) / 1000000 AS psi
+        |FROM terms""".stripMargin,
     "c1_hash_split" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS INT) AS bucket,

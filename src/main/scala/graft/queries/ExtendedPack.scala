@@ -137,6 +137,39 @@ object ExtendedPack extends QueryPack {
         .select(col("from_type"), col("to_type"), col("n"),
           graft.Num.r6(col("n").cast("double") / col("tot").cast("double"))
             .as("p"))
+    }),
+
+    // Marketing attribution: every purchase attributes its value to the
+    // user's clicks in the trailing 7 days — first-touch, last-touch,
+    // and linear (value/n per click) in ONE pass. The click⋈purchase
+    // range join shuffles once on user_id (the range predicate rides the
+    // join, so fan-out is bounded by a user's clicks-per-week, never the
+    // cross product); first/last are sort-free min/max(struct(ts, id))
+    // so no per-purchase window sort; no-click purchases survive the
+    // LEFT join with NULL touches and n_clicks = 0.
+    "x10_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+          col("ts").as("cts"))
+      p.join(c, p("user_id") === c("cuid") &&
+          c("cts") <= p("pts") &&
+          c("cts") > p("pts") - expr("INTERVAL 7 DAYS"), "left")
+        .groupBy(col("purchase_id"), col("user_id"), col("value"))
+        .agg(
+          count(col("cid")).as("n_clicks"),
+          min(when(col("cid").isNotNull,
+            struct(col("cts"), col("cid")))).as("f"),
+          max(when(col("cid").isNotNull,
+            struct(col("cts"), col("cid")))).as("l"))
+        .select(col("purchase_id"), col("user_id"), col("n_clicks"),
+          col("f.cid").as("first_click"), col("l.cid").as("last_click"),
+          when(col("n_clicks") > 0,
+            graft.Num.r6(col("value") / col("n_clicks").cast("double")))
+            .as("linear_value"))
     })
   )
 
@@ -228,6 +261,34 @@ object ExtendedPack extends QueryPack {
         |SELECT from_type, to_type, n,
         |  floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5)
         |    / 1000000 AS p
-        |FROM pairs JOIN marg USING (from_type)""".stripMargin
+        |FROM pairs JOIN marg USING (from_type)""".stripMargin,
+    "x10_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS cid, user_id AS cuid, ts AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT p.purchase_id, p.user_id, p.value, c.cid, c.cts
+        |  FROM p LEFT JOIN c ON p.user_id = c.cuid
+        |    AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY
+        |), r AS (
+        |  SELECT purchase_id, user_id, value, cid,
+        |    count(cid) OVER (PARTITION BY purchase_id) AS n_clicks,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts ASC, cid ASC) AS rf,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts DESC, cid DESC) AS rl
+        |  FROM j
+        |)
+        |SELECT purchase_id, user_id,
+        |  CAST(max(n_clicks) AS BIGINT) AS n_clicks,
+        |  max(CASE WHEN rf = 1 THEN cid END) AS first_click,
+        |  max(CASE WHEN rl = 1 THEN cid END) AS last_click,
+        |  CASE WHEN max(n_clicks) > 0 THEN
+        |    floor((max(value) / max(n_clicks)) * 1000000 + 0.5) / 1000000
+        |  END AS linear_value
+        |FROM r GROUP BY 1, 2""".stripMargin
   )
 }

@@ -564,6 +564,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("n_chars"), s"scan must prune:\n$plan")
   }
 
+  test("x10: attribution is one user-keyed join, sort-free touches (no Window)") {
+    val plan = executedString("x10_attribution")
+    // first/last-touch ride min/max(struct) aggregates — a per-purchase
+    // window sort would show up as a Window node
+    assert(!plan.contains("Window"), s"must be sort-free:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("c15: PSI is one bounded 20-cell count shuffle; stats attach broadcast") {
+    val plan = executedString("c15_psi_drift")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("n11: RRF legs rank without a one-task window; top-20 rides TakeOrdered") {
+    val plan = executedString("n11_hybrid_rrf")
+    assert(!plan.contains("Window"), s"ranks must come from globalRank:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
+
   test("h22: scalar avg is a 1-row broadcast; NOT EXISTS is an anti join") {
     val plan = executedString("h22_idle_balance")
     assert(plan.contains("LeftAnti"), plan)
