@@ -126,6 +126,25 @@ object SourcesPack extends QueryPack {
       s.read.parquet(out).select("event_id", "user_id", "value")
     }),
 
+    // Schema evolution on read — the data-lake drift case: yesterday's
+    // batch has no `lang` column, today's adds it. mergeSchema unifies
+    // the footers at scan time; old rows surface NULL lang, no rewrite
+    // of historical files. The read-side proof is the per-(source, lang)
+    // rollup: lang carries real values only for doc_id ≥ the cutover.
+    "s12_schema_evolution" -> ((s, dir) => {
+      val out = tmp("s12_evolve")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      docs.filter(col("doc_id") < 250).drop("lang")
+        .write.mode("overwrite").parquet(s"$out/batch=old")
+      docs.filter(col("doc_id") >= 250)
+        .write.mode("overwrite").parquet(s"$out/batch=new")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "s10_xml_roundtrip" -> ((s, dir) => {
       val out = tmp("s10_xml")
       val staged = Tables.nation(s, dir)
@@ -208,6 +227,10 @@ object SourcesPack extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s11_compaction" ->
       "SELECT event_id, user_id, value FROM events",
+    "s12_schema_evolution" ->
+      """SELECT source, CASE WHEN doc_id >= 250 THEN lang END AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "s7_catalog_table" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
