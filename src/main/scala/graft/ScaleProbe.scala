@@ -176,6 +176,32 @@ object ScaleProbe {
     // Q22 analogue: 1-row stats broadcast + anti join on the above-mean
     // slice — the anti probe side is |customer|-scale
     "h22_idle_balance",
+    // Q2 analogue: decorrelated min + equality re-join — the fact scan
+    // plus one per-part-min shuffle join; part slice fixed at 1/12
+    "h2_min_cost_supplier",
+    // Q7 analogue: double fact join with two broadcast nation attaches —
+    // the h12 slope plus the customer/supplier broadcast growth
+    "h7_volume_shipping",
+    // Q9 analogue: h8's join work with the exact-decimal profit agg
+    "h9_product_profit",
+    // Q11 analogue: per-part agg + 1-row broadcast HAVING — two keyed
+    // shuffles, both linear in the nation's fact slice
+    "h11_important_stock",
+    // Q15 analogue: per-supplier agg reused across the max attach — one
+    // keyed shuffle over a quarter slice
+    "h15_top_supplier",
+    // Q16 analogue: anti-join prefilter + (brand,type,size) distinct
+    // count — the distinct expansion is |group|·|supplier| bounded
+    "h16_supplier_cnt",
+    // Q19 analogue: one broadcast join with the disjunctive predicate —
+    // h6's scan slope plus the part attach
+    "h19_disjunctive",
+    // Q20 analogue: two nested keyed aggs + semi probe — linear in the
+    // name-sliced fact rows
+    "h20_qty_threshold",
+    // Q21 analogue: one fact join + per-order distinct agg — the h12
+    // slope with a wider agg row
+    "h21_waiting_supplier",
     // tree split finder: map-only feature explode + one bounded
     // (feature, bin) histogram agg — the t17 fixed-model slope (the
     // histogram is ≤ |features|·|bins| cells at every scale)

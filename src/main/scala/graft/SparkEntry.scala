@@ -32,7 +32,8 @@ object SparkEntry {
     graft.queries.CurationPack,
     graft.queries.ExtendedPack,
     graft.queries.BreadthPack,
-    graft.queries.TpchPack
+    graft.queries.TpchPack,
+    graft.queries.TpchPack2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

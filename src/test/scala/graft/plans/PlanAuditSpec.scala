@@ -538,6 +538,82 @@ class PlanAuditSpec extends SparkSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("h2: the correlated min decorrelates — min-agg + equality re-join, no per-row subquery") {
+    val plan = executedString("h2_min_cost_supplier")
+    // part/supplier/nation all broadcast; the only shuffle joins are the
+    // fact ⋈ per-part-min equality re-join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h7: nation pair filter rides broadcasts; only the fact join shuffles") {
+    val plan = executedString("h7_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h9: part/supplier/nation broadcast; profit is one exact-decimal agg pass") {
+    val plan = executedString("h9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h11: the global total is a 1-row broadcast; the HAVING is decimal multiply, not division") {
+    val plan = executedString("h11_important_stock")
+    // crossJoin(broadcast(1-row)) plans as a broadcast nested loop
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the comparison is (value * 1000) > tot — no Divide in the plan
+    assert(!plan.toLowerCase.contains("divide"), plan)
+  }
+
+  test("h15: the revenue view computes once — max attaches via 1-row broadcast") {
+    val plan = executedString("h15_top_supplier")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the per-supplier agg exchange feeds both the max and the filter
+    // side without recomputation
+    assert(plan.contains("ReusedExchange"), s"rev exchange not reused:\n$plan")
+  }
+
+  test("h16: NOT IN runs as a broadcast LEFT ANTI before the distinct-count shuffle") {
+    val plan = executedString("h16_supplier_cnt")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h19: the three OR branches share ONE broadcast join — no union of scans") {
+    val plan = executedString("h19_disjunctive")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Union"), s"Q19 must not union three subplans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("h20: the availability threshold collapses to a LEFT SEMI supplier probe") {
+    val plan = executedString("h20_qty_threshold")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h21: EXISTS + NOT-EXISTS pair runs as ONE per-order agg — a single fact join, no self-joins") {
+    val plan = executedString("h21_waiting_supplier")
+    // the classic form needs three lineitem scans; the decorrelated plan
+    // scans lineitem once and orders once
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+    assert("lineitem".r.findAllIn(plan).size <= 1,
+      s"decorrelation must not rescan lineitem:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ml_tree_split: one partial-agg histogram shuffle; windows run on the histogram, not rows") {
     val plan = executedString("ml_tree_split")
     // the (feature, bin) histogram must map-side combine (partial then
