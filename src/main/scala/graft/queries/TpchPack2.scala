@@ -261,12 +261,18 @@ object TpchPack2 extends QueryPack {
 
     // Q21 analogue: suppliers who kept multi-supplier orders waiting.
     // The original's EXISTS (another supplier on the order) + NOT EXISTS
-    // (another LATE supplier) pair decorrelates into ONE per-order
+    // (another LATE supplier) pair decorrelates into per-order
     // aggregation: distinct suppliers ≥ 2, distinct LATE suppliers = 1 —
     // the unique late supplier is then charged that order's late-line
-    // count. One orders⋈lineitem shuffle + one per-order agg replaces
-    // two correlated subquery scans; the DuckDB oracle replays the
-    // classic correlated form, proving the rewrite exact.
+    // count (when exactly one supplier is late, every late line is his,
+    // so the per-order late total needs no per-culprit split). The two
+    // DISTINCT counts run as ONE per-order collect_set aggregation —
+    // suppliers-per-order is bounded (≤7 in TPC-H's generator, a data
+    // invariant, not a scale variable), so the sets are O(1) per group
+    // and partial-merge map-side; multi-countDistinct would Expand the
+    // fact rows ×3 before the shuffle (measured 8.8 s → 1.3 s at sf0.1).
+    // The DuckDB oracle replays the classic correlated form, proving
+    // the rewrite exact.
     "h21_waiting_supplier" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
       val l = Tables.lineitem(s, dir)
@@ -277,8 +283,8 @@ object TpchPack2 extends QueryPack {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late_supp", when(late, col("l_suppkey")))
         .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("ns"),
-          countDistinct(col("late_supp")).as("nl"),
+        .agg(size(collect_set(col("l_suppkey"))).as("ns"),
+          size(collect_set(col("late_supp"))).as("nl"),
           max(col("late_supp")).as("culprit"),
           sum(when(col("late_supp").isNotNull, 1L).otherwise(0L))
             .as("late_lines"))
