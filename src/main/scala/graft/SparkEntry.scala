@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.ExtendedPack,
     graft.queries.BreadthPack,
     graft.queries.TpchPack,
-    graft.queries.TpchPack2
+    graft.queries.TpchPack2,
+    graft.queries.StatsTestsPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

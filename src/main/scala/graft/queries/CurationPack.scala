@@ -462,6 +462,63 @@ object CurationPack extends QueryPack {
           sum(col("term_e12")).as("s_e12"))
         .select(col("n_ref"), col("n_cur"),
           Num.r6(col("s_e12").cast("double") / 1000000000000.0).as("psi"))
+    }),
+
+    // Robust outlier gate: flag values more than 3 scaled-MADs from the
+    // per-type median (median absolute deviation — the robust stddev
+    // replacement that one fat-tailed day can't drag, unlike c2's
+    // percentile clip which re-fits to the polluted batch). The
+    // distributed shape: ONE events scan collapses to the bounded
+    // distinct-cents HISTOGRAM per type (≤ |distinct 2-dec values| rows
+    // — a type table, not the corpus), and BOTH weighted medians + the
+    // gate counts are histogram arithmetic: cumulative sums over the
+    // per-type value order recover the exact interpolated median
+    // (positions (n+1)/2 and n/2+1, averaged), deviations re-aggregate
+    // the SAME histogram, and the outlier count is a conditional sum of
+    // histogram weights. Everything is integer in DOUBLED-cent space
+    // (2·cents keeps both medians integral: an average of two same-
+    // parity ints), so the DuckDB window replay hash-matches exactly;
+    // the one FP comparison (dev2 > 3·1.4826·mad2) multiplies the same
+    // literal on both engines. The per-type windows order the HISTOGRAM
+    // (bounded), never the raw corpus — the t16/sc4 discipline.
+    "c16_mad_outliers" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = Tables.events(s, dir)
+        .select(col("event_type"), (Num.cents(col("value")) * 2).as("c2"))
+        .groupBy(col("event_type"), col("c2")).agg(count(lit(1)).as("cnt"))
+      val wOrd = W.partitionBy("event_type").orderBy("c2")
+      val wAll = W.partitionBy("event_type")
+      val med = hist
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("event_type"))
+        // integer DIV, not `/`: Column./ is always double division, and
+        // cum >= (n+1)/2.0 would shift the even-n position by one
+        .agg(((min(when(col("cum") >= expr("(n + 1) DIV 2"), col("c2"))) +
+            min(when(col("cum") >= expr("n DIV 2 + 1"), col("c2")))) / 2)
+          .as("med2"))
+      val devHist = hist
+        .join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c2") - col("med2")).as("dev2"),
+          col("cnt"), col("med2"))
+        .groupBy(col("event_type"), col("dev2"), col("med2"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val wDev = W.partitionBy("event_type").orderBy("dev2")
+      val mad = devHist
+        .withColumn("cum", sum(col("cnt")).over(wDev))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(((min(when(col("cum") >= expr("(n + 1) DIV 2"), col("dev2"))) +
+            min(when(col("cum") >= expr("n DIV 2 + 1"), col("dev2")))) / 2)
+          .as("mad2"))
+      devHist.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(when(col("dev2").cast("double") >
+              lit(3.0 * 1.4826) * col("mad2").cast("double"), col("cnt"))
+            .otherwise(0L)).as("n_outliers"),
+          (max(col("med2")).cast("double") / 200.0).as("median_value"),
+          (max(col("mad2")).cast("double") / 200.0).as("mad_value"))
     })
   )
 
@@ -500,6 +557,45 @@ object CurationPack extends QueryPack {
         |  floor((CAST(sum(term_e12) AS DOUBLE) / 1000000000000.0) * 1000000
         |    + 0.5) / 1000000 AS psi
         |FROM terms""".stripMargin,
+    "c16_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS c2
+        |  FROM events
+        |), hist AS (
+        |  SELECT event_type, c2, count(*) AS cnt FROM ev GROUP BY 1, 2
+        |), hc AS (
+        |  SELECT event_type, c2, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c2) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist
+        |), med AS (
+        |  SELECT event_type,
+        |    (min(CASE WHEN cum >= (n + 1) // 2 THEN c2 END) +
+        |     min(CASE WHEN cum >= n // 2 + 1 THEN c2 END)) / 2.0 AS med2
+        |  FROM hc GROUP BY 1
+        |), dev AS (
+        |  SELECT h.event_type, abs(h.c2 - m.med2) AS dev2, m.med2,
+        |    sum(h.cnt) AS cnt
+        |  FROM hist h JOIN med m USING (event_type) GROUP BY 1, 2, 3
+        |), dc AS (
+        |  SELECT event_type, dev2, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev2) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type,
+        |    (min(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END) +
+        |     min(CASE WHEN cum >= n // 2 + 1 THEN dev2 END)) / 2.0 AS mad2
+        |  FROM dc GROUP BY 1
+        |)
+        |SELECT d.event_type, CAST(sum(d.cnt) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.dev2 > 3.0 * 1.4826 * m.mad2
+        |    THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(d.med2) / 200.0 AS median_value,
+        |  max(m.mad2) / 200.0 AS mad_value
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "c1_hash_split" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS INT) AS bucket,
