@@ -113,6 +113,16 @@ object ScaleProbe {
     // Holt smoothing: the stats_ar1_fit plan shape exactly (one
     // exchange, secondary sort, O(1) fold) — should read its slope
     "stats_holt",
+    // two-sample rank tests: the corpus collapses map-side to its
+    // distinct-VALUE type table (the replica shifts ids, not values, so
+    // the type table is size-FIXED at 10× — as a real 2-decimal value
+    // domain would be) and the packed prefix-sum runs over that bounded
+    // table; expect the sub-linear scan-collapse slope
+    "stats_mannwhitney", "stats_ks_test",
+    // per-type MAD gate: same bounded-histogram story — the corpus pays
+    // one scan collapsing to fixed (type, value) cells; windows order
+    // the histogram, never the corpus
+    "c16_mad_outliers",
     // logistic Newton step: one scan + five partial-agg moments + a
     // driver-free 2×2 solve in the projection — t2's map-only slope
     "ml_logreg_newton",

@@ -206,4 +206,40 @@ class CurationSpec extends SparkSuite {
       assert(r.except(again).count() === 0 && again.except(r).count() === 0)
     } finally r.unpersist()
   }
+
+  test("c16 per-type interpolated median/MAD match a driver-side sort") {
+    val r = q("c16_mad_outliers")(spark, sf).cache()
+    try {
+      assert(r.filter(col("n_outliers") > col("n")).count() == 0)
+      // cross-check EVERY type against the scalar definition: sort the
+      // values, median = avg of 1-indexed positions (n+1) DIV 2 and
+      // n DIV 2 + 1, MAD = same over |v - med|, outliers dev > 3·1.4826·MAD
+      val types = r.collect().map(row => (row.getString(0), row)).toMap
+      val byType = graft.Tables.events(spark, sf)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+      assert(types.keySet == byType.keySet)
+      def med2(sorted: Array[Long]): Long = {
+        val n = sorted.length
+        sorted((n + 1) / 2 - 1) + sorted(n / 2) // doubled (sum of the two)
+      }
+      byType.foreach { case (t, vals) =>
+        val row = types(t)
+        val m2 = med2(vals) // median in doubled-cent space
+        assert(row.getDouble(row.fieldIndex("median_value")) == m2 / 200.0,
+          s"median mismatch for $t")
+        val devs2 = vals.map(v => math.abs(2 * v - m2)).sorted
+        // devs already doubled; med2 re-doubles — halve in DOUBLE, the
+        // interpolated midpoint can land on .5 exactly as the query's
+        val mad2 = med2(devs2) / 2.0
+        assert(row.getDouble(row.fieldIndex("mad_value")) == mad2 / 200.0,
+          s"MAD mismatch for $t")
+        val nOut = devs2.count(_ > 3.0 * 1.4826 * mad2)
+        assert(row.getLong(row.fieldIndex("n_outliers")) == nOut,
+          s"outlier count mismatch for $t")
+      }
+    } finally r.unpersist()
+  }
 }
