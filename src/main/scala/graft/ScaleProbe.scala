@@ -123,6 +123,13 @@ object ScaleProbe {
     // one scan collapsing to fixed (type, value) cells; windows order
     // the histogram, never the corpus
     "c16_mad_outliers",
+    // parametric tests: ONE conditional partial-agg scan to 6/15 Long
+    // moments, all statistics projection arithmetic on a single row —
+    // should read the flattest map-only slope in the stats family
+    "stats_welch_t", "stats_anova_f",
+    // rolling median: the per-series exchange+sort every w-query pays,
+    // plus constant O(15 log 15) in-row frame work — w3's slope
+    "w19_rolling_median",
     // logistic Newton step: one scan + five partial-agg moments + a
     // driver-free 2×2 solve in the projection — t2's map-only slope
     "ml_logreg_newton",

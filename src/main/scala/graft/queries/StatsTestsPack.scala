@@ -110,10 +110,172 @@ object StatsTestsPack extends QueryPack {
           lit(nA).as("n_a"), lit(nB).as("n_b"),
           Num.r6(col("d_scaled").cast(DoubleType) / (nA.toDouble * nB))
             .as("ks_d"))
+    }),
+
+    // Welch's unequal-variance t ('click' vs 'purchase') — the parametric
+    // member of the two-sample family (MW/KS above are its rank-based
+    // siblings). ONE corpus scan collapses to six exact Long moments in
+    // cent space (n, Σc, Σc² per group — map-side partial agg, the
+    // exchange carries 6 counters per partition); every downstream op is
+    // closed-form double arithmetic on that single row, written with the
+    // same parenthesization the oracle uses so each IEEE-correctly-
+    // rounded step (+,−,×,÷,√) is bit-identical cross-engine. The cent
+    // units cancel in both t and the Welch–Satterthwaite df.
+    "stats_welch_t" -> ((s, dir) => {
+      val isA = col("event_type") === "click"
+      val c = Num.cents(col("value"))
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(isA, c).otherwise(0L)).as("s_a"),
+          sum(when(isA, c * c).otherwise(0L)).as("q_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+          sum(when(!isA, c).otherwise(0L)).as("s_b"),
+          sum(when(!isA, c * c).otherwise(0L)).as("q_b"))
+      val (na, sa, qa) = (col("n_a").cast(DoubleType),
+        col("s_a").cast(DoubleType), col("q_a").cast(DoubleType))
+      val (nb, sb, qb) = (col("n_b").cast(DoubleType),
+        col("s_b").cast(DoubleType), col("q_b").cast(DoubleType))
+      val va = (qa - (sa * sa) / na) / (na - 1)
+      val vb = (qb - (sb * sb) / nb) / (nb - 1)
+      val sea = va / na
+      val seb = vb / nb
+      m.select(col("n_a"), col("n_b"),
+        Num.r6((sa / na) / 100.0).as("mean_a"),
+        Num.r6((sb / nb) / 100.0).as("mean_b"),
+        Num.r6((sa / na - sb / nb) / sqrt(sea + seb)).as("t_stat"),
+        Num.r6(((sea + seb) * (sea + seb)) /
+          ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1))).as("df"))
+    }),
+
+    // One-way ANOVA F across ALL FIVE event types — the k-group
+    // generalization. Same single-scan shape: 15 exact Long moments
+    // (n, Σc, Σc² per type) via conditional partial aggregation — never
+    // a groupBy-then-collect; the per-type squared sums (which would
+    // overflow Long at replica scale) live in double, and the k-term
+    // reductions are EXPLICIT fixed-order additions (click→error→
+    // purchase→signup→view, the same textual order as the oracle), so
+    // no engine-dependent aggregation order ever touches a float. The
+    // cent units cancel in both F and η².
+    "stats_anova_f" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val c = Num.cents(col("value"))
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin(types: _*))
+        .agg(
+          sum(when(col("event_type") === types.head, 1L).otherwise(0L))
+            .as(s"n_${types.head}"),
+          (types.tail.map(t =>
+            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) ++
+          types.map(t =>
+            sum(when(col("event_type") === t, c).otherwise(0L)).as(s"s_$t")) ++
+          types.map(t =>
+            sum(when(col("event_type") === t, c * c).otherwise(0L)).as(s"q_$t"))): _*)
+      // Σ_g S_g²/n_g — explicit left-to-right fold, never an agg over rows
+      val between = types.map { t =>
+        (col(s"s_$t").cast(DoubleType) * col(s"s_$t").cast(DoubleType)) /
+          col(s"n_$t").cast(DoubleType)
+      }.reduceLeft(_ + _)
+      val nTot = types.map(t => col(s"n_$t")).reduceLeft(_ + _)
+      val sTot = types.map(t => col(s"s_$t")).reduceLeft(_ + _) // exact Long
+      val qTot = types.map(t => col(s"q_$t")).reduceLeft(_ + _) // exact Long
+      val nD = nTot.cast(DoubleType)
+      val ssb = between -
+        (sTot.cast(DoubleType) * sTot.cast(DoubleType)) / nD
+      val ssw = qTot.cast(DoubleType) - between
+      val k = lit(types.size.toDouble)
+      m.select(nTot.as("n_total"), lit(types.size).as("k_groups"),
+        Num.r6((ssb / (k - 1)) / (ssw / (nD - k))).as("f_stat"),
+        Num.r6(ssb / (ssb + ssw)).as("eta_sq"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stats_welch_t" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
+        |    CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN event_type <> 'click' THEN c ELSE 0 END) AS BIGINT) AS s_b,
+        |    CAST(sum(CASE WHEN event_type <> 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+        |  FROM ev
+        |), d AS (
+        |  SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa,
+        |    CAST(q_a AS DOUBLE) AS qa,
+        |    CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb,
+        |    CAST(q_b AS DOUBLE) AS qb
+        |  FROM m
+        |), v AS (
+        |  SELECT n_a, n_b, na, sa, nb, sb,
+        |    ((qa - (sa * sa) / na) / (na - 1)) / na AS sea,
+        |    ((qb - (sb * sb) / nb) / (nb - 1)) / nb AS seb
+        |  FROM d
+        |)
+        |SELECT n_a, n_b,
+        |  floor(((sa / na) / 100.0) * 1000000 + 0.5) / 1000000 AS mean_a,
+        |  floor(((sb / nb) / 100.0) * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor(((sa / na - sb / nb) / sqrt(sea + seb)) * 1000000 + 0.5)
+        |    / 1000000 AS t_stat,
+        |  floor((((sea + seb) * (sea + seb)) /
+        |      ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)))
+        |    * 1000000 + 0.5) / 1000000 AS df
+        |FROM v""".stripMargin,
+    "stats_anova_f" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN c ELSE 0 END) AS BIGINT) AS s_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN c ELSE 0 END) AS BIGINT) AS s_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT) AS s_view,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN c * c ELSE 0 END) AS BIGINT) AS q_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS q_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN c * c ELSE 0 END) AS BIGINT) AS q_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS BIGINT) AS q_view
+        |  FROM ev
+        |), d AS (
+        |  SELECT
+        |    n_click + n_error + n_purchase + n_signup + n_view AS n_total,
+        |    CAST(n_click + n_error + n_purchase + n_signup + n_view AS DOUBLE) AS nd,
+        |    CAST(s_click + s_error + s_purchase + s_signup + s_view AS DOUBLE) AS sd,
+        |    CAST(q_click + q_error + q_purchase + q_signup + q_view AS DOUBLE) AS qd,
+        |    (CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE)) / CAST(n_click AS DOUBLE)
+        |    + (CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE)) / CAST(n_error AS DOUBLE)
+        |    + (CAST(s_purchase AS DOUBLE) * CAST(s_purchase AS DOUBLE)) / CAST(n_purchase AS DOUBLE)
+        |    + (CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE)) / CAST(n_signup AS DOUBLE)
+        |    + (CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE)) / CAST(n_view AS DOUBLE)
+        |      AS between_term
+        |  FROM m
+        |), f AS (
+        |  SELECT n_total,
+        |    between_term - (sd * sd) / nd AS ssb,
+        |    qd - between_term AS ssw, nd
+        |  FROM d
+        |)
+        |SELECT n_total, 5 AS k_groups,
+        |  floor(((ssb / 4.0) / (ssw / (nd - 5.0))) * 1000000 + 0.5)
+        |    / 1000000 AS f_stat,
+        |  floor((ssb / (ssb + ssw)) * 1000000 + 0.5) / 1000000 AS eta_sq
+        |FROM f""".stripMargin,
     "stats_mannwhitney" ->
       """WITH ev AS (
         |  SELECT event_type, value FROM events

@@ -165,6 +165,25 @@ object WindowPack extends QueryPack {
             .as("z"))
     }),
 
+    // Rolling MEDIAN over a 15-row trailing frame — the robust rolling
+    // center the mean-based w3 can't give (one outlier drags a rolling
+    // mean for k rows; the median shrugs it off). There is no
+    // distributive rolling-median aggregate, but the frame is BOUNDED
+    // (15 values), so collect_list over the frame + an in-row sort is
+    // O(k log k) per row with k constant — the per-series exchange+sort
+    // is the same single shuffle every w-query pays, and the frame work
+    // is map-side arithmetic, corpus-size-independent per row. Lower
+    // median (1-indexed position (k+1) DIV 2) on exact cents, so the
+    // only float op is the final /100 display division.
+    "w19_rolling_median" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("c", Num.cents(col("value")))
+        .withColumn("arr",
+          sort_array(collect_list(col("c")).over(w.rowsBetween(-14, 0))))
+        .select(col("event_id"), col("user_id"),
+          (expr("element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))")
+            .cast("double") / 100.0).as("roll_med"))),
+
     // W5: trailing rolling sum (preprocessing.py:331).
     "w5_rolling_sum" -> ((s, dir) =>
       base(s, dir)
@@ -260,6 +279,21 @@ object WindowPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "w19_rolling_median" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), win AS (
+        |  SELECT event_id, user_id,
+        |    list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(list_sort(arr)[CAST((len(arr) + 1) // 2 AS INT)] AS DOUBLE)
+        |    / 100.0 AS roll_med
+        |FROM win""".stripMargin,
     "w1_diff" ->
       s"""SELECT event_id, user_id, value,
          |  value - lag(value, 1) OVER w AS value_diff

@@ -21,8 +21,9 @@ class StatsTestsSpec extends SparkSuite {
     val rows = Seq(
       (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 2.0),
       (4L, "click", 3.0), (5L, "purchase", 2.0), (6L, "purchase", 4.0),
-      // a third event type the isin filter must exclude
-      (7L, "view", 100.0))
+      // further event types: the two-sample isin filters must exclude
+      // them; the 5-group ANOVA needs every group non-empty
+      (7L, "view", 100.0), (8L, "error", 5.0), (9L, "signup", 7.0))
     import spark.implicits._
     rows.toDF("event_id", "event_type", "value")
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
@@ -52,5 +53,54 @@ class StatsTestsSpec extends SparkSuite {
     assert(row.getLong(row.fieldIndex("n_a")) === 4L)
     assert(row.getLong(row.fieldIndex("n_b")) === 2L)
     assert(row.getDouble(row.fieldIndex("ks_d")) === 0.5)
+  }
+
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("Welch t and Welch-Satterthwaite df match the scalar definition") {
+    val row = graft.queries.StatsTestsPack
+      .queries("stats_welch_t")(spark, fixtureDir).head()
+    assert(row.getLong(row.fieldIndex("n_a")) === 4L)
+    assert(row.getLong(row.fieldIndex("n_b")) === 2L)
+    assert(row.getDouble(row.fieldIndex("mean_a")) === 2.0)
+    assert(row.getDouble(row.fieldIndex("mean_b")) === 3.0)
+    // scalar Welch from per-group cents moments: click [100,200,200,300],
+    // purchase [200,400]
+    val (na, nb) = (4.0, 2.0)
+    val va = (100.0 * 100 + 100 * 100) / (na - 1) // Σ(c-200)²/3
+    val vb = (100.0 * 100 + 100 * 100) / (nb - 1)
+    val (sea, seb) = (va / na, vb / nb)
+    val t = (200.0 - 300.0) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert(row.getDouble(row.fieldIndex("t_stat")) === r6(t))
+    assert(row.getDouble(row.fieldIndex("df")) === r6(df))
+  }
+
+  test("one-way ANOVA F matches the scalar sums-of-squares definition") {
+    val row = graft.queries.StatsTestsPack
+      .queries("stats_anova_f")(spark, fixtureDir).head()
+    assert(row.getLong(row.fieldIndex("n_total")) === 9L)
+    assert(row.getInt(row.fieldIndex("k_groups")) === 5)
+    // scalar SSB/SSW over the five cents groups
+    val groups = Seq(
+      Seq(100.0, 200.0, 200.0, 300.0), Seq(500.0), Seq(200.0, 400.0),
+      Seq(700.0), Seq(10000.0))
+    val all = groups.flatten
+    val grand = all.sum / all.size
+    val ssb = groups.map(g => g.size * math.pow(g.map(_ / g.size).sum - grand, 2)).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.size; g.map(v => (v - m) * (v - m)).sum
+    }).sum
+    val f = (ssb / 4.0) / (ssw / (all.size - 5.0))
+    val eta = ssb / (ssb + ssw)
+    val gotF = row.getDouble(row.fieldIndex("f_stat"))
+    val gotEta = row.getDouble(row.fieldIndex("eta_sq"))
+    // the query emits r6-quantized values and the scalar path sums in a
+    // different order: allow the 1e-6 rounding half-step plus FP slack
+    assert(math.abs(gotF - f) <= 5.1e-7 + 1e-9 * math.abs(f),
+      s"F: got $gotF want ~$f")
+    assert(math.abs(gotEta - eta) <= 5.1e-7,
+      s"eta²: got $gotEta want ~$eta")
   }
 }

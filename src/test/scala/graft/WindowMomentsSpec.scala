@@ -49,4 +49,25 @@ class WindowMomentsSpec extends SparkSuite {
       assert(math.abs(ku - e2) < 2e-6, s"kurt uid=$uid eid=$eid: $ku vs $e2")
     }
   }
+
+  test("w19 rolling median is the exact lower median of every 15-row frame") {
+    val res = SparkEntry.queries("w19_rolling_median")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(t => (t._2.getTime, t._3))
+    }
+    assert(res.length == ev.length, "one median per event")
+    res.foreach { case (eid, uid, got) =>
+      val series = byUser(uid)
+      val idx = series.indexWhere(_._3 == eid)
+      val cents = series.slice(math.max(0, idx - 14), idx + 1)
+        .map(t => (BigDecimal(t._4).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      val want = cents.sorted.apply((cents.length + 1) / 2 - 1).toDouble / 100.0
+      assert(got == want, s"median uid=$uid eid=$eid: $got vs $want")
+    }
+  }
 }
