@@ -127,6 +127,13 @@ object ScaleProbe {
     // moments, all statistics projection arithmetic on a single row —
     // should read the flattest map-only slope in the stats family
     "stats_welch_t", "stats_anova_f",
+    // ranking metrics: the MW type-table collapse + one prefix pass
+    // over the (bounded) score domain — the stats_mannwhitney slope
+    "ml_auc",
+    // Poisson bootstrap: map-side ×64 replicate explode (md5 + CDF
+    // lookup per replicate) + one (b)-keyed partial agg bounded at
+    // 64·partitions counters — linear in corpus bytes, no data shuffle
+    "stats_bootstrap",
     // rolling median: the per-series exchange+sort every w-query pays,
     // plus constant O(15 log 15) in-row frame work — w3's slope
     "w19_rolling_median",

@@ -112,6 +112,53 @@ object MlPack extends QueryPack {
           .as("r2"))
     }),
 
+    // Ranking metrics — ROC AUC and tie-aware average precision for a
+    // score column predicting a binary label (value predicting purchase
+    // vs click). The classic formulation sorts every scored row (a
+    // one-task window at scale); here the corpus collapses to its
+    // distinct-SCORE type table with (n_pos, n_neg) counts (one keyed
+    // shuffle, ties collapse map-side), then ONE packed global
+    // prefix-sum pass over the score-DESC type table (the sc4/t16 scan
+    // primitive) yields both cumulatives, and:
+    //  - ROC AUC = P(s_pos > s_neg) + ½P(tie), assembled as the exact
+    //    Long 2·Σ np_c·(2·(N⁻ − cumN_c) + nn_c) — the doubled
+    //    Mann–Whitney numerator — with ONE final division;
+    //  - average precision = Σ (np_c/N⁺)·prec_c with per-threshold
+    //    precision pre-quantized by integer DIV at 1e9 (the PSI e12
+    //    trick), so the cross-group sum is order-independent Longs.
+    // Guards pin the 2³⁰ count envelope the doubled product needs and
+    // the 1e9 quantization envelope (cum·1e9 must fit a Long).
+    "ml_auc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").as("pos"),
+          Num.cents(col("value")).as("c"))
+      val types = ev.groupBy(col("c")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      val tot = types.agg(sum(col("np")), sum(col("nn"))).head()
+      val (nP, nN) = (tot.getLong(0), tot.getLong(1))
+      require(nP < (1L << 30) && nN < (1L << 30),
+        s"class sizes ($nP, $nN) exceed the 2^30 doubled-product/packing " +
+          "envelope; widen to a decimal accumulator")
+      val packed = types.withColumn("packed",
+        col("np") * (1L << 32) + col("nn"))
+      val cum = graft.Ranks.globalPrefixSum(
+        packed, "packed", Seq(col("c").desc), "cum_packed")
+        .withColumn("cum_p", shiftright(col("cum_packed"), 32))
+        .withColumn("cum_n", col("cum_packed").bitwiseAND(lit(0xffffffffL)))
+      cum.agg(
+          sum(col("np") * ((lit(nN) - col("cum_n")) * 2 + col("nn")))
+            .as("num2"),
+          // integer DIV, not `/`: Column./ is double division, and
+          // cum_p·1e9 exceeds the double-exact 2^53 range
+          sum(col("np") *
+            expr("(cum_p * 1000000000) DIV (cum_p + cum_n)")).as("ap_e9"))
+        .select(lit(nP).as("n_pos"), lit(nN).as("n_neg"),
+          (col("num2").cast(DoubleType) / (2.0 * nP * nN)).as("roc_auc"),
+          (col("ap_e9").cast(DoubleType) / (nP.toDouble * 1e9)).as("pr_auc"))
+    }),
+
     // StandardScaler (train.py's preprocessing): z-score from EXACT decimal
     // moments — mean and stddev derive from associative decimal sums, so
     // the fitted parameters are identical at any partition count, and the
@@ -744,6 +791,37 @@ object MlPack extends QueryPack {
         |)
         |SELECT c.c_custkey, c.c_mktsegment, e.segment_target_mean
         |FROM customer c LEFT JOIN enc e ON c.c_mktsegment = e.seg""".stripMargin,
+    "ml_auc" ->
+      """WITH ev AS (
+        |  SELECT (event_type = 'purchase') AS pos,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), tt AS (
+        |  SELECT c,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM ev GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg
+        |  FROM tt
+        |), cum AS (
+        |  SELECT np, nn,
+        |    CAST(sum(np) OVER (ORDER BY c DESC) AS BIGINT) AS cum_p,
+        |    CAST(sum(nn) OVER (ORDER BY c DESC) AS BIGINT) AS cum_n
+        |  FROM tt
+        |), agg AS (
+        |  SELECT
+        |    CAST(sum(np * ((n.n_neg - cum_n) * 2 + nn)) AS BIGINT) AS num2,
+        |    CAST(sum(np * ((cum_p * 1000000000) // (cum_p + cum_n)))
+        |      AS BIGINT) AS ap_e9
+        |  FROM cum, n
+        |)
+        |SELECT n.n_pos, n.n_neg,
+        |  CAST(num2 AS DOUBLE) / (2.0 * n.n_pos * n.n_neg) AS roc_auc,
+        |  CAST(ap_e9 AS DOUBLE) / (CAST(n.n_pos AS DOUBLE) * 1000000000.0)
+        |    AS pr_auc
+        |FROM agg, n""".stripMargin,
     "ml_metrics" ->
       """WITH pred AS (
         |  SELECT o_orderpriority AS prio,

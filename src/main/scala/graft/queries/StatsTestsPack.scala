@@ -149,6 +149,48 @@ object StatsTestsPack extends QueryPack {
           ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1))).as("df"))
     }),
 
+    // One-scan POISSON BOOTSTRAP of the purchase-value mean (Chamandy et
+    // al.'s "Estimating uncertainty for massive data streams"; the
+    // resample-with-replacement classic is unrunnable at corpus scale —
+    // n draws per replicate × B replicates needs global coordination,
+    // while Poissonization makes every row's B weights INDEPENDENT:
+    // w ~ Poisson(1) approximates each row's Binomial(n, 1/n) draw
+    // count). Weights are DETERMINISTIC — u = first 8 md5 hex digits of
+    // (event_id, b) as a uniform k/2³², inverted through the literal
+    // Poisson(1) CDF thresholds (identical text both engines; u is an
+    // exact dyadic rational so the comparisons can't straddle an ulp) —
+    // making the whole resampling oracle-replayable. Plan: map-side
+    // explode ×B, then ONE (b)-keyed partial agg — the exchange carries
+    // B·partitions counters, never rows; means are exact Long cent sums
+    // with one final division. Downstream, the B means' spread IS the
+    // sampling distribution (percentile CI, SE).
+    "stats_bootstrap" -> ((s, dir) => {
+      val B = 64
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), Num.cents(col("value")).as("c"))
+      val u = conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast(DoubleType) / 4294967296.0
+      // Poisson(1) inverse CDF: cumulative e⁻¹·Σ 1/k!, capped at 6
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      ev.select(col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .select(col("b"), w.as("w"), col("c"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_b"),
+          sum(col("w") * col("c")).as("s_b"))
+        .select(col("b"), col("n_b"),
+          ((col("s_b").cast(DoubleType) / col("n_b").cast(DoubleType)) / 100.0)
+            .as("boot_mean"))
+    }),
+
     // One-way ANOVA F across ALL FIVE event types — the k-group
     // generalization. Same single-scan shape: 15 exact Long moments
     // (n, Σc, Σc² per type) via conditional partial aggregation — never
@@ -192,6 +234,32 @@ object StatsTestsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stats_bootstrap" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'
+        |), rep AS (
+        |  SELECT ev.event_id, ev.c, b.b,
+        |    CAST(CAST('0x' || substr(md5(CAST(ev.event_id AS VARCHAR) || ':'
+        |        || CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM ev CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+        |), wt AS (
+        |  SELECT b, c,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM rep
+        |)
+        |SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_b,
+        |  (CAST(CAST(sum(w * c) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)) / 100.0 AS boot_mean
+        |FROM wt GROUP BY b""".stripMargin,
     "stats_welch_t" ->
       """WITH ev AS (
         |  SELECT event_type,

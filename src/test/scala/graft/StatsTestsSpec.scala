@@ -77,6 +77,35 @@ class StatsTestsSpec extends SparkSuite {
     assert(row.getDouble(row.fieldIndex("df")) === r6(df))
   }
 
+  test("ml_auc: ROC AUC and tie-aware AP match the pair-counting definition") {
+    val row = graft.queries.MlPack.queries("ml_auc")(spark, fixtureDir).head()
+    assert(row.getLong(row.fieldIndex("n_pos")) === 2L)
+    assert(row.getLong(row.fieldIndex("n_neg")) === 4L)
+    // pos (purchase) [2,4] vs neg (click) [1,2,2,3]: of the 8 pairs,
+    // pos=2 wins 1 + ties 2 (·½), pos=4 wins 4 → AUC = 6/8
+    assert(row.getDouble(row.fieldIndex("roc_auc")) === 0.75)
+    // thresholds DESC: score 4 → prec 1/1 over 1 positive; score 2 →
+    // prec 2/5 over the other → AP = (1.0 + 0.4)/2 = 0.7, exact at e9
+    assert(row.getDouble(row.fieldIndex("pr_auc")) === 0.7)
+  }
+
+  test("stats_bootstrap: deterministic Poisson replicates centered on the mean") {
+    val q = graft.queries.StatsTestsPack.queries("stats_bootstrap")
+    val rows = q(spark, sf).collect()
+    assert(rows.length === 64)
+    val again = q(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet,
+      "hash-seeded resampling must be deterministic")
+    val truth = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(avg(col("value"))).head().getDouble(0)
+    val means = rows.map(r => r.getDouble(r.fieldIndex("boot_mean")))
+    assert(means.forall(m => m > truth * 0.5 && m < truth * 1.5))
+    val grand = means.sum / means.length
+    assert(math.abs(grand - truth) < 0.10 * truth,
+      s"bootstrap grand mean $grand should straddle the sample mean $truth")
+  }
+
   test("one-way ANOVA F matches the scalar sums-of-squares definition") {
     val row = graft.queries.StatsTestsPack
       .queries("stats_anova_f")(spark, fixtureDir).head()
