@@ -134,6 +134,13 @@ object ScaleProbe {
     // lookup per replicate) + one (b)-keyed partial agg bounded at
     // 64·partitions counters — linear in corpus bytes, no data shuffle
     "stats_bootstrap",
+    // KMV sketches: one (type, user) distinct shuffle + the TopKPerKey
+    // bounded-heap cut; all pair math on the 5·64-row sketch table —
+    // the a5 distinct slope
+    "a19_kmv_jaccard",
+    // calibration: min/max knob agg + one map pass into 10 bin cells +
+    // broadcast ECE attach — t2's map-only slope
+    "ml_calibration",
     // rolling median: the per-series exchange+sort every w-query pays,
     // plus constant O(15 log 15) in-row frame work — w3's slope
     "w19_rolling_median",

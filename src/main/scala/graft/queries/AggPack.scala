@@ -128,6 +128,53 @@ object AggPack extends QueryPack {
             / lit(totalExact) <= 0.05).as("union_within_rel_005"))
     }),
 
+    // KMV (bottom-k) sketches + cross-set Jaccard — the mergeable-sketch
+    // companion a17's HLL can't provide: HLL answers |A| but two HLLs
+    // can't estimate overlap; a KMV sketch (the k smallest hashes of a
+    // set — Bar-Yossef et al. 2002, Beyer et al. 2007) is a uniform
+    // sample of the hash-ordered universe, so for any two sketches
+    // J(A,B) ≈ |{bottom-k of A∪B} ∩ A ∩ B| / k'. Per event_type the
+    // sketch is the 64 smallest md5 hashes of its DISTINCT users: one
+    // distinct shuffle, then the custom TopKPerKey exec (map-side
+    // per-partition bounded heaps — never a per-key sort). All pair
+    // arithmetic runs on the 5·64-row sketch table; every step is
+    // integer/hash work, so the oracle replays sketches AND estimator
+    // exactly. At 100 TB the sketches are storable daily artifacts that
+    // merge by union + re-truncation, like a17's.
+    "a19_kmv_jaccard" -> ((s, dir) => {
+      val k = 64
+      val hashed = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+        .select(col("t"),
+          conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .distinct() // set semantics survive the ~2⁻³² hash collisions
+      val sk = graft.plans.TopK.perKey(
+          hashed.withColumn("negh", -col("h")), Seq("t"), "negh", Seq("h"), k)
+        .select("t", "h")
+      val types = sk.select("t").distinct()
+      val pairs = types.select(col("t").as("ta"))
+        .crossJoin(types.select(col("t").as("tb")))
+        .filter(col("ta") < col("tb"))
+      val tagged = broadcast(pairs).join(sk, col("t") === col("ta"))
+        .select(col("ta"), col("tb"), col("h"),
+          lit(1L).as("in_a"), lit(0L).as("in_b"))
+        .unionByName(broadcast(pairs).join(sk, col("t") === col("tb"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(0L).as("in_a"), lit(1L).as("in_b")))
+      val u = tagged.groupBy("ta", "tb", "h")
+        .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+      val bk = graft.plans.TopK.perKey(
+        u.withColumn("negh", -col("h")), Seq("ta", "tb"), "negh", Seq("h"), k)
+      bk.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("k_used"), sum(col("a") * col("b")).as("shared"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("k_used"), col("shared"),
+          (col("shared").cast(DoubleType) / col("k_used").cast(DoubleType))
+            .as("jaccard_est"))
+    }),
+
     // A3: validation counts — the reference's 9 uncached count()
     // CHECKPOINTs (glue.py:93-229) folded into ONE cached aggregate pass.
     "a3_validation_counts" -> ((s, dir) => {
@@ -345,6 +392,42 @@ object AggPack extends QueryPack {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |       true AS within_rel_015
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a19_kmv_jaccard" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type AS t, user_id FROM events
+        |), h AS (
+        |  SELECT DISTINCT t,
+        |    CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM du
+        |), sk AS (
+        |  SELECT t, h FROM (
+        |    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        |    FROM h) WHERE rn <= 64
+        |), types AS (
+        |  SELECT DISTINCT t FROM sk
+        |), pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+        |), tagged AS (
+        |  SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+        |  FROM pairs p JOIN sk s ON s.t = p.ta
+        |  UNION ALL
+        |  SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+        |  FROM pairs p JOIN sk s ON s.t = p.tb
+        |), u AS (
+        |  SELECT ta, tb, h, max(in_a) AS a, max(in_b) AS b
+        |  FROM tagged GROUP BY 1, 2, 3
+        |), bk AS (
+        |  SELECT ta, tb, a, b FROM (
+        |    SELECT ta, tb, a, b,
+        |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        |    FROM u) WHERE rn <= 64
+        |)
+        |SELECT ta AS type_a, tb AS type_b,
+        |  CAST(count(*) AS BIGINT) AS k_used,
+        |  CAST(sum(a * b) AS BIGINT) AS shared,
+        |  CAST(sum(a * b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS jaccard_est
+        |FROM bk GROUP BY 1, 2""".stripMargin,
     "a17_hll_union" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(DISTINCT user_id) AS exact_users,

@@ -159,6 +159,43 @@ object MlPack extends QueryPack {
           (col("ap_e9").cast(DoubleType) / (nP.toDouble * 1e9)).as("pr_auc"))
     }),
 
+    // Calibration curve + expected calibration error for the same scored
+    // binary task ml_auc ranks: confidence = min-max-normalized score,
+    // 10 equal-width bins, per-bin observed positive rate vs mean
+    // confidence, and ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|. The naive form
+    // sums per-bin RATIOS (engine-ordered float adds); here every bin's
+    // |acc − conf| is put over the common denominator N·span, so the ECE
+    // numerator is the exact Long Σ_b |p_b·span − S_b| — order-free —
+    // and ONE final division produces the float. Plan: one min/max agg
+    // (a broadcast knob), one map pass into a 10-cell bin agg, broadcast
+    // ECE attach: t2's map-only slope.
+    "ml_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").as("pos"),
+          Num.cents(col("value")).as("c"))
+      val mm = ev.agg(min(col("c")), max(col("c")), count(lit(1))).head()
+      val (cmin, nAll) = (mm.getLong(0), mm.getLong(2))
+      val span = math.max(1L, mm.getLong(1) - cmin)
+      val cells = ev
+        .select(col("pos"), (col("c") - cmin).as("x"))
+        .withColumn("bin", least(lit(9L), expr(s"(x * 10) DIV $span")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("p_b"),
+          sum(col("x")).as("s_b"))
+      val ece = cells.agg(
+        (sum(abs(col("p_b") * span - col("s_b"))).cast(DoubleType) /
+          (nAll.toDouble * span)).as("ece"))
+      cells.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_b"),
+          (col("p_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+            .as("frac_pos"),
+          (col("s_b").cast(DoubleType) /
+            (col("n_b").cast(DoubleType) * span)).as("mean_conf"),
+          col("ece"))
+    }),
+
     // StandardScaler (train.py's preprocessing): z-score from EXACT decimal
     // moments — mean and stddev derive from associative decimal sums, so
     // the fitted parameters are identical at any partition count, and the
@@ -822,6 +859,38 @@ object MlPack extends QueryPack {
         |  CAST(ap_e9 AS DOUBLE) / (CAST(n.n_pos AS DOUBLE) * 1000000000.0)
         |    AS pr_auc
         |FROM agg, n""".stripMargin,
+    "ml_calibration" ->
+      """WITH ev AS (
+        |  SELECT (event_type = 'purchase') AS pos,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), mm AS (
+        |  SELECT min(c) AS cmin,
+        |    greatest(max(c) - min(c), 1) AS span,
+        |    count(*) AS n_all
+        |  FROM ev
+        |), b AS (
+        |  SELECT pos, c - mm.cmin AS x,
+        |    least(9, ((c - mm.cmin) * 10) // mm.span) AS bin,
+        |    mm.span, mm.n_all
+        |  FROM ev, mm
+        |), cells AS (
+        |  SELECT bin, CAST(max(span) AS BIGINT) AS span,
+        |    CAST(max(n_all) AS BIGINT) AS n_all,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+        |    CAST(sum(x) AS BIGINT) AS s_b
+        |  FROM b GROUP BY 1
+        |), e AS (
+        |  SELECT CAST(sum(abs(p_b * span - s_b)) AS DOUBLE)
+        |    / (CAST(max(n_all) AS DOUBLE) * max(span)) AS ece
+        |  FROM cells
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_b,
+        |  CAST(p_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS frac_pos,
+        |  CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * span) AS mean_conf,
+        |  e.ece AS ece
+        |FROM cells, e""".stripMargin,
     "ml_metrics" ->
       """WITH pred AS (
         |  SELECT o_orderpriority AS prio,
