@@ -702,4 +702,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(keyed.subsetOf(Set("doc_id", "lang", "cand", "b")),
       s"unexpected exchange keys $keyed:\n$plan")
   }
+
+  test("w19: rolling median shares the w-family single exchange+sort") {
+    val plan = executedString("w19_rolling_median")
+    assert("Exchange ".r.findAllIn(plan).size == 1, plan)
+    assert("Sort ".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("parametric tests collapse in one pass: no join, no sort, one final agg") {
+    Seq("stats_welch_t", "stats_anova_f").foreach { q =>
+      val plan = executedString(q)
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("(Sort "), s"$q:\n$plan")
+      // partial agg + the single-row final agg: exactly one exchange
+      assert("Exchange ".r.findAllIn(plan).size == 1, s"$q:\n$plan")
+    }
+  }
+
+  test("stats_bootstrap: map-side explode, one b-keyed exchange, no join") {
+    val plan = executedString("stats_bootstrap")
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange ".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("a19: the sketch cut runs on the TopKPerKey bounded-heap exec") {
+    val plan = executedString("a19_kmv_jaccard")
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("ml_calibration: bounded bin agg + broadcast ECE attach, no shuffle join") {
+    val plan = executedString("ml_calibration")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("(Sort "), plan)
+  }
 }
