@@ -22,19 +22,39 @@ object KCore {
 
   /** Peel `rounds` synchronized rounds at threshold `k` over a SYMMETRIC
     * (src, dst) edge list; returns (node, deg_core) for the nodes of the
-    * resulting subgraph with their within-subgraph degrees. */
+    * resulting subgraph with their within-subgraph degrees.
+    *
+    * Iteration state is the survivor NODE set, never an edge list: the
+    * base edges cache ONCE and every round semi-filters them by the
+    * current (node-sized, broadcastable) survivor set before one
+    * map-side-combined degree count. Two earlier shapes both failed at
+    * scale: leaving round-r edges lazy re-derives the whole r−1 chain
+    * per round (O(rounds²) stage executions — 36–57 s warm at sf0.1);
+    * caching each round's EDGE list bounds the stages but materializes
+    * rounds × |E| cache pages, which evicts under memory pressure at
+    * the 100× replica. Node-set state is the survivor-set monotonicity
+    * made explicit: restricting the base by the CURRENT survivors
+    * equals the chained per-round restriction, each survivor set is
+    * tiny (it only shrinks), and each round is two broadcast semi
+    * filters + one degree shuffle over the one cached table. */
   def run(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = edges0.select(col("src"), col("dst"))
-      .cache() // round-0 input; reused by round 1's degree AND semi-joins
+    val edges = edges0.select(col("src"), col("dst")).cache()
+    var surv: DataFrame = null // null = every node survives
+    def restricted: DataFrame =
+      if (surv == null) edges
+      else edges
+        .join(broadcast(surv), col("src") === col("node"), "left_semi")
+        .join(broadcast(surv.withColumnRenamed("node", "nd")),
+          col("dst") === col("nd"), "left_semi")
     for (_ <- 1 to rounds) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("src")
-      edges = edges
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
+      val next = restricted.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+        .cache()
+      next.count() // pin before releasing the previous survivor set
+      if (surv != null) surv.unpersist(false)
+      surv = next
     }
-    edges.groupBy("src").agg(count(lit(1)).as("deg_core"))
+    restricted.groupBy("src").agg(count(lit(1)).as("deg_core"))
       .select(col("src").as("node"), col("deg_core"))
   }
 }
