@@ -130,6 +130,9 @@ object ScaleProbe {
     // ranking metrics: the MW type-table collapse + one prefix pass
     // over the (bounded) score domain — the stats_mannwhitney slope
     "ml_auc",
+    // gains/lift: one globalRankRows range sort + a 10-cell decile agg
+    // — the sc4 range-sort slope
+    "ml_lift_gains",
     // Poisson bootstrap: map-side ×64 replicate explode (md5 + CDF
     // lookup per replicate) + one (b)-keyed partial agg bounded at
     // 64·partitions counters — linear in corpus bytes, no data shuffle

@@ -159,6 +159,45 @@ object MlPack extends QueryPack {
           (col("ap_e9").cast(DoubleType) / (nP.toDouble * 1e9)).as("pr_auc"))
     }),
 
+    // Cumulative gains / lift table at score deciles — the campaign-
+    // targeting readout next to ml_auc's ranking and ml_calibration's
+    // probability check ("mailing the top 20% by score catches X% of
+    // buyers at Y× random"). Rows rank on (score DESC, id) via
+    // Ranks.globalRankRows (range-partitioned sort + zipWithIndex —
+    // never a one-task window over the corpus); deciles are integer
+    // arithmetic on the rank; per-decile counts shuffle 10 cells; the
+    // cumulative pass windows the FIXED 10-row decile table (bounded by
+    // construction — the c16 histogram-window discipline). Gains and
+    // lift are exact Long cross-products with one final division each.
+    "ml_lift_gains" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"),
+          (col("event_type") === "purchase").as("pos"),
+          Num.cents(col("value")).as("c"))
+      val ranked = graft.Ranks.globalRankRows(ev, "rk",
+        Seq(col("c").desc, col("event_id").asc))
+      val tot = ev.agg(count(lit(1)),
+        sum(when(col("pos"), 1L).otherwise(0L))).head()
+      val (n, p) = (tot.getLong(0), tot.getLong(1))
+      val cells = ranked
+        .withColumn("decile", expr(s"((rk - 1) * 10) DIV $n + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      val w = W.orderBy(col("decile"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      cells
+        .withColumn("cum_rows", sum(col("n_rows")).over(w))
+        .withColumn("cum_pos", sum(col("n_pos")).over(w))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          col("cum_rows"), col("cum_pos"),
+          (col("cum_pos").cast(DoubleType) / p).as("cum_gain"),
+          ((col("cum_pos") * n).cast(DoubleType) /
+            (col("cum_rows") * p).cast(DoubleType)).as("lift"))
+    }),
+
     // Calibration curve + expected calibration error for the same scored
     // binary task ml_auc ranks: confidence = min-max-normalized score,
     // 10 equal-width bins, per-bin observed positive rate vs mean
@@ -859,6 +898,36 @@ object MlPack extends QueryPack {
         |  CAST(ap_e9 AS DOUBLE) / (CAST(n.n_pos AS DOUBLE) * 1000000000.0)
         |    AS pr_auc
         |FROM agg, n""".stripMargin,
+    "ml_lift_gains" ->
+      """WITH ev AS (
+        |  SELECT event_id, (event_type = 'purchase') AS pos,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM ev
+        |), r AS (
+        |  SELECT pos, row_number() OVER (ORDER BY c DESC, event_id) AS rk
+        |  FROM ev
+        |), d AS (
+        |  SELECT CAST(((rk - 1) * 10) // n.n + 1 AS BIGINT) AS decile, pos
+        |  FROM r, n
+        |), cells AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM d GROUP BY 1
+        |), cum AS (
+        |  SELECT decile, n_rows, n_pos,
+        |    CAST(sum(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_rows,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+        |  FROM cells
+        |)
+        |SELECT decile, n_rows, n_pos, cum_rows, cum_pos,
+        |  CAST(cum_pos AS DOUBLE) / n.p AS cum_gain,
+        |  CAST(cum_pos * n.n AS DOUBLE) / CAST(cum_rows * n.p AS DOUBLE)
+        |    AS lift
+        |FROM cum, n""".stripMargin,
     "ml_calibration" ->
       """WITH ev AS (
         |  SELECT (event_type = 'purchase') AS pos,

@@ -89,6 +89,21 @@ class StatsTestsSpec extends SparkSuite {
     assert(row.getDouble(row.fieldIndex("pr_auc")) === 0.7)
   }
 
+  test("ml_lift_gains: deciles partition the ranking and lift matches counting") {
+    val rows = graft.queries.MlPack.queries("ml_lift_gains")(spark, fixtureDir)
+      .orderBy("decile").collect()
+    // 6 scored rows → 6 occupied deciles of one row each; the top row is
+    // the positive c=4.0 → lift there = (1·6)/(1·2) = 3×
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_rows"))).sum === 6L)
+    val first = rows.head
+    assert(first.getLong(first.fieldIndex("decile")) === 1L)
+    assert(first.getDouble(first.fieldIndex("lift")) === 3.0)
+    val gains = rows.map(r => r.getDouble(r.fieldIndex("cum_gain")))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a },
+      "cumulative gain must be monotone")
+    assert(gains.last === 1.0, "the full ranking captures every positive")
+  }
+
   test("stats_bootstrap: deterministic Poisson replicates centered on the mean") {
     val q = graft.queries.StatsTestsPack.queries("stats_bootstrap")
     val rows = q(spark, sf).collect()
