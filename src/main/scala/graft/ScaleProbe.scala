@@ -133,6 +133,11 @@ object ScaleProbe {
     // gains/lift: one globalRankRows range sort + a 10-cell decile agg
     // — the sc4 range-sort slope
     "ml_lift_gains",
+    // Spearman: two (type-table prefix + value-keyed join-back) passes
+    // + one decimal moment agg — the MW slope plus the join-backs
+    "stats_spearman",
+    // Benford: map-only digit extraction into 9 cells — t2's slope
+    "stats_benford",
     // Poisson bootstrap: map-side ×64 replicate explode (md5 + CDF
     // lookup per replicate) + one (b)-keyed partial agg bounded at
     // 64·partitions counters — linear in corpus bytes, no data shuffle

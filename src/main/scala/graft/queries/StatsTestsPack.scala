@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.{Num, QueryPack, Tables}
 
 /** Distributed two-sample hypothesis tests — the A/B-comparison primitives
@@ -66,7 +66,10 @@ object StatsTestsPack extends QueryPack {
     (cum, nA, nB)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rankTestQueries ++ assocQueries
+
+  private def rankTestQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Mann–Whitney U ('click' vs 'purchase' event values): average ranks
     // for ties recovered from the type table in DOUBLED-rank integer
     // space (r2 = 2·ranks_below + t + 1, exact Longs end-to-end), the
@@ -233,7 +236,163 @@ object StatsTestsPack extends QueryPack {
     })
   )
 
+  /** Benford first-digit expectations log10(1+1/d), d = 1..9, as double
+    * literals shared verbatim by the Spark expression and the oracle
+    * text (Scala's shortest-repr toString reproduces them exactly). */
+  private val BenfordP = Seq(0.3010299956639812, 0.17609125905568124,
+    0.12493873660829993, 0.09691001300805642, 0.07918124604762482,
+    0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+    0.04575749056067514)
+
+  /** Tie-averaged per-row ranks in DOUBLED integer space for `valCol` of
+    * `rows`: the distinct-value type table gets one prefix-sum pass
+    * (avg doubled rank r2 = 2·(below) + cnt + 1, exact Longs), then
+    * joins back to the rows on the value — two keyed shuffles total,
+    * never a corpus-wide row_number window. */
+  private def doubledRanks(rows: DataFrame, valCol: String,
+      rankCol: String): DataFrame = {
+    val tt = rows.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+    val cum = graft.Ranks.globalPrefixSum(tt, "cnt", Seq(col(valCol)), "cum")
+      .withColumn(rankCol, (col("cum") - col("cnt")) * 2 + col("cnt") + 1)
+      .select(col(valCol), col(rankCol))
+    rows.join(cum, valCol)
+  }
+
+  private def assocQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spearman rank correlation between order price and the customer's
+    // account balance — the robust monotone-association companion of
+    // a10's Pearson. Per variable: distinct-value type table + ONE
+    // prefix-sum pass recovers exact tie-averaged ranks in doubled-Long
+    // space, joined back to rows on the value (two keyed shuffles per
+    // variable — never a corpus row_number window); ρ is then Pearson on
+    // the doubled ranks with every moment an exact DECIMAL(38,0) sum
+    // (order-free), cast to double only for the final sqrt/divide.
+    "stats_spearman" -> ((s, dir) => {
+      val rows = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            Num.cents(col("c_acctbal")).as("y")), "o_custkey")
+        .select(Num.cents(col("o_totalprice")).as("x"), col("y"))
+      val ranked = doubledRanks(doubledRanks(rows, "x", "rx"), "y", "ry")
+      val dec = DecimalType(38, 0)
+      val m = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast(dec)).as("sx"),
+        sum(col("ry").cast(dec)).as("sy"),
+        sum((col("rx").cast(dec) * col("ry")).cast(dec)).as("sxy"),
+        sum((col("rx").cast(dec) * col("rx")).cast(dec)).as("sxx"),
+        sum((col("ry").cast(dec) * col("ry")).cast(dec)).as("syy"))
+      m.select(col("n"),
+        Num.r6(
+          (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+          sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)) /
+          sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType))).as("spearman_rho"))
+    }),
+
+    // Benford first-digit audit over order prices — the fraud /
+    // synthetic-data gate. The first significant digit comes from the
+    // INTEGER cents rendered as a string (both engines print a BIGINT
+    // identically — no log10, whose last-ulp rounding is not pinned by
+    // IEEE), counts collapse to 9 cells map-side, and the χ² against
+    // the Benford expectation uses literal log10(1+1/d) constants in a
+    // FIXED-order 9-term expression (each extracted count is a
+    // one-nonzero-term conditional sum over the 9-cell table, so no
+    // engine-ordered float addition exists anywhere).
+    "stats_benford" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .select(Num.cents(col("o_totalprice")).as("c"))
+        .filter(col("c") > 0)
+        .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val p = BenfordP
+      // one row of the 9 counts: each sum has exactly one nonzero term
+      def cSum(d: Int): Column =
+        sum(when(col("digit") === d, col("n_obs")).otherwise(0L)).as(s"c$d")
+      val m = cells.agg(cSum(1), (2 to 9).map(cSum): _*)
+      val n = (1 to 9).map(d => col(s"c$d")).reduceLeft(_ + _)
+      val chi2 = (1 to 9).map { d =>
+        val e = n.cast(DoubleType) * p(d - 1)
+        (col(s"c$d").cast(DoubleType) - e) * (col(s"c$d").cast(DoubleType) - e) / e
+      }.reduceLeft(_ + _)
+      val stats = m.select(n.as("n_total"), Num.r6(chi2).as("chi2"))
+      cells.crossJoin(broadcast(stats))
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          (col("n_obs").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("obs_share"),
+          element_at(array(p.map(lit): _*), col("digit")).as("benford_share"),
+          col("chi2"))
+    })
+  )
+
   def oracleSql: Map[String, String] = Map(
+    "stats_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), tx AS (
+        |  SELECT x, count(*) AS cnt FROM rows_ GROUP BY 1
+        |), cx AS (
+        |  SELECT x, (sum(cnt) OVER (ORDER BY x) - cnt) * 2 + cnt + 1 AS rx
+        |  FROM tx
+        |), ty AS (
+        |  SELECT y, count(*) AS cnt FROM rows_ GROUP BY 1
+        |), cy AS (
+        |  SELECT y, (sum(cnt) OVER (ORDER BY y) - cnt) * 2 + cnt + 1 AS ry
+        |  FROM ty
+        |), r AS (
+        |  SELECT cx.rx, cy.ry FROM rows_ JOIN cx USING (x) JOIN cy USING (y)
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx,
+        |    sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy
+        |  FROM r
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor((CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000 AS spearman_rho
+        |FROM m""".stripMargin,
+    "stats_benford" -> {
+      val cs = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN digit = $d THEN n_obs ELSE 0 END) AS BIGINT) AS c$d")
+        .mkString(",\n        ")
+      val nExpr = (1 to 9).map(d => s"c$d").mkString(" + ")
+      val chi2 = (1 to 9).map { d =>
+        val e = s"(CAST($nExpr AS DOUBLE) * ${BenfordP(d - 1)})"
+        s"((CAST(c$d AS DOUBLE) - $e) * (CAST(c$d AS DOUBLE) - $e) / $e)"
+      }.mkString("\n      + ")
+      val shareCase = (1 to 9).map(d =>
+        s"WHEN ${d} THEN ${BenfordP(d - 1)}").mkString(" ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |          AS BIGINT) AS c FROM orders)
+         |  WHERE c > 0
+         |), cells AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+         |), m AS (
+         |  SELECT
+         |        $cs
+         |  FROM cells
+         |), s AS (
+         |  SELECT $nExpr AS n_total,
+         |    floor(($chi2) * 1000000 + 0.5) / 1000000 AS chi2
+         |  FROM m
+         |)
+         |SELECT cells.digit, cells.n_obs, s.n_total,
+         |  CAST(cells.n_obs AS DOUBLE) / CAST(s.n_total AS DOUBLE) AS obs_share,
+         |  CASE cells.digit $shareCase END AS benford_share,
+         |  s.chi2
+         |FROM cells, s""".stripMargin
+    },
     "stats_bootstrap" ->
       """WITH ev AS (
         |  SELECT event_id,

@@ -121,6 +121,60 @@ class StatsTestsSpec extends SparkSuite {
       s"bootstrap grand mean $grand should straddle the sample mean $truth")
   }
 
+  test("stats_spearman matches a driver-side tie-averaged rank correlation") {
+    val row = graft.queries.StatsTestsPack
+      .queries("stats_spearman")(spark, sf).head()
+    val got = row.getDouble(row.fieldIndex("spearman_rho"))
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def avgRanks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(pairs.map(_._1)); val ry = avgRanks(pairs.map(_._2))
+    val xs = pairs.map(p => rx(p._1)); val ys = pairs.map(p => ry(p._2))
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val (vx, vy) = (xs.map(a => (a - mx) * (a - mx)).sum,
+      ys.map(b => (b - my) * (b - my)).sum)
+    val want = cov / math.sqrt(vx) / math.sqrt(vy)
+    assert(math.abs(got - want) <= 1e-6 + 1e-9, s"rho: $got vs $want")
+    assert(row.getLong(row.fieldIndex("n")) === pairs.length.toLong)
+  }
+
+  test("stats_benford: shares sum to one and chi2 reconciles with the counts") {
+    val rows = graft.queries.StatsTestsPack
+      .queries("stats_benford")(spark, sf).collect()
+    val nTotal = rows.head.getLong(rows.head.fieldIndex("n_total"))
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_obs"))).sum === nTotal)
+    rows.foreach { r =>
+      val d = r.getInt(r.fieldIndex("digit"))
+      assert(d >= 1 && d <= 9)
+      assert(math.abs(r.getDouble(r.fieldIndex("benford_share")) -
+        math.log10(1.0 + 1.0 / d)) < 1e-15)
+    }
+    // chi2 reconciles with a driver-side recompute over the 9 counts
+    val counts = rows.map(r => r.getInt(r.fieldIndex("digit")) ->
+      r.getLong(r.fieldIndex("n_obs"))).toMap
+    val want = (1 to 9).map { d =>
+      val e = nTotal * math.log10(1.0 + 1.0 / d)
+      val o = counts.getOrElse(d, 0L).toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    val got = rows.head.getDouble(rows.head.fieldIndex("chi2"))
+    assert(math.abs(got - want) <= 1e-5 * math.max(1.0, want),
+      s"chi2: $got vs $want")
+  }
+
   test("one-way ANOVA F matches the scalar sums-of-squares definition") {
     val row = graft.queries.StatsTestsPack
       .queries("stats_anova_f")(spark, fixtureDir).head()
