@@ -53,6 +53,7 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRule)
+    e.injectOptimizerRule(_ => CartesianGuard)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
@@ -60,8 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
-    if (!existing.contains(ApproxDistinctRule))
-      spark.experimental.extraOptimizations = existing :+ ApproxDistinctRule
+    val wanted = Seq(ApproxDistinctRule, CartesianGuard)
+    spark.experimental.extraOptimizations =
+      existing ++ wanted.filterNot(existing.contains)
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         TopKStrategy +: spark.experimental.extraStrategies
