@@ -737,4 +737,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("(Sort "), plan)
   }
+
+  test("stats_benford: map-only digit extraction, broadcast stats attach, no window") {
+    val plan = executedString("stats_benford")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+  }
+
+  test("spearman and lift never window the corpus — ranks ride the RDD scan line") {
+    // both rank via Ranks machinery (range sort + zipWithIndex / prefix
+    // broadcast), surfacing as ExistingRDD scans; the only Window allowed
+    // is lift's fixed 10-row decile cumulative
+    val sp = executedString("stats_spearman")
+    assert(sp.contains("ExistingRDD"), sp)
+    assert(!sp.contains("Window"), sp)
+    val lg = executedString("ml_lift_gains")
+    assert(lg.contains("ExistingRDD"), lg)
+    // the decile cumulative is the single bounded window
+    assert("Window ".r.findAllIn(lg).size <= 1, lg)
+  }
 }
