@@ -138,6 +138,9 @@ object ScaleProbe {
     "stats_spearman",
     // Benford: map-only digit extraction into 9 cells — t2's slope
     "stats_benford",
+    // median CI: type-table collapse + one prefix pass + three
+    // conditional mins over the bounded table — the MW slope
+    "stats_median_ci",
     // Poisson bootstrap: map-side ×64 replicate explode (md5 + CDF
     // lookup per replicate) + one (b)-keyed partial agg bounded at
     // 64·partitions counters — linear in corpus bytes, no data shuffle

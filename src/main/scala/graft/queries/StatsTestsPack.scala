@@ -292,6 +292,39 @@ object StatsTestsPack extends QueryPack {
             .cast(DoubleType))).as("spearman_rho"))
     }),
 
+    // Distribution-free median confidence interval (purchase values) —
+    // the order-statistic CI (ranks (n ± z√n)/2, the binomial normal
+    // approximation): no distributional assumption, exact at any skew —
+    // the uncertainty statement that belongs next to c16's point
+    // estimates. The scalable primitive is "value at global rank k":
+    // the corpus collapses to its distinct-value type table, ONE
+    // prefix-sum pass gives cumulative counts, and each rank selects
+    // min(value | cum ≥ k) — three conditional mins over the bounded
+    // type table, never a corpus sort. The rank indices are computed
+    // once from n in plain IEEE doubles (√, ×, −, /2, floor — all
+    // correctly rounded, so the oracle's identical formula lands on the
+    // same integers).
+    "stats_median_ci" -> ((s, dir) => {
+      val tt = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(Num.cents(col("value")).as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.Ranks.globalPrefixSum(tt, "cnt", Seq(col("c")), "cum")
+      val n = tt.agg(sum(col("cnt"))).head().getLong(0)
+      val z = 1.959963984540054
+      val kMed = (n + 1) / 2
+      val kLo = math.max(1L, math.floor((n - z * math.sqrt(n.toDouble)) / 2).toLong)
+      val kHi = math.min(n, math.ceil((n + z * math.sqrt(n.toDouble)) / 2).toLong + 1)
+      cum.agg(
+          min(when(col("cum") >= kMed, col("c"))).as("med_c"),
+          min(when(col("cum") >= kLo, col("c"))).as("lo_c"),
+          min(when(col("cum") >= kHi, col("c"))).as("hi_c"))
+        .select(lit(n).as("n"),
+          (col("med_c").cast(DoubleType) / 100.0).as("median"),
+          (col("lo_c").cast(DoubleType) / 100.0).as("ci_lo"),
+          (col("hi_c").cast(DoubleType) / 100.0).as("ci_hi"))
+    }),
+
     // Benford first-digit audit over order prices — the fraud /
     // synthetic-data gate. The first significant digit comes from the
     // INTEGER cents rendered as a string (both engines print a BIGINT
@@ -360,6 +393,30 @@ object StatsTestsPack extends QueryPack {
         |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |    * 1000000 + 0.5) / 1000000 AS spearman_rho
         |FROM m""".stripMargin,
+    "stats_median_ci" ->
+      """WITH tt AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    count(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), cum AS (
+        |  SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM tt
+        |), n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tt),
+        |k AS (
+        |  SELECT n,
+        |    (n + 1) // 2 AS k_med,
+        |    greatest(1, CAST(floor((n - 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)) AS k_lo,
+        |    least(n, CAST(ceil((n + 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) + 1) AS k_hi
+        |  FROM n
+        |)
+        |SELECT k.n,
+        |  CAST(min(CASE WHEN cum.cum >= k.k_med THEN cum.c END) AS DOUBLE)
+        |    / 100.0 AS median,
+        |  CAST(min(CASE WHEN cum.cum >= k.k_lo THEN cum.c END) AS DOUBLE)
+        |    / 100.0 AS ci_lo,
+        |  CAST(min(CASE WHEN cum.cum >= k.k_hi THEN cum.c END) AS DOUBLE)
+        |    / 100.0 AS ci_hi
+        |FROM cum, k
+        |GROUP BY k.n""".stripMargin,
     "stats_benford" -> {
       val cs = (1 to 9).map(d =>
         s"CAST(sum(CASE WHEN digit = $d THEN n_obs ELSE 0 END) AS BIGINT) AS c$d")

@@ -151,6 +151,27 @@ class StatsTestsSpec extends SparkSuite {
     assert(row.getLong(row.fieldIndex("n")) === pairs.length.toLong)
   }
 
+  test("stats_median_ci brackets the exact median with the right order stats") {
+    val row = graft.queries.StatsTestsPack
+      .queries("stats_median_ci")(spark, sf).head()
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    assert(row.getLong(row.fieldIndex("n")) === n.toLong)
+    val med = row.getDouble(row.fieldIndex("median"))
+    val (lo, hi) = (row.getDouble(row.fieldIndex("ci_lo")),
+      row.getDouble(row.fieldIndex("ci_hi")))
+    assert(med === vals((n + 1) / 2 - 1) / 100.0, "lower median order stat")
+    val z = 1.959963984540054
+    val kLo = math.max(1, math.floor((n - z * math.sqrt(n)) / 2).toInt)
+    val kHi = math.min(n.toLong,
+      math.ceil((n + z * math.sqrt(n)) / 2).toLong + 1).toInt
+    assert(lo === vals(kLo - 1) / 100.0 && hi === vals(kHi - 1) / 100.0)
+    assert(lo <= med && med <= hi)
+  }
+
   test("stats_benford: shares sum to one and chi2 reconciles with the counts") {
     val rows = graft.queries.StatsTestsPack
       .queries("stats_benford")(spark, sf).collect()
