@@ -88,6 +88,12 @@ object StreamingPack extends QueryPack {
     "st13_stream_incremental_dedup" -> ((s, dir) =>
       Streams.streamIncrementalDedup(s, dir)),
 
+    // Streaming trending-items: the stream maintains watermarked
+    // per-(day, type) counts; top-3-per-day ranks DOWNSTREAM over the
+    // (windows x types)-sized sink table — ranking can't ride inside an
+    // open streaming aggregate, so production splits exactly here.
+    "st14_stream_topk" -> ((s, dir) => Streams.dailyTopK(s, dir)),
+
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
     // (tj3), which is what the oracle expresses. Boundary semantics: an
@@ -144,6 +150,18 @@ object StreamingPack extends QueryPack {
         |FROM documents
         |WHERE md5(text) NOT IN (
         |  SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0)""".stripMargin,
+    "st14_stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, n, rk FROM (
+        |  SELECT day, event_type, n,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |WHERE rk <= 3""".stripMargin,
     "st12_stream_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -488,6 +488,28 @@ object Streams {
     runToTable(agg, spark, "graft_stream_agg", "complete")
   }
 
+  /** Streaming trending-items: a watermarked per-(day, type) count
+    * aggregation maintained by the stream, then top-3-per-day ranked
+    * DOWNSTREAM over the materialized sink — the production "trending"
+    * split: ranking can't ride inside a streaming aggregation (no
+    * window functions over an open aggregate in append/complete mode),
+    * so the streaming job maintains the monotone counts and the cheap
+    * rank runs over the (windows × types)-sized sink table each refresh.
+    * Bounded input ⇒ final counts equal the batch GROUP BY, which the
+    * oracle replays with the same rank. */
+  def dailyTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"))
+    val sink = runToTable(counts, spark, "graft_stream_topk", "complete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))
+    sink.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+  }
+
   /** Streaming incremental dedup against a PERSISTED historical digest
     * index — the d9/n8 daily-append pattern in streaming form, i.e. the
     * production "dedupe today's crawl against everything already
