@@ -35,16 +35,21 @@ object KCore {
     * the 100× replica. Node-set state is the survivor-set monotonicity
     * made explicit: restricting the base by the CURRENT survivors
     * equals the chained per-round restriction, each survivor set is
-    * tiny (it only shrinks), and each round is two broadcast semi
-    * filters + one degree shuffle over the one cached table. */
+    * node-sized and only shrinks, and each round is two semi filters +
+    * one degree shuffle over the one cached table. The semi joins carry
+    * NO broadcast hint (code-review r9): the round-1 survivor set is
+    * nearly every node on a sparse graph — far beyond the broadcast
+    * limit at billion-node scale — so the strategy is left to Spark's
+    * statistics/AQE, which broadcasts exactly when the set has shrunk
+    * enough to fit (on the fixture: from round 1). */
   def run(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).cache()
     var surv: DataFrame = null // null = every node survives
     def restricted: DataFrame =
       if (surv == null) edges
       else edges
-        .join(broadcast(surv), col("src") === col("node"), "left_semi")
-        .join(broadcast(surv.withColumnRenamed("node", "nd")),
+        .join(surv, col("src") === col("node"), "left_semi")
+        .join(surv.withColumnRenamed("node", "nd"),
           col("dst") === col("nd"), "left_semi")
     for (_ <- 1 to rounds) {
       val next = restricted.groupBy("src").agg(count(lit(1)).as("d"))

@@ -81,9 +81,15 @@ object StatsTestsPack extends QueryPack {
       // ranks strictly below this value = cum_a + cum_b − t; doubled
       // average rank of the tie group = 2·below + t + 1 (integer)
       val r2 = (col("cum_a") + col("cum_b") - t) * 2 + t + 1
+      // tie term in DECIMAL(38,0): one heavily-tied value (t ≳ 2²¹)
+      // would overflow t³ in Long SILENTLY under the 2³¹ packing guard
+      // (code-review r9); decimal keeps the sum exact to t ~ 4·10¹²
+      val td = t.cast(DecimalType(38, 0))
       val agg = tt.agg(
-        sum(col("cnt_a") * r2).as("r2_sum_a"),
-        sum(t * t * t - t).as("tie_term"))
+        // rank sum likewise in decimal: cnt_a·r2 per row brushes 2⁶⁴ at
+        // the guard edge (r2 ≤ 2n+1)
+        sum(col("cnt_a").cast(DecimalType(38, 0)) * r2).as("r2_sum_a"),
+        sum(td * td * td - td).as("tie_term"))
       agg.select(
           lit(nA).as("n_a"), lit(nB).as("n_b"),
           // U_A = R_A − nA(nA+1)/2 with R_A = r2_sum_a / 2 (exact: the
@@ -117,7 +123,7 @@ object StatsTestsPack extends QueryPack {
 
     // Welch's unequal-variance t ('click' vs 'purchase') — the parametric
     // member of the two-sample family (MW/KS above are its rank-based
-    // siblings). ONE corpus scan collapses to six exact Long moments in
+    // siblings). ONE corpus scan collapses to six exact moments in
     // cent space (n, Σc, Σc² per group — map-side partial agg, the
     // exchange carries 6 counters per partition); every downstream op is
     // closed-form double arithmetic on that single row, written with the
@@ -127,15 +133,21 @@ object StatsTestsPack extends QueryPack {
     "stats_welch_t" -> ((s, dir) => {
       val isA = col("event_type") === "click"
       val c = Num.cents(col("value"))
+      // squared-cent sums accumulate in DECIMAL(38,0): Σc² overflows
+      // Long at ~10⁹ rows of 10⁵-cent values — inside the 100 TB target
+      // (code-review r9; the per-row c·c still fits Long)
+      val dec = DecimalType(38, 0)
       val m = Tables.events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
         .agg(
           sum(when(isA, 1L).otherwise(0L)).as("n_a"),
           sum(when(isA, c).otherwise(0L)).as("s_a"),
-          sum(when(isA, c * c).otherwise(0L)).as("q_a"),
+          sum(when(isA, (c * c).cast(dec)).otherwise(lit(0).cast(dec)))
+            .as("q_a"),
           sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
           sum(when(!isA, c).otherwise(0L)).as("s_b"),
-          sum(when(!isA, c * c).otherwise(0L)).as("q_b"))
+          sum(when(!isA, (c * c).cast(dec)).otherwise(lit(0).cast(dec)))
+            .as("q_b"))
       val (na, sa, qa) = (col("n_a").cast(DoubleType),
         col("s_a").cast(DoubleType), col("q_a").cast(DoubleType))
       val (nb, sb, qb) = (col("n_b").cast(DoubleType),
@@ -195,17 +207,18 @@ object StatsTestsPack extends QueryPack {
     }),
 
     // One-way ANOVA F across ALL FIVE event types — the k-group
-    // generalization. Same single-scan shape: 15 exact Long moments
+    // generalization. Same single-scan shape: 15 exact moments
     // (n, Σc, Σc² per type) via conditional partial aggregation — never
-    // a groupBy-then-collect; the per-type squared sums (which would
-    // overflow Long at replica scale) live in double, and the k-term
-    // reductions are EXPLICIT fixed-order additions (click→error→
-    // purchase→signup→view, the same textual order as the oracle), so
-    // no engine-dependent aggregation order ever touches a float. The
-    // cent units cancel in both F and η².
+    // a groupBy-then-collect; the per-type squared sums accumulate in
+    // DECIMAL(38,0) (Σc² would overflow Long at ~10⁹ rows/type —
+    // code-review r9), and the k-term reductions are EXPLICIT
+    // fixed-order additions (click→error→purchase→signup→view, the same
+    // textual order as the oracle), so no engine-dependent aggregation
+    // order ever touches a float. The cent units cancel in F and η².
     "stats_anova_f" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val c = Num.cents(col("value"))
+      val dec = DecimalType(38, 0)
       val m = Tables.events(s, dir)
         .filter(col("event_type").isin(types: _*))
         .agg(
@@ -216,7 +229,8 @@ object StatsTestsPack extends QueryPack {
           types.map(t =>
             sum(when(col("event_type") === t, c).otherwise(0L)).as(s"s_$t")) ++
           types.map(t =>
-            sum(when(col("event_type") === t, c * c).otherwise(0L)).as(s"q_$t"))): _*)
+            sum(when(col("event_type") === t, (c * c).cast(dec))
+              .otherwise(lit(0).cast(dec))).as(s"q_$t"))): _*)
       // Σ_g S_g²/n_g — explicit left-to-right fold, never an agg over rows
       val between = types.map { t =>
         (col(s"s_$t").cast(DoubleType) * col(s"s_$t").cast(DoubleType)) /
@@ -224,7 +238,7 @@ object StatsTestsPack extends QueryPack {
       }.reduceLeft(_ + _)
       val nTot = types.map(t => col(s"n_$t")).reduceLeft(_ + _)
       val sTot = types.map(t => col(s"s_$t")).reduceLeft(_ + _) // exact Long
-      val qTot = types.map(t => col(s"q_$t")).reduceLeft(_ + _) // exact Long
+      val qTot = types.map(t => col(s"q_$t")).reduceLeft(_ + _) // exact decimal
       val nD = nTot.cast(DoubleType)
       val ssb = between -
         (sTot.cast(DoubleType) * sTot.cast(DoubleType)) / nD
@@ -282,14 +296,21 @@ object StatsTestsPack extends QueryPack {
         sum((col("rx").cast(dec) * col("ry")).cast(dec)).as("sxy"),
         sum((col("rx").cast(dec) * col("rx")).cast(dec)).as("sxx"),
         sum((col("ry").cast(dec) * col("ry")).cast(dec)).as("syy"))
-      m.select(col("n"),
-        Num.r6(
-          (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
-            .cast(DoubleType) /
-          sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
-            .cast(DoubleType)) /
-          sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
-            .cast(DoubleType))).as("spearman_rho"))
+      m
+        // 4n⁴ must stay under DECIMAL(38,0): past n ≈ 1.2·10⁹ rows the
+        // decimal products would overflow to NULL silently in non-ANSI
+        // mode (code-review r9) — fail loudly at the envelope instead
+        .filter(assert_true(col("n") < 1200000000L,
+          lit("stats_spearman: n exceeds the DECIMAL(38,0) moment " +
+            "envelope (~1.2e9 rows); widen the accumulators")).isNull)
+        .select(col("n"),
+          Num.r6(
+            (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+            sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)) /
+            sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))).as("spearman_rho"))
     }),
 
     // Distribution-free median confidence interval (purchase values) —
@@ -309,8 +330,10 @@ object StatsTestsPack extends QueryPack {
         .filter(col("event_type") === "purchase")
         .groupBy(Num.cents(col("value")).as("c"))
         .agg(count(lit(1)).as("cnt"))
-      val cum = graft.Ranks.globalPrefixSum(tt, "cnt", Seq(col("c")), "cum")
-      val n = tt.agg(sum(col("cnt"))).head().getLong(0)
+      // WithTotal: the prefix pass's subtotal job already computed n —
+      // a separate tt.agg would re-scan the corpus (code-review r9)
+      val (cum, n) = graft.Ranks.globalPrefixSumWithTotal(
+        tt, "cnt", Seq(col("c")), "cum")
       val z = 1.959963984540054
       val kMed = (n + 1) / 2
       val kLo = math.max(1L, math.floor((n - z * math.sqrt(n.toDouble)) / 2).toLong)

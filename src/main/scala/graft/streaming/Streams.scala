@@ -488,15 +488,19 @@ object Streams {
     runToTable(agg, spark, "graft_stream_agg", "complete")
   }
 
-  /** Streaming trending-items: a watermarked per-(day, type) count
-    * aggregation maintained by the stream, then top-3-per-day ranked
-    * DOWNSTREAM over the materialized sink — the production "trending"
-    * split: ranking can't ride inside a streaming aggregation (no
-    * window functions over an open aggregate in append/complete mode),
-    * so the streaming job maintains the monotone counts and the cheap
-    * rank runs over the (windows × types)-sized sink table each refresh.
-    * Bounded input ⇒ final counts equal the batch GROUP BY, which the
-    * oracle replays with the same rank. */
+  /** Streaming trending-items: a per-(day, type) count aggregation
+    * maintained by the stream in COMPLETE mode, then top-3-per-day
+    * ranked DOWNSTREAM over the materialized sink — the production
+    * "trending" split: ranking can't ride inside a streaming
+    * aggregation (no window functions over an open aggregate), so the
+    * streaming job maintains the counts and the cheap rank runs over
+    * the (windows × types)-sized sink table each refresh. State is
+    * bounded by the (day, type) DOMAIN, not the stream — note the
+    * watermark below is inert under complete mode (Spark never drops
+    * window state there); a deployment with an unbounded window domain
+    * would switch to append mode, where the same watermark actually
+    * evicts. Bounded input ⇒ final counts equal the batch GROUP BY,
+    * which the oracle replays with the same rank. */
   def dailyTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = eventStream(spark, sfDir)
       .withWatermark("ts", "10 days")
