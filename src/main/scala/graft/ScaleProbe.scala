@@ -141,6 +141,10 @@ object ScaleProbe {
     // median CI: type-table collapse + one prefix pass + three
     // conditional mins over the bounded table — the MW slope
     "stats_median_ci",
+    // incremental agg view: min-of-2 keeps the one-time base-summary
+    // build out of the measured pass (the d9/n8/gbt accounting) — the
+    // timed region is the delta agg + keys-sized summary merge
+    "x11_incremental_agg",
     // Poisson bootstrap: map-side ×64 replicate explode (md5 + CDF
     // lookup per replicate) + one (b)-keyed partial agg bounded at
     // 64·partitions counters — linear in corpus bytes, no data shuffle
