@@ -52,7 +52,9 @@ object NaiveBayes {
     // a17/ADVICE-r8 triple-scan lesson)
     val cnt = tok.groupBy("lang", "b").agg(count(lit(1)).as("c")).cache()
     val nl  = cnt.groupBy("lang").agg(sum("c").as("n"))
-    nl.crossJoin(s.range(Buckets).toDF("b"))
+    // |langs| × Buckets dense grid — both sides bounded; hint the Buckets
+    // range so the intentional product passes CartesianGuard.
+    nl.crossJoin(broadcast(s.range(Buckets).toDF("b")))
       .join(cnt, Seq("lang", "b"), "left")
       .select(col("lang"), col("b"),
         expr(s"CAST(floor(ln((coalesce(c, 0) + 1.0) / (n + $Buckets)) " +

@@ -59,7 +59,15 @@ object KCore {
       if (surv != null) surv.unpersist(false)
       surv = next
     }
-    restricted.groupBy("src").agg(count(lit(1)).as("deg_core"))
+    // Materialize the node-sized result with its lineage truncated, then
+    // release the two big pinned entries (the |E| edge cache and the final
+    // survivor set) — otherwise every invocation (bench loops at 30×/100×)
+    // permanently accumulates executor cache pressure across a session.
+    val out = restricted.groupBy("src").agg(count(lit(1)).as("deg_core"))
       .select(col("src").as("node"), col("deg_core"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    if (surv != null) surv.unpersist(false)
+    out
   }
 }

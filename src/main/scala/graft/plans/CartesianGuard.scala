@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Opt-in plan guardrail: reject unhinted cartesian products at
@@ -31,12 +31,20 @@ object CartesianGuard extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "false").toBoolean) {
       plan.foreach {
+        // Outer joins without a condition are the same |A|x|B| detonation
+        // as cross/inner (every row pairs with every row; the "outer" part
+        // never fires because nothing is unmatched), so they are guarded
+        // identically. Semi/anti are excluded: condition-less they degrade
+        // to EXISTS/NOT-EXISTS on a non-empty side — output is bounded by
+        // |A|, not a product.
         case j: Join if j.condition.isEmpty &&
-            (j.joinType == Cross || j.joinType == Inner) &&
+            Seq(Cross, Inner, LeftOuter, RightOuter, FullOuter)
+              .contains(j.joinType) &&
             !Seq(j.hint.leftHint, j.hint.rightHint).flatten
               .exists(_.strategy.contains(BROADCAST)) =>
           throw new IllegalStateException(
-            "CartesianGuard: condition-less cross/inner join with no " +
+            "CartesianGuard: condition-less product-shaped join " +
+              "(cross/inner/outer) with no " +
               "broadcast hint — at scale this is |A|x|B|. Either add the " +
               "missing join condition, or mark the (small, bounded) side " +
               s"with broadcast(...) if the attach is intentional. Set " +

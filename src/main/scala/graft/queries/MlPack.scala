@@ -136,8 +136,13 @@ object MlPack extends QueryPack {
       val types = ev.groupBy(col("c")).agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
-      val tot = types.agg(sum(col("np")), sum(col("nn"))).head()
+      // coalesce: an empty slice makes sum() NULL → getLong NPEs before
+      // any envelope message (ADVICE r9); fail with a clear message instead
+      val tot = types.agg(coalesce(sum(col("np")), lit(0L)),
+        coalesce(sum(col("nn")), lit(0L))).head()
       val (nP, nN) = (tot.getLong(0), tot.getLong(1))
+      require(nP > 0 && nN > 0,
+        s"ml_auc needs both classes non-empty (pos=$nP, neg=$nN)")
       require(nP < (1L << 30) && nN < (1L << 30),
         s"class sizes ($nP, $nN) exceed the 2^30 doubled-product/packing " +
           "envelope; widen to a decimal accumulator")
@@ -179,8 +184,9 @@ object MlPack extends QueryPack {
       val ranked = graft.Ranks.globalRankRows(ev, "rk",
         Seq(col("c").desc, col("event_id").asc))
       val tot = ev.agg(count(lit(1)),
-        sum(when(col("pos"), 1L).otherwise(0L))).head()
+        coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L))).head()
       val (n, p) = (tot.getLong(0), tot.getLong(1))
+      require(n > 0, "ml_lift_gains: empty scored slice")
       val cells = ranked
         .withColumn("decile", expr(s"((rk - 1) * 10) DIV $n + 1"))
         .groupBy(col("decile"))
@@ -214,6 +220,8 @@ object MlPack extends QueryPack {
         .select((col("event_type") === "purchase").as("pos"),
           Num.cents(col("value")).as("c"))
       val mm = ev.agg(min(col("c")), max(col("c")), count(lit(1))).head()
+      require(mm.getLong(2) > 0 && !mm.isNullAt(0),
+        "ml_calibration: empty scored slice")
       val (cmin, nAll) = (mm.getLong(0), mm.getLong(2))
       val span = math.max(1L, mm.getLong(1) - cmin)
       val cells = ev

@@ -190,8 +190,9 @@ object ProjectionPack extends QueryPack {
         |)
         |SELECT doc_id, w, n_copies FROM (
         |  SELECT doc_id, w,
-        |    least(200, (400 * cw + tot) // (2 * tot))
-        |      - least(200, (400 * (cw - w) + tot) // (2 * tot)) AS n_copies
+        |    CAST(least(200, (400 * cw + tot) // (2 * tot))
+        |      - least(200, (400 * (cw - w) + tot) // (2 * tot))
+        |      AS BIGINT) AS n_copies
         |  FROM c)
         |WHERE n_copies >= 1""".stripMargin,
     "p13_stratified_sample" ->

@@ -51,9 +51,16 @@ object StatsTestsPack extends QueryPack {
     // must stay below 2^31 or the packed accumulator would silently
     // bleed between fields. The totals agg runs over the bounded TYPE
     // table (one tiny job), not the corpus.
-    val tot = types.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+    // coalesce to 0: an empty slice makes sum() NULL, and getLong would
+    // NPE before the envelope message below ever fires (ADVICE r9)
+    val tot = types.agg(
+        coalesce(sum(col("cnt_a")), lit(0L)).as("na"),
+        coalesce(sum(col("cnt_b")), lit(0L)).as("nb"))
       .head()
     val (nA, nB) = (tot.getLong(0), tot.getLong(1))
+    require(nA > 0 && nB > 0,
+      s"two-sample test needs both groups non-empty ($groupA: $nA, " +
+        s"$groupB: $nB rows) — empty slice for this event-type pair")
     require(nA < (1L << 31) && nB < (1L << 31),
       s"two-sample sizes ($nA, $nB) exceed the 2^31 packing envelope; " +
         "split the prefix pass per group or widen to a decimal accumulator")
@@ -202,7 +209,12 @@ object StatsTestsPack extends QueryPack {
         .agg(sum(col("w")).as("n_b"),
           sum(col("w") * col("c")).as("s_b"))
         .select(col("b"), col("n_b"),
-          ((col("s_b").cast(DoubleType) / col("n_b").cast(DoubleType)) / 100.0)
+          // n_b = 0 (all-zero Poisson weights on a tiny slice) would make
+          // 0/0 = NaN silently propagate into downstream CI/SE math —
+          // surface it as NULL instead (mirrored in the oracle)
+          when(col("n_b") > 0,
+            (col("s_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+              / 100.0)
             .as("boot_mean"))
     }),
 
@@ -496,8 +508,10 @@ object StatsTestsPack extends QueryPack {
         |  FROM rep
         |)
         |SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_b,
-        |  (CAST(CAST(sum(w * c) AS BIGINT) AS DOUBLE)
-        |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)) / 100.0 AS boot_mean
+        |  CASE WHEN sum(w) > 0 THEN
+        |    (CAST(CAST(sum(w * c) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)) / 100.0
+        |  END AS boot_mean
         |FROM wt GROUP BY b""".stripMargin,
     "stats_welch_t" ->
       """WITH ev AS (
@@ -604,7 +618,7 @@ object StatsTestsPack extends QueryPack {
         |    sum(t * t * t - t) AS tie_term
         |  FROM cum
         |)
-        |SELECT n.n_a, n.n_b,
+        |SELECT CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
         |  CAST(agg.r2_sum_a - n.n_a * (n.n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
         |  floor(((CAST(agg.r2_sum_a - n.n_a * (n.n_a + 1) AS DOUBLE) / 2.0
         |      - CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE) / 2.0)
@@ -629,7 +643,7 @@ object StatsTestsPack extends QueryPack {
         |    sum(cnt_b) OVER (ORDER BY value) AS cum_b
         |  FROM tt
         |), n AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM tt)
-        |SELECT n.n_a, n.n_b,
+        |SELECT CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
         |  floor((CAST(max(abs(cum.cum_a * n.n_b - cum.cum_b * n.n_a)) AS DOUBLE)
         |      / (CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE)))
         |    * 1000000 + 0.5) / 1000000 AS ks_d

@@ -799,7 +799,12 @@ object TextPack extends QueryPack {
           (col("doc_id") * lit(1048576L) + col("tf")).as("posting"))
         .groupBy("term", "block")
         .agg(count(lit(1)).as("df_block"),
-          sort_array(collect_list(col("posting"))).as("postings"))
+          // Serialized to a CSV string: the driver's pandas canonicalizer
+          // cannot sort ARRAY columns, and the packed-BIGINT list is
+          // order-stable after sort_array, so the string is a faithful
+          // (and oracle-comparable) surface for the same artifact.
+          concat_ws(",", sort_array(collect_list(col("posting"))))
+            .as("postings"))
     }),
 
     "t22_corpus_kl" -> ((s, dir) => {
@@ -1006,7 +1011,7 @@ object TextPack extends QueryPack {
         |  FROM d
         |)
         |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
-        |  (cum_tok - n_tok) // 512 AS bin_id,
+        |  CAST((cum_tok - n_tok) // 512 AS BIGINT) AS bin_id,
         |  ((cum_tok - n_tok) // 512) <> ((cum_tok - 1) // 512)
         |    AS spans_boundary
         |FROM c""".stripMargin,
@@ -1289,7 +1294,8 @@ object TextPack extends QueryPack {
         |)
         |SELECT term, doc_id // 4096 AS block,
         |  count(*) AS df_block,
-        |  list_sort(list(doc_id * 1048576 + tf)) AS postings
+        |  array_to_string(list_sort(list(doc_id * 1048576 + tf)), ',')
+        |    AS postings
         |FROM tf GROUP BY 1, 2""".stripMargin,
     "t11_length_buckets" ->
       """WITH t AS (

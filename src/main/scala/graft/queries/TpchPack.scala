@@ -409,10 +409,10 @@ object TpchPack extends QueryPack {
         |  AND l_quantity < 24""".stripMargin,
     "h12_late_lines" ->
       """SELECT l.l_returnflag,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -479,7 +479,8 @@ object TpchPack extends QueryPack {
         |  o.o_totalprice, b.total_qty
         |FROM orders o
         |JOIN (
-        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |  FROM lineitem
         |  GROUP BY 1
         |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250) b
