@@ -266,6 +266,20 @@ object ScaleProbe {
     // PSI: map-side (bin, half) counts bounded at 20 cells — t2's
     // map-only slope
     "c15_psi_drift",
+    // temperature mix: one source-keyed counting shuffle, then all
+    // arithmetic on the bounded source table — c12's slope
+    "c17_temperature_mix",
+    // sessionization: one user-keyed exchange shared by lag + prefix
+    // sum + the per-session agg — the W-family per-series slope
+    "x12_sessionization",
+    // n-gram novelty: map-side gram explode + one gram-keyed distinct +
+    // one gram-keyed join + per-doc agg — d8's gram-index slope (the
+    // bijective vocab rename keeps cross-copy grams disjoint, so the
+    // reference gram table grows linearly like a real corpus's)
+    "t25_ngram_novelty",
+    // NDCG: two globalRankRows range sorts + 1-row aggs — the sc4
+    // range-sort slope (the ml_lift_gains shape, twice)
+    "ml_ndcg",
     // hybrid RRF: two globalRank range-sorts (the sc4 shape) + a
     // |docs|-scale outer join + TakeOrdered — the sc4 slope
     "n11_hybrid_rrf",

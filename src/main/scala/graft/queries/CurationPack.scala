@@ -519,6 +519,42 @@ object CurationPack extends QueryPack {
             .otherwise(0L)).as("n_outliers"),
           (max(col("med2")).cast("double") / 200.0).as("median_value"),
           (max(col("mad2")).cast("double") / 200.0).as("mad_value"))
+    }),
+
+    // Temperature-scaled source mixing (α = 0.5, the multilingual /
+    // multi-source sampling rule of the T5/mT5 recipes): sampling weight
+    // w_s ∝ n_s^α flattens the source distribution so small sources
+    // aren't drowned at training time. A fixed 1M-token budget is
+    // allocated across sources by w_s with LARGEST-REMAINDER rounding so
+    // the allocations sum to the budget EXACTLY — all integer space:
+    // w_s is the exact integer sqrt of the source's char mass
+    // (floor(sqrt) + one CASE correction, so no libm ulp can shift a
+    // cell), base quota is integer DIV, and the +1 top-up ranks
+    // remainders on the bounded |sources|-row table (the c16
+    // histogram-window discipline — the window never sees the corpus).
+    // Corpus cost: ONE source-keyed counting shuffle (the c12 shape).
+    "c17_temperature_mix" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val T = 1000000L
+      val counts = Tables.documents(s, dir)
+        .groupBy("source").agg(sum(col("n_chars")).as("mass"))
+      val f = floor(sqrt(col("mass").cast("double"))).cast("long")
+      val weighted = counts.withColumn("w",
+        when((f + 1) * (f + 1) <= col("mass"), f + 1)
+          .when(f * f > col("mass"), f - 1)
+          .otherwise(f))
+      val tot = weighted.agg(sum(col("w")).as("tw"))
+      val base = weighted.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($T * w) DIV tw"))
+        .withColumn("rem", expr(s"($T * w) % tw"))
+      val leftover = base.agg((lit(T) - sum(col("base"))).as("spare"))
+      val wR = W.orderBy(col("rem").desc, col("source")) // |sources| rows
+      base.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(wR))
+        .select(col("source"), col("mass"), col("w").as("weight"),
+          (col("base") +
+            when(col("rk") <= col("spare"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
     })
   )
 
@@ -596,6 +632,36 @@ object CurationPack extends QueryPack {
         |  max(m.mad2) / 200.0 AS mad_value
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "c17_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, mass,
+        |    CASE WHEN (f + 1) * (f + 1) <= mass THEN f + 1
+        |         WHEN f * f > mass THEN f - 1
+        |         ELSE f END AS w
+        |  FROM (SELECT source, mass,
+        |          CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS f
+        |        FROM c)
+        |), t AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM w
+        |), b AS (
+        |  SELECT source, mass, w,
+        |    (1000000 * w) // tw AS base,
+        |    (1000000 * w) % tw AS rem
+        |  FROM w CROSS JOIN t
+        |), l AS (
+        |  SELECT 1000000 - CAST(sum(base) AS BIGINT) AS spare FROM b
+        |), r AS (
+        |  SELECT source, mass, w, base,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b
+        |)
+        |SELECT source, mass, CAST(w AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |FROM r CROSS JOIN l""".stripMargin,
     "c1_hash_split" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS INT) AS bucket,

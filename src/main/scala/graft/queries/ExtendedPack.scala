@@ -199,6 +199,34 @@ object ExtendedPack extends QueryPack {
             .as("n_events"),
           (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
             .as("sum_cents"))
+    }),
+
+    // Batch sessionization (30-minute inactivity gap): the gaps-and-
+    // islands pattern — a session starts at the first event or wherever
+    // the gap from the previous event exceeds 30 min, and the session
+    // index is the running count of starts. Streaming twin: st11. All
+    // time arithmetic is integer epoch-MICROS on both engines (no
+    // truncation-boundary disagreement a seconds cast could introduce).
+    // ONE user-keyed exchange carries both window passes (lag + prefix
+    // sum share the sort) and the per-session agg re-uses the same
+    // partitioning — the W-family per-series shape, no global window.
+    "x12_sessionization" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prefix = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(prefix))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .withColumn("duration_s",
+          expr("(end_us - start_us) DIV 1000000"))
     })
   )
 
@@ -349,6 +377,29 @@ object ExtendedPack extends QueryPack {
         |  CASE WHEN max(n_clicks) > 0 THEN
         |    floor((max(value) / max(n_clicks)) * 1000000 + 0.5) / 1000000
         |  END AS linear_value
-        |FROM r GROUP BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "x12_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) AS BIGINT) AS end_us,
+        |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s
+        |FROM g GROUP BY 1, 2""".stripMargin
   )
 }

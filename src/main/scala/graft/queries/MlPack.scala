@@ -243,6 +243,42 @@ object MlPack extends QueryPack {
           col("ece"))
     }),
 
+    // NDCG@100 for the scored binary ranking ml_auc/ml_lift_gains grade —
+    // the graded-relevance retrieval metric (here rel ∈ {0,1}: purchase).
+    // Both DCG and IDCG quantize each rank's gain 1/log₂(rk+1) to an e12
+    // BIGINT BEFORE summing (the t22 discipline: per-term rounding
+    // absorbs any libm log ulp and the cross-row sum is order-free
+    // integer arithmetic, so the oracle hash-matches bit-for-bit). IDCG
+    // is the DCG of the ideal ordering — the positives ranked among
+    // themselves — one extra range sort over the positive slice. Plan:
+    // two globalRankRows range sorts (range-partitioned sort +
+    // zipWithIndex, never a one-task window) + two 1-row aggs.
+    "ml_ndcg" -> ((s, dir) => {
+      val K = 100
+      val gainE12 =
+        "CAST(floor(1000000000000.0 / log2(rk + 1) + 0.5) AS BIGINT)"
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"),
+          (col("event_type") === "purchase").as("pos"),
+          Num.cents(col("value")).as("c"))
+      val ranked = graft.Ranks.globalRankRows(ev, "rk",
+        Seq(col("c").desc, col("event_id").asc))
+      val dcg = ranked.filter(col("rk") <= K)
+        .agg(
+          sum(when(col("pos"), expr(gainE12)).otherwise(0L)).as("dcg_e12"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_at_k"))
+      val posRanked = graft.Ranks.globalRankRows(ev.filter(col("pos")),
+        "rk", Seq(col("c").desc, col("event_id").asc))
+      val idcg = posRanked.filter(col("rk") <= K)
+        .agg(sum(expr(gainE12)).as("idcg_e12"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(lit(K).as("k"), col("n_pos_at_k"),
+          col("dcg_e12"), col("idcg_e12"),
+          Num.r6(col("dcg_e12").cast(DoubleType) /
+            col("idcg_e12").cast(DoubleType)).as("ndcg"))
+    }),
+
     // StandardScaler (train.py's preprocessing): z-score from EXACT decimal
     // moments — mean and stddev derive from associative decimal sums, so
     // the fitted parameters are identical at any partition count, and the
@@ -968,6 +1004,36 @@ object MlPack extends QueryPack {
         |  CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * span) AS mean_conf,
         |  e.ece AS ece
         |FROM cells, e""".stripMargin,
+    "ml_ndcg" ->
+      """WITH ev AS (
+        |  SELECT event_id, (event_type = 'purchase') AS pos,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), r AS (
+        |  SELECT pos,
+        |    row_number() OVER (ORDER BY c DESC, event_id) AS rk
+        |  FROM ev
+        |), d AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pos THEN
+        |      CAST(floor(1000000000000.0 / log2(rk + 1) + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS dcg_e12,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_at_k
+        |  FROM r WHERE rk <= 100
+        |), pr AS (
+        |  SELECT row_number() OVER (ORDER BY c DESC, event_id) AS rk
+        |  FROM ev WHERE pos
+        |), i AS (
+        |  SELECT CAST(sum(
+        |    CAST(floor(1000000000000.0 / log2(rk + 1) + 0.5) AS BIGINT))
+        |    AS BIGINT) AS idcg_e12
+        |  FROM pr WHERE rk <= 100
+        |)
+        |SELECT 100 AS k, n_pos_at_k, dcg_e12, idcg_e12,
+        |  floor((CAST(dcg_e12 AS DOUBLE) / CAST(idcg_e12 AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS ndcg
+        |FROM d CROSS JOIN i""".stripMargin,
     "ml_metrics" ->
       """WITH pred AS (
         |  SELECT o_orderpriority AS prio,

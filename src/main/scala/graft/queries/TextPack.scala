@@ -807,6 +807,36 @@ object TextPack extends QueryPack {
             .as("postings"))
     }),
 
+    // Train-test n-gram novelty (the GPT-3/Lee-et-al. overlap audit,
+    // inverted to a per-doc score): for each candidate doc (odd doc_id),
+    // the fraction of its word 3-grams unseen ANYWHERE in the reference
+    // split (even doc_id) — the signal dataset builders threshold to
+    // keep eval sets out of training data, and the dual of t8's
+    // contamination count. Scale shape: grams explode map-side (HOF
+    // transform, no UDF); the reference side collapses to DISTINCT
+    // grams in one keyed shuffle; candidate grams LEFT-join that set on
+    // the gram key — hash-partitioned both sides, NO broadcast
+    // assumption (a corpus-scale reference gram table shuffles, it
+    // never ships) — then one per-doc agg counts the misses.
+    "t25_ngram_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .filter(size(col("words")) >= 3)
+      val grams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 2), " +
+          "i -> concat(words[i-1], ' ', words[i], ' ', words[i+1]))"))
+        .as("gram"))
+      val ref = grams.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("gram").distinct().withColumn("seen", lit(1L))
+      grams.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .join(ref, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", Num.r6(
+          col("n_novel").cast("double") / col("n_grams").cast("double")))
+    }),
+
     "t22_corpus_kl" -> ((s, dir) => {
       val B = DsirBuckets
       val counts = dsirBucketCounts(dsirBucketStream(s, dir))
@@ -1297,6 +1327,26 @@ object TextPack extends QueryPack {
         |  array_to_string(list_sort(list(doc_id * 1048576 + tf)), ',')
         |    AS postings
         |FROM tf GROUP BY 1, 2""".stripMargin,
+    "t25_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM tok WHERE len(w) >= 3)
+        |), ref AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  floor((CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS novelty
+        |FROM g LEFT JOIN ref ON g.gram = ref.gram
+        |WHERE g.doc_id % 2 = 1
+        |GROUP BY 1""".stripMargin,
     "t11_length_buckets" ->
       """WITH t AS (
         |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
