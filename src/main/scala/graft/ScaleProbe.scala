@@ -280,6 +280,10 @@ object ScaleProbe {
     // NDCG: two globalRankRows range sorts + 1-row aggs — the sc4
     // range-sort slope (the ml_lift_gains shape, twice)
     "ml_ndcg",
+    // bloom dedup: one partial-agg sketch pass over history + a map-only
+    // probe + an md5 join confined to the flagged slice — d1's digest
+    // slope at worst (the sketch build), flatter on the probe side
+    "d16_bloom_dedup",
     // hybrid RRF: two globalRank range-sorts (the sc4 shape) + a
     // |docs|-scale outer join + TakeOrdered — the sc4 slope
     "n11_hybrid_rrf",

@@ -443,6 +443,43 @@ object DedupPack extends QueryPack {
           col("exact_dup") || col("known_frac") >= lit(0.9))
     }),
 
+    // Bloom-prefilter incremental dedup — d9's daily-append exactness with
+    // the membership artifact shrunk from the history-sized digest index
+    // to a CONSTANT ~1 MB Bloom sketch (ops/BloomDedup — Spark's own
+    // BloomFilterAggregate). Batch = verbatim re-appearances of every 50th
+    // doc (+2M ids, true dups) plus marker-suffixed variants of every 50th
+    // +1 doc (+3M ids, genuinely new). The probe is MAP-ONLY (sketch rides
+    // the plan as a binary literal); the exact md5 verification join runs
+    // ONLY over bloom-flagged docs — at scale the shuffle carries the dup
+    // fraction of the batch, not the batch, and since Bloom has no false
+    // negatives the final is_dup EQUALS exact membership, which is what
+    // the oracle recomputes (FP-envelope + no-FN laws in BloomDedupSpec).
+    "d16_bloom_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val novel = base.filter(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zq"), col("doc_id").cast("string"))
+            .as("text"))
+      val old = base.filter(col("doc_id") < 1000000L)
+      val fresh = copies.unionByName(novel)
+      val bf = graft.ops.BloomDedup.build(old, col("text"))
+      val flagged = fresh.withColumn("might",
+        graft.ops.BloomDedup.mightContain(bf, col("text")))
+      val oldHash = old.select(md5(col("text")).as("h")).distinct()
+        .withColumn("hash_hit", lit(1))
+      // exact verification confined to the flagged slice; unflagged docs
+      // are definitively new (no Bloom false negatives) and bypass the join
+      val verified = flagged.filter(col("might"))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(oldHash, Seq("h"), "left")
+        .select(col("doc_id"), col("hash_hit").isNotNull.as("is_dup"))
+      flagged.filter(!col("might"))
+        .select(col("doc_id"), lit(false).as("is_dup"))
+        .unionByName(verified)
+    }),
+
     // MLlib-native variant (SURVEY §7.4: MLlib MinHashLSH): tokens →
     // HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Fixed
     // seed → deterministic within the engine; driver-checked as a recall
@@ -559,6 +596,25 @@ object DedupPack extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // d16: Bloom has no false negatives and the flagged slice is exactly
+    // verified, so is_dup ≡ exact history membership — which is what the
+    // oracle states directly (the sketch itself is checked by
+    // BloomDedupSpec's no-FN and fp-envelope laws).
+    "d16_bloom_dedup" ->
+      """WITH old AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id < 1000000
+        |), fresh AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || ' zq' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 50 = 1
+        |)
+        |SELECT f.doc_id, (o.h IS NOT NULL) AS is_dup
+        |FROM (SELECT doc_id, md5(text) AS h FROM fresh) f
+        |LEFT JOIN old o ON f.h = o.h""".stripMargin,
     "d12_paragraph_dedup" ->
       """WITH ws AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
