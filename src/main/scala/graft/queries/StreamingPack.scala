@@ -88,6 +88,13 @@ object StreamingPack extends QueryPack {
     "st13_stream_incremental_dedup" -> ((s, dir) =>
       Streams.streamIncrementalDedup(s, dir)),
 
+    // d16's streaming twin: the historical membership check as a Bloom
+    // PREFILTER — sketch-negative digests skip the index (map-only, no
+    // FN), only the flagged sliver pays the per-micro-batch anti join.
+    // Output contract identical to st13, so the same oracle shape holds.
+    "st15_stream_bloom_dedup" -> ((s, dir) =>
+      Streams.streamBloomDedup(s, dir)),
+
     // Streaming trending-items: the stream maintains watermarked
     // per-(day, type) counts; top-3-per-day ranks DOWNSTREAM over the
     // (windows x types)-sized sink table — ranking can't ride inside an
@@ -146,6 +153,11 @@ object StreamingPack extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
     "st13_stream_incremental_dedup" ->
+      """SELECT DISTINCT md5(text) AS digest
+        |FROM documents
+        |WHERE md5(text) NOT IN (
+        |  SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0)""".stripMargin,
+    "st15_stream_bloom_dedup" ->
       """SELECT DISTINCT md5(text) AS digest
         |FROM documents
         |WHERE md5(text) NOT IN (

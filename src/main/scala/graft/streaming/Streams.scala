@@ -547,10 +547,9 @@ object Streams {
     idxPath
   }
 
-  def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val index = spark.read.parquet(ensureDocDigestIndex(spark, sfDir))
-
-    // stage the documents fixture as a streaming file source
+  /** Stage the documents fixture as a streaming file source; shared by
+    * st13 and st15 (idempotent copy, one staging dir per fixture). */
+  private def stagedDocStream(spark: SparkSession, sfDir: String): DataFrame = {
     val inDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_docs/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(inDir)
@@ -562,12 +561,40 @@ object Streams {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    spark.readStream.schema(schema).parquet(inDir.toString)
+  }
 
-    val fresh = stream
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val index = spark.read.parquet(ensureDocDigestIndex(spark, sfDir))
+    val fresh = stagedDocStream(spark, sfDir)
       .select(md5(col("text")).as("digest"))
       .dropDuplicates("digest")
       .join(index, Seq("digest"), "left_anti")
     runToTable(fresh, spark, "graft_stream_incdedup", "append")
+  }
+
+  /** st13 with the history check inverted into a Bloom PREFILTER (d16's
+    * streaming twin): the ~1 MB sketch of the historical digest index is
+    * built once per invocation (one partial-agg pass — at scale, loaded
+    * from the side-file yesterday's job persisted) and rides every
+    * micro-batch as a map-only predicate. Digests the sketch has never
+    * seen are definitively new (no Bloom false negatives) and skip the
+    * index entirely; only sketch-positive digests (true dups + the fpp
+    * sliver) pay the per-micro-batch LEFT ANTI join, which rescues false
+    * positives. Same output contract as st13 — the first-seen digest set
+    * minus history — so the same batch oracle replays it; what changes is
+    * the per-batch cost shape: st13 anti-joins EVERY batch row against
+    * the history-sized index, st15 joins only the flagged sliver. */
+  def streamBloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val index = spark.read.parquet(ensureDocDigestIndex(spark, sfDir))
+    val bf = graft.ops.BloomDedup.build(index, col("digest"))
+    val digests = stagedDocStream(spark, sfDir)
+      .select(md5(col("text")).as("digest"))
+      .dropDuplicates("digest")
+    val might = graft.ops.BloomDedup.mightContain(bf, col("digest"))
+    val fresh = digests.filter(!might)
+      .unionByName(digests.filter(might)
+        .join(index, Seq("digest"), "left_anti"))
+    runToTable(fresh, spark, "graft_stream_bloomdedup", "append")
   }
 }
