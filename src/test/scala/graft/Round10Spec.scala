@@ -64,6 +64,42 @@ class Round10Spec extends SparkSuite {
     r.unpersist()
   }
 
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("x12 plan pin: one user-keyed exchange carries windows AND the session agg") {
+    val rendered = finalPlan(
+      graft.queries.ExtendedPack.queries("x12_sessionization")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(rendered).size == 1,
+      s"lag + prefix sum + per-session agg must share ONE user_id " +
+        s"partitioning, got:\n$rendered")
+  }
+
+  test("ml_ndcg plan pin: no window operator anywhere (range-sort ranks only)") {
+    val rendered = finalPlan(
+      graft.queries.MlPack.queries("ml_ndcg")(spark, sf))
+    assert(!rendered.contains("Window"),
+      s"global ranks must come from the range-sort primitive, never a " +
+        s"one-task window:\n$rendered")
+  }
+
+  test("d16 plan pin: the membership probe is a literal predicate, not a join") {
+    val q = graft.queries.DedupPack.queries("d16_bloom_dedup")(spark, sf)
+    val rendered = finalPlan(q)
+    assert(rendered.contains("might_contain"),
+      s"bloom probe must ride the plan as a scalar predicate:\n$rendered")
+    // exactly the ONE exact-verification join (flagged slice vs history
+    // digests) — the unflagged branch must reach the union join-free
+    assert("Join".r.findAllIn(rendered).size <= 2, // left_anti renders once; AQE may reprint
+      s"only the flagged slice may pay a join:\n$rendered")
+  }
+
   test("ml_ndcg is bounded by 1 and IDCG dominates DCG") {
     val row = graft.queries.MlPack.queries("ml_ndcg")(spark, sf).head()
     val (dcg, idcg) = (row.getAs[Long]("dcg_e12"), row.getAs[Long]("idcg_e12"))
