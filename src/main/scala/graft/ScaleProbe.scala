@@ -320,7 +320,7 @@ object ScaleProbe {
     // at 10× would measure verification cost, not the bucketed plans
     "d2_minhash_lsh_op", "d3_simhash_op", "d14_fuzzy_decontam_op",
     "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
-    "n9_ann_filtered_op", "n10_ann_sq8_op",
+    "n9_ann_filtered_op", "n10_ann_sq8_op", "n13_ann_binary_op",
     "d10_neardup_lsh_op", "d11_semantic_dedup_op")
 
   /** Operator-only probes for the similarity family: the production
@@ -390,6 +390,12 @@ object ScaleProbe {
       "n10_ann_sq8_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.Sq8.topK(s, e, qs(e), k = 5)
+      }),
+      // 1-bit tier: fixed-|Q| linear scan over 16-byte signatures —
+      // should read at or below n10's slope (4× smaller memory touch)
+      "n13_ann_binary_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.BinaryQuant.topK(e, qs(e), k = 5)
       }),
       "d10_neardup_lsh_op" -> ((s, dir) =>
         graft.ann.Similarity.neardupPairsLsh(s,

@@ -312,6 +312,17 @@ object AnnPack extends QueryPack {
         Sq8Bound, "recall5_ge_060")
     }),
 
+    // 1-bit binary-quantization top-5 (ann/BinaryQuant): sign bits packed
+    // 32/word, Hamming via XOR+popcount — a 16-byte scan per vector (16×
+    // below brute force, 4× below SQ8), the coarse tier in front of an
+    // exact re-rank. Unlike the float tiers the WHOLE top-k is integer-
+    // exact, so this one gets a full hash oracle, not a recall frame
+    // (the cosine-recall law lives in BinaryQuantSpec).
+    "n13_ann_binary" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.BinaryQuant.topK(e, queriesSet(e), k = 5)
+    }),
+
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
@@ -582,6 +593,33 @@ object AnnPack extends QueryPack {
     "n10_ann_sq8" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_060
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // n13 is integer-exact end to end (sign → pack → XOR → popcount), so
+    // the oracle replays the full top-k, not a recall frame
+    "n13_ann_binary" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN embedding[CAST(j + 1 AS INT)] > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN embedding[CAST(j + 33 AS INT)] > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS s1
+        |  FROM embeddings, unnest(range(0, 32)) AS t(j)
+        |  GROUP BY vec_id
+        |), q AS (
+        |  SELECT vec_id AS qid, s0 AS q0, s1 AS q1 FROM sig
+        |  WHERE vec_id % 50 = 0
+        |), scored AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    CAST(bit_count(xor(c.s0, q.q0))
+        |       + bit_count(xor(c.s1, q.q1)) AS BIGINT) AS ham
+        |  FROM sig c CROSS JOIN q
+        |  WHERE c.vec_id <> q.qid
+        |)
+        |SELECT qid, row_number() OVER w AS rank, cid, ham
+        |FROM scored
+        |WINDOW w AS (PARTITION BY qid ORDER BY ham, cid)
+        |QUALIFY rank <= 5""".stripMargin,
     // d11's frame: the planted-twin truth is LINEAR (each original paired
     // with its own perturbed twin), so the oracle recomputes it as a
     // per-row expression — no O(n²) join
