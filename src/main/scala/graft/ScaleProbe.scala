@@ -284,6 +284,10 @@ object ScaleProbe {
     // probe + an md5 join confined to the flagged slice — d1's digest
     // slope at worst (the sketch build), flatter on the probe side
     "d16_bloom_dedup",
+    // connected components: min-label propagation rounds over the cached
+    // symmetric edges — the g1/g3 iterative band (messages ≤ |E|/round;
+    // disjoint replica copies keep component structure copy-identical)
+    "g6_connected_components",
     // hybrid RRF: two globalRank range-sorts (the sc4 shape) + a
     // |docs|-scale outer join + TakeOrdered — the sc4 slope
     "n11_hybrid_rrf",

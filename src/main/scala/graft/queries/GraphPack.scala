@@ -182,6 +182,21 @@ object GraphPack extends QueryPack {
         known = known.unionAll(frontier).cache()
       }
       known
+    }),
+
+    // Connected components as a first-class graph query (the operator —
+    // graft.ops.Components, min-label propagation with a Two-Phase/
+    // star-contraction fallback — has served d7's dedup clustering since
+    // r5; this exposes it over the supplier co-occurrence graph, the
+    // "how many independent supplier communities exist" question).
+    // Labeling is EXACT (component = min reachable node id, a pure
+    // function of the edge set, independent of round count or schedule),
+    // so the oracle replays it as a recursive reachability CTE with a
+    // min() collapse — no unrolled rounds needed, unlike g1/g3/g4.
+    "g6_connected_components" -> ((s, dir) => {
+      val und = cooccurrenceEdges(s, dir, minW = 5)
+      graft.ops.Components.connectedComponents(s,
+        und.select(col("sa").as("a"), col("sb").as("b")))
     })
   )
 
@@ -335,7 +350,28 @@ object GraphPack extends QueryPack {
           |  FROM bfs JOIN sym ON bfs.node = sym.src
           |  WHERE bfs.dist < 4
           |)
-          |SELECT node, min(dist) AS dist FROM bfs GROUP BY 1""".stripMargin
+          |SELECT node, min(dist) AS dist FROM bfs GROUP BY 1""".stripMargin,
+      // g6: the labeling is schedule-independent (component = min
+      // reachable id), so the oracle is plain transitive closure —
+      // tractable at fixture scale; the engine side never materializes it
+      "g6_connected_components" ->
+        """WITH RECURSIVE li AS (
+          |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
+          |  FROM lineitem
+          |), edges AS (
+          |  SELECT a.sid AS sa, b.sid AS sb
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.sid < b.sid
+          |  GROUP BY 1, 2 HAVING count(*) >= 5
+          |), sym AS (
+          |  SELECT sa AS a, sb AS b FROM edges
+          |  UNION ALL SELECT sb AS a, sa AS b FROM edges
+          |), reach(node, r) AS (
+          |  SELECT a, a FROM sym
+          |  UNION
+          |  SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r
+          |)
+          |SELECT node, CAST(min(r) AS BIGINT) AS component
+          |FROM reach GROUP BY 1""".stripMargin
     )
   }
 }
