@@ -48,6 +48,35 @@ object SortSetPack extends QueryPack {
       val l = Tables.lineitem(s, dir)
       l.select("l_orderkey")
         .except(l.filter(col("l_quantity") > 10).select("l_orderkey"))
+    }),
+
+    // CDC snapshot diff — change CAPTURE between two dataset versions
+    // (the complement of u5's change APPLICATION): a key-aligned full
+    // outer join classifies every key as insert / delete / update;
+    // unchanged rows drop out, so the output is exactly the changelog an
+    // incremental consumer replays. Payload compare is exact cents. ONE
+    // keyed shuffle; at 100 TB both snapshot versions bucket on the key
+    // and the join plans exchange-free (the sc2 layout). Snapshots are
+    // deterministic slices of customer: yesterday = keys % 13 != 0,
+    // today = keys % 11 != 0 with % 7 == 0 balances bumped one dollar.
+    "u6_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"),
+          graft.Num.cents(col("c_acctbal")).as("bal"))
+      val a = base.filter(pmod(col("k"), lit(13)) =!= 0)
+        .select(col("k"), col("bal").as("old_bal"))
+      val b = base.filter(pmod(col("k"), lit(11)) =!= 0)
+        .select(col("k"),
+          when(pmod(col("k"), lit(7)) === 0, col("bal") + 100L)
+            .otherwise(col("bal")).as("new_bal"))
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("op",
+          when(col("old_bal").isNull, lit("insert"))
+            .when(col("new_bal").isNull, lit("delete"))
+            .when(col("old_bal") =!= col("new_bal"), lit("update")))
+        .filter(col("op").isNotNull)
+        .select(col("k").as("c_custkey"), col("op"),
+          col("old_bal"), col("new_bal"))
     })
   )
 
@@ -71,6 +100,25 @@ object SortSetPack extends QueryPack {
     "u4_except" ->
       """SELECT l_orderkey FROM lineitem
         |EXCEPT
-        |SELECT l_orderkey FROM lineitem WHERE l_quantity > 10""".stripMargin
+        |SELECT l_orderkey FROM lineitem WHERE l_quantity > 10""".stripMargin,
+    "u6_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer
+        |), a AS (
+        |  SELECT k, bal AS old_bal FROM base WHERE k % 13 <> 0
+        |), b AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS new_bal
+        |  FROM base WHERE k % 11 <> 0
+        |)
+        |SELECT coalesce(a.k, b.k) AS c_custkey,
+        |  CASE WHEN a.k IS NULL THEN 'insert'
+        |       WHEN b.k IS NULL THEN 'delete'
+        |       WHEN a.old_bal <> b.new_bal THEN 'update' END AS op,
+        |  a.old_bal, b.new_bal
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.old_bal <> b.new_bal""".stripMargin
   )
 }
