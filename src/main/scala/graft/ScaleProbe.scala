@@ -288,6 +288,8 @@ object ScaleProbe {
     // symmetric edges — the g1/g3 iterative band (messages ≤ |E|/round;
     // disjoint replica copies keep component structure copy-identical)
     "g6_connected_components",
+    // snapshot diff: one key-aligned full outer join — j7's keyed slope
+    "u6_snapshot_diff",
     // hybrid RRF: two globalRank range-sorts (the sc4 shape) + a
     // |docs|-scale outer join + TakeOrdered — the sc4 slope
     "n11_hybrid_rrf",
