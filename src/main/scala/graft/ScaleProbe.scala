@@ -130,6 +130,9 @@ object ScaleProbe {
     // ranking metrics: the MW type-table collapse + one prefix pass
     // over the (bounded) score domain — the stats_mannwhitney slope
     "ml_auc",
+    // PR curve: exactly ml_auc's plan (one packed prefix pass over the
+    // bounded score domain) with a per-threshold projection — same slope
+    "ml_pr_curve",
     // gains/lift: one globalRankRows range sort + a 10-cell decile agg
     // — the sc4 range-sort slope
     "ml_lift_gains",

@@ -164,6 +164,45 @@ object MlPack extends QueryPack {
           (col("ap_e9").cast(DoubleType) / (nP.toDouble * 1e9)).as("pr_auc"))
     }),
 
+    // Full precision-recall curve — one row per distinct score threshold
+    // (the table ml_auc's scalar AP summarizes; what you plot to PICK an
+    // operating point). Reuses the ml_auc machinery exactly: type-table
+    // collapse, ONE packed prefix-sum pass over the bounded score domain
+    // (never a one-task window), and every output is either an exact
+    // Long count or a single r6-rounded ratio of exact Longs — including
+    // F1, folded to the integer-exact form 2·TP / (2·TP + FP + FN) =
+    // 2·cum_p / (cum_p + cum_n + n_pos) so no pre-rounded ratio ever
+    // feeds another ratio.
+    "ml_pr_curve" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").as("pos"),
+          Num.cents(col("value")).as("c"))
+      val types = ev.groupBy(col("c")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      val tot = types.agg(coalesce(sum(col("np")), lit(0L)),
+        coalesce(sum(col("nn")), lit(0L))).head()
+      val (nP, nN) = (tot.getLong(0), tot.getLong(1))
+      require(nP > 0 && nN > 0,
+        s"ml_pr_curve needs both classes non-empty (pos=$nP, neg=$nN)")
+      require(nP < (1L << 30) && nN < (1L << 30),
+        s"class sizes ($nP, $nN) exceed the 2^30 packing envelope")
+      val packed = types.withColumn("packed",
+        col("np") * (1L << 32) + col("nn"))
+      graft.Ranks.globalPrefixSum(
+          packed, "packed", Seq(col("c").desc), "cum_packed")
+        .withColumn("cum_p", shiftright(col("cum_packed"), 32))
+        .withColumn("cum_n", col("cum_packed").bitwiseAND(lit(0xffffffffL)))
+        .select(col("c").as("threshold_cents"),
+          col("cum_p"), col("cum_n"),
+          Num.r6(col("cum_p").cast(DoubleType) /
+            (col("cum_p") + col("cum_n")).cast(DoubleType)).as("precision"),
+          Num.r6(col("cum_p").cast(DoubleType) / nP.toDouble).as("recall"),
+          Num.r6((col("cum_p") * 2).cast(DoubleType) /
+            (col("cum_p") + col("cum_n") + nP).cast(DoubleType)).as("f1"))
+    }),
+
     // Cumulative gains / lift table at score deciles — the campaign-
     // targeting readout next to ml_auc's ranking and ml_calibration's
     // probability check ("mailing the top 20% by score catches X% of
@@ -1004,6 +1043,33 @@ object MlPack extends QueryPack {
         |  CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * span) AS mean_conf,
         |  e.ece AS ece
         |FROM cells, e""".stripMargin,
+    "ml_pr_curve" ->
+      """WITH ev AS (
+        |  SELECT (event_type = 'purchase') AS pos,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), t AS (
+        |  SELECT c,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM ev GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos FROM t
+        |), cum AS (
+        |  SELECT c,
+        |    CAST(sum(np) OVER (ORDER BY c DESC) AS BIGINT) AS cum_p,
+        |    CAST(sum(nn) OVER (ORDER BY c DESC) AS BIGINT) AS cum_n
+        |  FROM t
+        |)
+        |SELECT c AS threshold_cents, cum_p, cum_n,
+        |  floor((CAST(cum_p AS DOUBLE) / CAST(cum_p + cum_n AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS precision,
+        |  floor((CAST(cum_p AS DOUBLE) / CAST(n.n_pos AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS recall,
+        |  floor((CAST(cum_p * 2 AS DOUBLE)
+        |      / CAST(cum_p + cum_n + n.n_pos AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS f1
+        |FROM cum CROSS JOIN n""".stripMargin,
     "ml_ndcg" ->
       """WITH ev AS (
         |  SELECT event_id, (event_type = 'purchase') AS pos,
