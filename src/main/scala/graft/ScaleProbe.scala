@@ -293,6 +293,8 @@ object ScaleProbe {
     "g6_connected_components",
     // snapshot diff: one key-aligned full outer join — j7's keyed slope
     "u6_snapshot_diff",
+    // text normalization: map-only regex scan — t2's slope
+    "t26_text_normalize",
     // hybrid RRF: two globalRank range-sorts (the sc4 shape) + a
     // |docs|-scale outer join + TakeOrdered — the sc4 slope
     "n11_hybrid_rrf",

@@ -818,6 +818,28 @@ object TextPack extends QueryPack {
     // the gram key — hash-partitioned both sides, NO broadcast
     // assumption (a corpus-scale reference gram table shuffles, it
     // never ships) — then one per-doc agg counts the misses.
+    // Text normalization — the canonicalization pass a corpus runs BEFORE
+    // hashing/dedup (c13 handles the Unicode-form half; this is the
+    // case/punctuation/whitespace half): lowercase, strip sentence
+    // punctuation, collapse whitespace runs. Map-only, zero shuffles —
+    // one codegen'd scan at any scale. Regex classes are explicit
+    // character sets so Java regex (Spark) and RE2 (DuckDB) agree
+    // byte-for-byte; the emitted digest is the dedup key downstream
+    // passes would consume.
+    "t26_text_normalize" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[.,!?;:\"']", ""),
+        "\\s+", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("clean", cleaned)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(col("clean")).cast("long").as("len_clean"),
+          (col("clean") =!= col("text")).as("changed"),
+          md5(col("clean")).as("clean_digest"))
+    }),
+
     "t25_ngram_novelty" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
@@ -1327,6 +1349,18 @@ object TextPack extends QueryPack {
         |  array_to_string(list_sort(list(doc_id * 1048576 + tf)), ',')
         |    AS postings
         |FROM tf GROUP BY 1, 2""".stripMargin,
+    "t26_text_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[.,!?;:"'']', '', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+        |  CAST(length(clean) AS BIGINT) AS len_clean,
+        |  clean <> text AS changed,
+        |  md5(clean) AS clean_digest
+        |FROM c""".stripMargin,
     "t25_ngram_novelty" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
