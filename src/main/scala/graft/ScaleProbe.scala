@@ -133,6 +133,8 @@ object ScaleProbe {
     // PR curve: exactly ml_auc's plan (one packed prefix pass over the
     // bounded score domain) with a per-threshold projection — same slope
     "ml_pr_curve",
+    // Brier: one knob agg + one moment scan — t2's map-only slope
+    "ml_brier",
     // gains/lift: one globalRankRows range sort + a 10-cell decile agg
     // — the sc4 range-sort slope
     "ml_lift_gains",

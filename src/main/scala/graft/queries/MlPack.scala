@@ -164,6 +164,37 @@ object MlPack extends QueryPack {
           (col("ap_e9").cast(DoubleType) / (nP.toDouble * 1e9)).as("pr_auc"))
     }),
 
+    // Brier score for the same scored binary task ml_calibration bins —
+    // the strictly proper scoring rule next to ECE's binned readout.
+    // conf = (c − cmin)/span exactly as ml_calibration defines it, so the
+    // numerator Σ(x − y·span)² is EXACT integer arithmetic (x, span, y
+    // all integers; accumulated in DECIMAL(38,0) — x² brushes 2⁶³ at
+    // wide spans) and ONE final division makes the float. Companion
+    // columns: the base rate and the uncertainty term ȳ(1−ȳ) (the Brier
+    // decomposition's irreducible floor), both exact ratios. One scan,
+    // one knob agg — t2's map-only slope.
+    "ml_brier" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").as("pos"),
+          Num.cents(col("value")).as("c"))
+      val mm = ev.agg(min(col("c")), max(col("c")), count(lit(1)),
+        coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L))).head()
+      require(mm.getLong(2) > 0 && !mm.isNullAt(0),
+        "ml_brier: empty scored slice")
+      val (cmin, n, nPos) = (mm.getLong(0), mm.getLong(2), mm.getLong(3))
+      val span = math.max(1L, mm.getLong(1) - cmin)
+      val err = (col("c") - cmin) - when(col("pos"), span).otherwise(0L)
+      ev.agg(sum((err * err).cast(dec)).as("sq"))
+        .select(lit(n).as("n"), lit(nPos).as("n_pos"),
+          Num.r6(col("sq").cast(DoubleType) /
+            (n.toDouble * span.toDouble * span.toDouble)).as("brier"),
+          Num.r6(lit(nPos.toDouble / n)).as("base_rate"),
+          Num.r6(lit(nPos.toDouble * (n - nPos) / (n.toDouble * n)))
+            .as("uncertainty"))
+    }),
+
     // Full precision-recall curve — one row per distinct score threshold
     // (the table ml_auc's scalar AP summarizes; what you plot to PICK an
     // operating point). Reuses the ml_auc machinery exactly: type-table
@@ -1043,6 +1074,32 @@ object MlPack extends QueryPack {
         |  CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * span) AS mean_conf,
         |  e.ece AS ece
         |FROM cells, e""".stripMargin,
+    "ml_brier" ->
+      """WITH ev AS (
+        |  SELECT (event_type = 'purchase') AS pos,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), mm AS (
+        |  SELECT min(c) AS cmin, greatest(max(c) - min(c), 1) AS span,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM ev
+        |), sq AS (
+        |  SELECT CAST(sum(
+        |      ((c - mm.cmin) - CASE WHEN pos THEN mm.span ELSE 0 END)
+        |    * ((c - mm.cmin) - CASE WHEN pos THEN mm.span ELSE 0 END))
+        |    AS DOUBLE) AS s
+        |  FROM ev, mm
+        |)
+        |SELECT CAST(mm.n AS BIGINT) AS n, mm.n_pos,
+        |  floor((sq.s / (CAST(mm.n AS DOUBLE) * mm.span * mm.span))
+        |    * 1000000 + 0.5) / 1000000 AS brier,
+        |  floor((CAST(mm.n_pos AS DOUBLE) / mm.n) * 1000000 + 0.5)
+        |    / 1000000 AS base_rate,
+        |  floor((CAST(mm.n_pos AS DOUBLE) * (mm.n - mm.n_pos)
+        |      / (CAST(mm.n AS DOUBLE) * mm.n)) * 1000000 + 0.5)
+        |    / 1000000 AS uncertainty
+        |FROM mm, sq""".stripMargin,
     "ml_pr_curve" ->
       """WITH ev AS (
         |  SELECT (event_type = 'purchase') AS pos,
