@@ -127,6 +127,9 @@ object ScaleProbe {
     // moments, all statistics projection arithmetic on a single row —
     // should read the flattest map-only slope in the stats family
     "stats_welch_t", "stats_anova_f",
+    // Brown–Forsythe: c16's bounded-histogram median pass + one
+    // deviation-moment scan — the c16 slope plus anova's scan
+    "stats_levene",
     // ranking metrics: the MW type-table collapse + one prefix pass
     // over the (bounded) score domain — the stats_mannwhitney slope
     "ml_auc",

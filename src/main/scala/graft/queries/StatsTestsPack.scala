@@ -259,6 +259,61 @@ object StatsTestsPack extends QueryPack {
       m.select(nTot.as("n_total"), lit(types.size).as("k_groups"),
         Num.r6((ssb / (k - 1)) / (ssw / (nD - k))).as("f_stat"),
         Num.r6(ssb / (ssb + ssw)).as("eta_sq"))
+    }),
+
+    // Brown–Forsythe variance-equality test (Levene with the MEDIAN
+    // center — the robust form) across the five event types: the missing
+    // member of the test family (t/ANOVA compare LOCATION assuming equal
+    // spread; this tests the spread assumption itself). Two passes:
+    // (1) per-type medians via c16's bounded doubled-cents histogram
+    // (windows order the histogram, never the corpus; med4 = lower+upper
+    // median in c2 space stays INTEGER), (2) one scan computing the
+    // quadrupled-cent deviations z = |2·c2 − med4| (exact Longs) and
+    // ANOVA's 15 moments over z — the stats_anova_f machinery verbatim,
+    // including DECIMAL(38,0) squared sums and fixed-order reductions.
+    "stats_levene" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val W = org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin(types: _*))
+        .select(col("event_type"), (Num.cents(col("value")) * 2).as("c2"))
+      val hist = ev.groupBy("event_type", "c2").agg(count(lit(1)).as("cnt"))
+      val med = hist
+        .withColumn("cum",
+          sum(col("cnt")).over(W.partitionBy("event_type").orderBy("c2")))
+        .withColumn("n", sum(col("cnt")).over(W.partitionBy("event_type")))
+        .groupBy(col("event_type"))
+        .agg((min(when(col("cum") >= expr("(n + 1) DIV 2"), col("c2"))) +
+          min(when(col("cum") >= expr("n DIV 2 + 1"), col("c2"))))
+          .as("med4"))
+      val zrows = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c2") * 2 - col("med4")).as("z"))
+      val m = zrows.agg(
+        sum(when(col("event_type") === types.head, 1L).otherwise(0L))
+          .as(s"n_${types.head}"),
+        (types.tail.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) ++
+        types.map(t =>
+          sum(when(col("event_type") === t, col("z")).otherwise(0L))
+            .as(s"s_$t")) ++
+        types.map(t =>
+          sum(when(col("event_type") === t, (col("z") * col("z")).cast(dec))
+            .otherwise(lit(0).cast(dec))).as(s"q_$t"))): _*)
+      val between = types.map { t =>
+        (col(s"s_$t").cast(DoubleType) * col(s"s_$t").cast(DoubleType)) /
+          col(s"n_$t").cast(DoubleType)
+      }.reduceLeft(_ + _)
+      val nTot = types.map(t => col(s"n_$t")).reduceLeft(_ + _)
+      val sTot = types.map(t => col(s"s_$t")).reduceLeft(_ + _)
+      val qTot = types.map(t => col(s"q_$t")).reduceLeft(_ + _)
+      val nD = nTot.cast(DoubleType)
+      val ssb = between -
+        (sTot.cast(DoubleType) * sTot.cast(DoubleType)) / nD
+      val ssw = qTot.cast(DoubleType) - between
+      val k = lit(types.size.toDouble)
+      m.select(nTot.as("n_total"), lit(types.size).as("k_groups"),
+        Num.r6((ssb / (k - 1)) / (ssw / (nD - k))).as("levene_w"))
     })
   )
 
@@ -596,6 +651,69 @@ object StatsTestsPack extends QueryPack {
         |  floor(((ssb / 4.0) / (ssw / (nd - 5.0))) * 1000000 + 0.5)
         |    / 1000000 AS f_stat,
         |  floor((ssb / (ssb + ssw)) * 1000000 + 0.5) / 1000000 AS eta_sq
+        |FROM f""".stripMargin,
+    "stats_levene" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |), hist AS (
+        |  SELECT event_type, c2, count(*) AS cnt FROM ev GROUP BY 1, 2
+        |), hc AS (
+        |  SELECT event_type, c2, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c2) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist
+        |), med AS (
+        |  SELECT event_type,
+        |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN c2 END) +
+        |         min(CASE WHEN cum >= n // 2 + 1 THEN c2 END) AS BIGINT)
+        |      AS med4
+        |  FROM hc GROUP BY 1
+        |), z AS (
+        |  SELECT ev.event_type, abs(ev.c2 * 2 - m.med4) AS z
+        |  FROM ev JOIN med m USING (event_type)
+        |), mom AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN z ELSE 0 END) AS BIGINT) AS s_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN z ELSE 0 END) AS BIGINT) AS s_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN z ELSE 0 END) AS BIGINT) AS s_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN z ELSE 0 END) AS BIGINT) AS s_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN z ELSE 0 END) AS BIGINT) AS s_view,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN z * z ELSE 0 END) AS BIGINT) AS q_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN z * z ELSE 0 END) AS BIGINT) AS q_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN z * z ELSE 0 END) AS BIGINT) AS q_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN z * z ELSE 0 END) AS BIGINT) AS q_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN z * z ELSE 0 END) AS BIGINT) AS q_view
+        |  FROM z
+        |), d AS (
+        |  SELECT
+        |    n_click + n_error + n_purchase + n_signup + n_view AS n_total,
+        |    CAST(n_click + n_error + n_purchase + n_signup + n_view AS DOUBLE) AS nd,
+        |    CAST(s_click + s_error + s_purchase + s_signup + s_view AS DOUBLE) AS sd,
+        |    CAST(q_click + q_error + q_purchase + q_signup + q_view AS DOUBLE) AS qd,
+        |    (CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE)) / CAST(n_click AS DOUBLE)
+        |    + (CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE)) / CAST(n_error AS DOUBLE)
+        |    + (CAST(s_purchase AS DOUBLE) * CAST(s_purchase AS DOUBLE)) / CAST(n_purchase AS DOUBLE)
+        |    + (CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE)) / CAST(n_signup AS DOUBLE)
+        |    + (CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE)) / CAST(n_view AS DOUBLE)
+        |      AS between_term
+        |  FROM mom
+        |), f AS (
+        |  SELECT n_total,
+        |    between_term - (sd * sd) / nd AS ssb,
+        |    qd - between_term AS ssw, nd
+        |  FROM d
+        |)
+        |SELECT n_total, 5 AS k_groups,
+        |  floor(((ssb / 4.0) / (ssw / (nd - 5.0))) * 1000000 + 0.5)
+        |    / 1000000 AS levene_w
         |FROM f""".stripMargin,
     "stats_mannwhitney" ->
       """WITH ev AS (
