@@ -337,6 +337,7 @@ object ScaleProbe {
     "d2_minhash_lsh_op", "d3_simhash_op", "d14_fuzzy_decontam_op",
     "n3_ann_lsh_op", "n4_ann_ivf_op", "n5_ann_pq_op", "n7_ann_ivfpq_op",
     "n9_ann_filtered_op", "n10_ann_sq8_op", "n13_ann_binary_op",
+    "n14_ann_binary_rerank_op",
     "d10_neardup_lsh_op", "d11_semantic_dedup_op")
 
   /** Operator-only probes for the similarity family: the production
@@ -412,6 +413,12 @@ object ScaleProbe {
       "n13_ann_binary_op" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.BinaryQuant.topK(e, qs(e), k = 5)
+      }),
+      // two-tier: the n13 scan + a 200-candidate float re-rank — the
+      // refine join is shortlist-sized, so the slope should match n13's
+      "n14_ann_binary_rerank_op" -> ((s, dir) => {
+        val e = emb(s, dir)
+        graft.ann.BinaryQuant.topKReranked(e, qs(e), k = 5, m = 200)
       }),
       "d10_neardup_lsh_op" -> ((s, dir) =>
         graft.ann.Similarity.neardupPairsLsh(s,

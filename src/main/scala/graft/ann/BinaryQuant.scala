@@ -36,6 +36,28 @@ object BinaryQuant {
   def signatures(corpus: DataFrame): DataFrame =
     corpus.select(col("vec_id"), word(0).as("s0"), word(32).as("s1"))
 
+  /** The production two-tier shape: coarse 1-bit Hamming shortlist of
+    * `m` candidates per query (the 16-byte scan), then exact cosine
+    * re-ranks the shortlist to the final top-k — only m vectors per
+    * query ever touch their 256-byte floats. The refine join is keyed on
+    * cid (candidates shuffle, the corpus's float column attaches by key);
+    * the per-query window orders m rows, bounded by construction. */
+  def topKReranked(corpus: DataFrame, queries: DataFrame,
+      k: Int, m: Int): DataFrame = {
+    val cand = topK(corpus, queries, m).select("qid", "cid")
+    val cvec = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), Similarity.l2norm(col("embedding")).as("c_norm"))
+    val qvec = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb"), Similarity.l2norm(col("embedding")).as("q_norm"))
+    val scored = cand.join(cvec, "cid").join(broadcast(qvec), "qid")
+      .withColumn("sim", graft.Num.r6(
+        Similarity.dot(col("q_emb"), col("c_emb")) / col("q_norm") / col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "sim")
+  }
+
   /** Exact Hamming top-k per query over the packed signatures. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val sig = signatures(corpus).cache() // one signature pass, both sides

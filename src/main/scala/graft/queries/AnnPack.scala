@@ -323,6 +323,22 @@ object AnnPack extends QueryPack {
       graft.ann.BinaryQuant.topK(e, queriesSet(e), k = 5)
     }),
 
+    // The two-tier production shape over n13's coarse codes: 200-candidate
+    // Hamming shortlist, exact cosine re-rank to top-5 — only the
+    // shortlist ever reads its floats. The shortlist must scale with
+    // corpus DENSITY, not stay fixed (m = 50 passed the 0.60 floor at
+    // 2k vectors but read 0.55 at 20k — 64 sign bits rank many isotropic
+    // neighbors into the same Hamming shells, so the coarse tier needs
+    // ~1% of the corpus shortlisted); m = 200 holds the bound with
+    // margin at every fixture SF. Recall invariant frame vs the exact
+    // truth, bound shared with SQ8's refine tier.
+    "n14_ann_binary_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallFrame(s, dir,
+        graft.ann.BinaryQuant.topKReranked(e, queriesSet(e), k = 5, m = 200),
+        Sq8Bound, "recall5_ge_060")
+    }),
+
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
@@ -591,6 +607,9 @@ object AnnPack extends QueryPack {
       """SELECT count(*) AS n_queries, true AS recall5_ge_025
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "n10_ann_sq8" ->
+      """SELECT count(*) AS n_queries, true AS recall5_ge_060
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "n14_ann_binary_rerank" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_060
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // n13 is integer-exact end to end (sign → pack → XOR → popcount), so
