@@ -37,5 +37,14 @@ class BinaryQuantSpec extends SparkSuite {
     // sign-agreement ≈ 1 − θ/π, enough to beat chance by an order of
     // magnitude; the production shape re-ranks ~4k candidates exactly
     assert(recall >= 0.15, f"recall $recall%.3f below the coarse-tier floor")
+
+    // the two-tier refine must dominate the raw coarse tier: every exact
+    // hit the shortlist contains survives the cosine re-rank
+    val reranked = BinaryQuant.topKReranked(emb, qs, k = 5, m = 200)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = (reranked & exact).size.toDouble / exact.size
+    info(f"two-tier (m=200) recall@5 vs exact cosine: $rr%.3f")
+    assert(rr >= recall, "refining a superset shortlist can only help")
+    assert(rr >= 0.60, f"two-tier recall $rr%.3f below the n14 frame bound")
   }
 }
