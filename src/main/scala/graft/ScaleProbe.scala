@@ -331,6 +331,26 @@ object ScaleProbe {
     // index build out of the measured pass (the d9/gbt accounting) — the
     // timed region is the append slice's assignment + cached union
     "n8_ann_incremental_assign",
+    // 2-D skyline: distinct-price collapse + the globalPrefixMax sweep
+    // (range sort over the price domain, which the replica holds FIXED —
+    // price values repeat across copies) — expect the sub-linear
+    // bounded-domain slope of stats_mannwhitney
+    "o4_skyline",
+    // normal-equation OLS: ONE map-side-combinable 9-moment agg, zero
+    // joins — should tie h6 for the flattest slope in the suite
+    "ml_linreg_normal",
+    // association rules: one (ok, brand) distinct shuffle + a broadcast
+    // frequent filter + the orderkey-co-partitioned pair self-join
+    // (fanout bounded by basket size) — the x8 two-keyed-aggs slope
+    "ml_assoc_rules",
+    // HITS: 6 half-rounds over the cached bipartite edges, each one
+    // keyed shuffle + a 1-row broadcast max — the g1 iterative band
+    "g7_hits",
+    // prefix-filter set-similarity join: df shuffle + prefix-token
+    // candidate join + doc-keyed verify. The bijective vocab rename
+    // keeps cross-copy tokens disjoint, so each copy's prefix posting
+    // lists match the base copy's — candidates grow linearly, d8's slope
+    "d17_prefix_filter_join",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans

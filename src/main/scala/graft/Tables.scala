@@ -172,6 +172,50 @@ object Ranks {
       cumCol: String): DataFrame =
     globalPrefixSumWithTotal(df, valCol, order, cumCol)._1
 
+  /** Appends the running MAX of `valCol` (LongType) over all STRICTLY
+    * PRECEDING rows under the global total order `order` — null for the
+    * global first row. Same two-pass shape as [[globalPrefixSum]]:
+    * range-partitioned sort, per-partition maxima collected (numPartitions
+    * longs), exclusive prefix-maxima broadcast, map-only second pass. This
+    * is the distributed sweep primitive behind the 2-D skyline
+    * (o4_skyline): max is associative, so the per-partition offset trick
+    * applies exactly as it does for sums, and no single-partition
+    * `max() OVER (ORDER BY …)` funnel ever materializes. */
+  def globalPrefixMaxExclusive(df: DataFrame, valCol: String,
+      order: Seq[Column], cumCol: String): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(valCol)
+    val rdd = sorted.rdd
+    val partMax = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = Long.MinValue
+      var any = false
+      it.foreach { r => any = true; acc = math.max(acc, r.getLong(idx)) }
+      Iterator.single((i, if (any) Some(acc) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    // exclusive prefix-max of the per-partition maxima
+    val offsets = partMax.scanLeft(Option.empty[Long]) { (a, b) =>
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(math.max(x, y))
+        case (x, None)          => x
+        case (None, y)          => y
+      }
+    }.init // scanLeft yields n+1 entries; entry i = max over partitions [0,i)
+    val bc = s.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(cumCol, org.apache.spark.sql.types.LongType,
+      nullable = true)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val prev = acc
+        val v = r.getLong(idx)
+        acc = Some(acc.fold(v)(math.max(_, v)))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ prev.map(Long.box).orNull)
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   /** [[globalPrefixSum]] plus the grand total, which the subtotal pass
     * already computed (offsets.last) — callers needing the corpus total
     * (e.g. a budget knob) read it here instead of paying another scan. */

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg, JACM 1999) by synchronous power
+  * iteration over a directed bipartite edge set — PageRank's sibling
+  * eigenvector: authority mass flows along in-edges, hub mass along
+  * out-edges, mutually reinforcing.
+  *
+  * Arithmetic is FIXED-POINT like [[PageRank]]: scores are 1e6-scaled
+  * BIGINTs, each half-round is an exact integer message sum followed by
+  * truncating integer renormalization against the round's max score (the
+  * HITS normalization step, integerized), so the whole iteration is
+  * bit-identical across engines and partition orders and the DuckDB
+  * oracle replays it as unrolled CTEs with a hash-match.
+  *
+  * Each half-round is ONE keyed shuffle (join scores to edges on the
+  * source side, partial-agg the sums on the destination side) plus a
+  * 1-row max broadcast. Unlike PageRank — whose rounds reference the
+  * previous rank vector ONCE and therefore pipeline as a single lineage —
+  * the renormalization reads each raw-sum table TWICE (the max aggregate
+  * and the divide), so every half-round's raw sums are cached: without
+  * that, lineage doubles per half-round and a 3-round run re-derives the
+  * edge join ~2⁶ times (measured: 108 s → ~10 s at sf0.01). Caches are
+  * nodes-sized, held in the same one-slot pool as [[PageRank]] /
+  * [[Components]] and released when the next call starts.
+  *
+  * Integer envelope: score ≤ 1e6 and raw sum ≤ 1e6·deg, so the 1e6
+  * rescale peaks at deg·1e12 — inside BIGINT for deg < 9e6; beyond that,
+  * rescale before summing.
+  */
+object Hits {
+
+  val Scale = 1000000L // 1e6 fixed-point score scale
+
+  private var lastCaches: Seq[DataFrame] = Nil
+
+  /** @param edges directed (c, p) BIGINT pairs, pre-deduplicated: hubs on
+    *        the `c` side, authorities on the `p` side.
+    * @param iters fixed synchronous round count.
+    * @return (node, kind, score) — kind ∈ {hub, authority}, score the
+    *         1e6-scaled fixed-point value after the final round (each
+    *         round's max score is pinned at exactly Scale). */
+  def run(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
+    synchronized {
+      lastCaches.foreach(_.unpersist(false))
+      lastCaches = Nil
+    }
+    val cs = edges.select(col("c"), col("p")).cache()
+    var held = Seq(cs)
+    var hub = cs.select(col("c")).distinct()
+      .select(col("c"), lit(Scale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = cs.join(hub, "c").groupBy("p").agg(sum(col("h")).as("s")).cache()
+      auth = ar.crossJoin(broadcast(ar.agg(max(col("s")).as("mx"))))
+        .select(col("p"), expr(s"(s * ${Scale}L) DIV mx").as("a"))
+      val hr = cs.join(auth, "p").groupBy("c").agg(sum(col("a")).as("s")).cache()
+      hub = hr.crossJoin(broadcast(hr.agg(max(col("s")).as("mx"))))
+        .select(col("c"), expr(s"(s * ${Scale}L) DIV mx").as("h"))
+      held = held ++ Seq(ar, hr)
+    }
+    synchronized { lastCaches = held }
+    hub.select(col("c").as("node"), lit("hub").as("kind"),
+        col("h").as("score"))
+      .unionAll(auth.select(col("p").as("node"),
+        lit("authority").as("kind"), col("a").as("score")))
+  }
+}

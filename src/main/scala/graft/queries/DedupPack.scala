@@ -522,6 +522,64 @@ object DedupPack extends QueryPack {
         .select(col("doc_a"), col("doc_b"),
           Num.r6(size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb")))).as("jaccard"))
+    }),
+
+    // EXACT set-similarity join via prefix filtering (PPJoin/AllPairs,
+    // Xiao et al. 2008) — the third candidate-generation family next to
+    // MinHash banding (d2, probabilistic) and SimHash chunks (d3,
+    // Hamming), over d2's OWN similarity definition (w=3 shingle-set
+    // Jaccard ≥ 1/2, so the two operators are directly comparable —
+    // banded recall vs provably-lossless): sort each doc's shingle set
+    // by ASCENDING global document frequency (rarest first), emit only
+    // the first m − ⌈τ·m⌉ + 1 shingles as the doc's PREFIX, and generate
+    // candidates only where two prefixes share a shingle — COMPLETE for
+    // Jaccard ≥ τ (any qualifying pair overlaps too much for disjoint
+    // prefixes), with candidate volume bounded by the posting lists of
+    // RARE shingles only. Exact verification then intersects the full
+    // sorted arrays doc-id-co-partitioned, and the τ test is the integer
+    // cross-multiply 2·|∩| ≥ |∪| (τ = 1/2) — no FP in the decision.
+    // Scale shape: one shingle-vocabulary shuffle for df, one
+    // shingle-keyed candidate shuffle bounded by prefix postings, one
+    // doc-keyed verify join; the oracle's all-pairs scan is the CHECKER,
+    // never the operator. Unlike d2/d4 this returns exact pairs with NO
+    // recall loss and NO n² leg anywhere in the engine path. (At corpus
+    // scale the shingle strings would shuffle as 8-byte Fnv64 digests —
+    // d8's economics; strings are kept here so the DuckDB oracle can
+    // replay the exact same keys.)
+    "d17_prefix_filter_join" -> ((s, dir) => {
+      val toks = withNearDups(s, dir)
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(ws) < 3 THEN array(array_join(ws, ' ')) " +
+            "ELSE array_distinct(transform(sequence(1, size(ws) - 2), " +
+            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
+            "element_at(ws, i + 2)))) END")).as("w"))
+      val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+      val sets = toks.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(df, w))), x -> x.w)")
+          .as("ts"))
+        .withColumn("m", size(col("ts")).cast("long"))
+      // prefix length m − ⌈τ·m⌉ + 1 with τ = 1/2: m − ⌈m/2⌉ + 1
+      val pref = sets.select(col("doc_id"),
+        explode(expr(
+          "slice(ts, 1, CAST(m - CAST(ceil(m / 2.0) AS BIGINT) + 1 AS INT))"))
+          .as("w"))
+      val cand = pref.select(col("doc_id").as("doc_a"), col("w"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("w")), "w")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+          col("m").as("ma")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
+          col("m").as("mb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("uni", col("ma") + col("mb") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+          Num.r6(col("inter").cast("double") / col("uni").cast("double"))
+            .as("jaccard"))
     })
   )
 
@@ -775,6 +833,22 @@ object DedupPack extends QueryPack {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  floor((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.ws, b.ws)))) * 1000000 + 0.5) / 1000000 AS jaccard
-        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // d17's checker IS the all-pairs scan the engine side avoids: prefix
+    // filtering is exact (complete + verified), so the brute-force join
+    // over the same shingle corpus (d2's CTEs) must produce the
+    // identical pair set.
+    "d17_prefix_filter_join" ->
+      s"""$shinglePrefixCtes, pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |    CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
+         |      - CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, inter, uni,
+         |  floor((CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) * 1000000 + 0.5)
+         |    / 1000000 AS jaccard
+         |FROM pr WHERE inter * 2 >= uni""".stripMargin
   )
 }

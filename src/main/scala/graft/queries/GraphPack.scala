@@ -197,6 +197,26 @@ object GraphPack extends QueryPack {
       val und = cooccurrenceEdges(s, dir, minW = 5)
       graft.ops.Components.connectedComponents(s,
         und.select(col("sa").as("a"), col("sb").as("b")))
+    }),
+
+    // HITS hubs & authorities over the bipartite customer→supplier order
+    // graph — g1's other eigenvector (PageRank's random surfer vs HITS'
+    // mutual reinforcement), in graft.ops.Hits: the g1 fixed-point
+    // recipe (1e6-scaled BIGINT scores, exact integer message sums,
+    // truncating integer renormalization against the round max — a
+    // 1-row broadcast, never a driver loop), so three synchronous rounds
+    // are bit-identical across engines and the oracle unrolls them as
+    // CTEs. Each half-round is ONE shuffle on the edge key.
+    "g7_hits" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val cs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("p"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("c", "p")
+      graft.ops.Hits.run(s, cs, iters = 3)
     })
   )
 
@@ -371,7 +391,42 @@ object GraphPack extends QueryPack {
           |  SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r
           |)
           |SELECT node, CAST(min(r) AS BIGINT) AS component
-          |FROM reach GROUP BY 1""".stripMargin
+          |FROM reach GROUP BY 1""".stripMargin,
+      // g7: three HITS rounds in exact 1e6-scaled integer arithmetic,
+      // unrolled — the g1 recipe (truncating integer renormalization
+      // per half-round makes the iteration engine-order-independent)
+      "g7_hits" -> {
+        val rounds = (1 to 3).map { k =>
+          val hPrev = if (k == 1) "h0" else s"h${k - 1}"
+          s"""a${k}r AS (
+             |  SELECT p, CAST(sum(h) AS BIGINT) AS s
+             |  FROM cs JOIN $hPrev USING (c) GROUP BY p
+             |), a$k AS (
+             |  SELECT p, (s * 1000000) // (SELECT max(s) FROM a${k}r) AS a
+             |  FROM a${k}r
+             |), h${k}r AS (
+             |  SELECT c, CAST(sum(a) AS BIGINT) AS s
+             |  FROM cs JOIN a$k USING (p) GROUP BY c
+             |), h$k AS (
+             |  SELECT c, (s * 1000000) // (SELECT max(s) FROM h${k}r) AS h
+             |  FROM h${k}r
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH cs AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS c,
+           |         CAST(l_suppkey AS BIGINT) AS p
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |), h0 AS (
+           |  SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM cs
+           |),
+           |$rounds
+           |SELECT c AS node, 'hub' AS kind, CAST(h AS BIGINT) AS score
+           |FROM h3
+           |UNION ALL
+           |SELECT p AS node, 'authority' AS kind, CAST(a AS BIGINT) AS score
+           |FROM a3""".stripMargin
+      }
     )
   }
 }

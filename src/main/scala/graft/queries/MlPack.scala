@@ -919,6 +919,106 @@ object MlPack extends QueryPack {
           col("b.nl").as("n_left"), col("b.nr").as("n_right"),
           col("b.sl").as("sum_left"), col("b.sr").as("sum_right"),
           col("b.gain").as("gain"))
+    }),
+
+    // Multi-feature OLS via the normal equations — THE distributed
+    // closed-form regression pattern: ONE map-side-combinable agg pass
+    // collects the 9 Gram/moment sums (X'X and X'y for 2 features +
+    // intercept) in EXACT integer arithmetic (qty is integral, discount
+    // and price are 2-decimal → scaled to exact longs; every product is
+    // ≤ 5e8 per row so the 60k-row sums sit far inside BIGINT), then the
+    // 3×3 system is solved in closed form by Cramer's rule as a fixed
+    // IEEE-double expression tree over those exact moments — bit-identical
+    // across engines because the INPUTS are exact integers and both sides
+    // evaluate the same op DAG. No per-row FP sum ever crosses engines
+    // (row order would perturb the last bits). At 100 TB the plan is
+    // unchanged: partial_sum → exchange(1 row/grouping) → final_sum; the
+    // driver never sees data, only the 9 moments. Design note at scale:
+    // the exact-integer envelope is sums < 2^63 — at ~1e13 per 60k rows
+    // the 100 TB headroom is ~1e5×, and beyond that the same pass runs on
+    // DECIMAL(38,0) unchanged.
+    "ml_linreg_normal" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("x1"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      val m = li.agg(
+        count(lit(1)).as("n0"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      // Cramer on doubles from exact integer moments; expression tree
+      // mirrored TEXTUALLY in the oracle (same IEEE ops, same order).
+      val d = m.select(
+        col("n0").cast(DoubleType).as("n"),
+        col("s1").cast(DoubleType).as("s1"),
+        col("s2").cast(DoubleType).as("s2"),
+        col("sy").cast(DoubleType).as("sy"),
+        col("s11").cast(DoubleType).as("s11"),
+        col("s12").cast(DoubleType).as("s12"),
+        col("s22").cast(DoubleType).as("s22"),
+        col("s1y").cast(DoubleType).as("s1y"),
+        col("s2y").cast(DoubleType).as("s2y"),
+        col("n0"))
+      val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+        col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+      val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+        col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+      val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+        col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+        col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      d.select(col("n0").as("n_rows"),
+        Num.r6(det0 / det).as("intercept_cents"),
+        Num.r6(det1 / det).as("beta_qty_cents"),
+        Num.r6(det2 / det).as("beta_disc_cents"))
+    }),
+
+    // Market-basket association rules (support / confidence / lift) over
+    // per-order brand baskets — the relational half of FP-growth: the
+    // frequent-items FIRST pass (a-priori pruning) broadcast-filters the
+    // basket stream BEFORE any pair is generated, so the pair fanout per
+    // basket is bounded by the frequent-item count, never raw basket
+    // size; pairs then form on an orderkey-co-partitioned self-join (one
+    // keyed shuffle) and reduce to exact integer supports. Confidence and
+    // lift are single exact-integer divisions (identical IEEE result both
+    // engines). Support thresholds are RELATIVE (2% of baskets for items,
+    // 1% for pairs) so the operator's selectivity is scale-invariant.
+    "ml_assoc_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val items = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nBaskets = items.select(countDistinct(col("ok")).as("nb"))
+      // frequent items: support*50 ≥ baskets (≥ 2%) — exact integer test
+      val freq = items.groupBy("brand").agg(count(lit(1)).as("s_item"))
+        .crossJoin(broadcast(nBaskets))
+        .filter(col("s_item") * 50 >= col("nb"))
+      val fitems = items.join(broadcast(freq.select("brand", "s_item")), "brand")
+      val pairs = fitems.select(col("ok"), col("brand").as("brand_a"),
+          col("s_item").as("s_a"))
+        .join(fitems.select(col("ok"), col("brand").as("brand_b"),
+          col("s_item").as("s_b")), "ok")
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b", "s_a", "s_b")
+        .agg(count(lit(1)).as("s_ab"))
+        .crossJoin(broadcast(nBaskets))
+        .filter(col("s_ab") * 100 >= col("nb")) // pair support ≥ 1%
+      pairs.select(col("brand_a"), col("brand_b"),
+          col("s_a"), col("s_b"), col("s_ab"),
+          Num.r6(col("s_ab").cast(DoubleType) / col("s_a").cast(DoubleType))
+            .as("confidence"),
+          Num.r6((col("s_ab") * col("nb")).cast(DoubleType) /
+            (col("s_a") * col("s_b")).cast(DoubleType)).as("lift"))
     })
   )
 
@@ -972,6 +1072,74 @@ object MlPack extends QueryPack {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ml_linreg_normal" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT count(*) AS n0,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM li
+        |), d AS (
+        |  SELECT CAST(n0 AS DOUBLE) AS n,
+        |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |    CAST(sy AS DOUBLE) AS sy,
+        |    CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+        |    CAST(s22 AS DOUBLE) AS s22,
+        |    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+        |    n0
+        |  FROM m
+        |)
+        |SELECT n0 AS n_rows,
+        |  floor(((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |          + s2 * (s1y * s12 - s11 * s2y))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |       + s2 * (s1 * s12 - s11 * s2))) * 1000000 + 0.5) / 1000000
+        |    AS intercept_cents,
+        |  floor(((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |          + s2 * (s1 * s2y - s1y * s2))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |       + s2 * (s1 * s12 - s11 * s2))) * 1000000 + 0.5) / 1000000
+        |    AS beta_qty_cents,
+        |  floor(((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |          + sy * (s1 * s12 - s11 * s2))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |       + s2 * (s1 * s12 - s11 * s2))) * 1000000 + 0.5) / 1000000
+        |    AS beta_disc_cents
+        |FROM d""".stripMargin,
+    "ml_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), nb AS (SELECT count(DISTINCT ok) AS nb FROM items),
+        |freq AS (
+        |  SELECT brand, CAST(count(*) AS BIGINT) AS s_item
+        |  FROM items GROUP BY 1
+        |  HAVING CAST(count(*) AS BIGINT) * 50 >= (SELECT nb FROM nb)
+        |), fitems AS (
+        |  SELECT i.ok, i.brand, f.s_item FROM items i JOIN freq f USING (brand)
+        |), pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    a.s_item AS s_a, b.s_item AS s_b,
+        |    CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING CAST(count(*) AS BIGINT) * 100 >= (SELECT nb FROM nb)
+        |)
+        |SELECT brand_a, brand_b, s_a, s_b, s_ab,
+        |  floor((CAST(s_ab AS DOUBLE) / CAST(s_a AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS confidence,
+        |  floor((CAST(s_ab * (SELECT nb FROM nb) AS DOUBLE)
+        |      / CAST(s_a * s_b AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS lift
+        |FROM pairs""".stripMargin,
     "ml_target_encode" ->
       """WITH enc AS (
         |  SELECT c_mktsegment AS seg,

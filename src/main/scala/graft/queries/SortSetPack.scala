@@ -35,6 +35,26 @@ object SortSetPack extends QueryPack {
       a.unionByName(b)
     }),
 
+    // O4 beyond ref: 2-D skyline (Pareto frontier) — the parts no other
+    // part beats on BOTH price (minimize) and size (maximize). The naive
+    // formulation is an O(n²) dominance anti-join; the scale-right 2-D
+    // algorithm is the sweep: collapse to the best size per distinct
+    // price (one hash shuffle), then a single price-ascending range sort
+    // where a row survives iff its size exceeds the running max over all
+    // strictly-cheaper rows. The running max rides
+    // Ranks.globalPrefixMaxExclusive (per-partition maxima + broadcast
+    // offsets) — never a one-task `max() OVER (ORDER BY …)` window, so
+    // the sweep stays fully parallel at any scale.
+    "o4_skyline" -> ((s, dir) => {
+      val best = Tables.part(s, dir)
+        .groupBy(graft.Num.cents(col("p_retailprice")).as("price_cents"))
+        .agg(max(col("p_size").cast("long")).as("best_size"))
+      graft.Ranks.globalPrefixMaxExclusive(best, "best_size",
+          Seq(col("price_cents")), "rmax")
+        .filter(col("rmax").isNull || col("best_size") > col("rmax"))
+        .select(col("price_cents"), col("best_size"))
+    }),
+
     // Set ops beyond the reference: INTERSECT (distinct semantics).
     "u3_intersect" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -93,6 +113,20 @@ object SortSetPack extends QueryPack {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'O'""".stripMargin,
+    "o4_skyline" ->
+      """WITH best AS (
+        |  SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS price_cents,
+        |         CAST(max(p_size) AS BIGINT) AS best_size
+        |  FROM part GROUP BY 1
+        |), sweep AS (
+        |  SELECT price_cents, best_size,
+        |    max(best_size) OVER (ORDER BY price_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |  FROM best
+        |)
+        |SELECT price_cents, best_size FROM sweep
+        |WHERE rmax IS NULL OR best_size > rmax""".stripMargin,
     "u3_intersect" ->
       """SELECT c_mktsegment FROM customer WHERE c_nationkey < 15
         |INTERSECT

@@ -512,12 +512,17 @@ object StatsTestsPack extends QueryPack {
         s"CAST(sum(CASE WHEN digit = $d THEN n_obs ELSE 0 END) AS BIGINT) AS c$d")
         .mkString(",\n        ")
       val nExpr = (1 to 9).map(d => s"c$d").mkString(" + ")
+      // Literal gotcha: DuckDB parses a plain 17-digit decimal literal as
+      // DECIMAL first, and DECIMAL→DOUBLE is NOT correctly rounded (e.g.
+      // 0.12493873660829993 arrives as …92, 1 ulp off Spark's lit()).
+      // Scientific notation parses directly as a correctly-rounded DOUBLE.
+      def dlit(x: Double): String = "%.17e".format(x)
       val chi2 = (1 to 9).map { d =>
-        val e = s"(CAST($nExpr AS DOUBLE) * ${BenfordP(d - 1)})"
+        val e = s"(CAST($nExpr AS DOUBLE) * ${dlit(BenfordP(d - 1))})"
         s"((CAST(c$d AS DOUBLE) - $e) * (CAST(c$d AS DOUBLE) - $e) / $e)"
       }.mkString("\n      + ")
       val shareCase = (1 to 9).map(d =>
-        s"WHEN ${d} THEN ${BenfordP(d - 1)}").mkString(" ")
+        s"WHEN ${d} THEN ${dlit(BenfordP(d - 1))}").mkString(" ")
       s"""WITH d AS (
          |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
          |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the skyline / association-rules / normal-equation OLS /
+  * HITS / prefix-filter-join adds, beyond the DuckDB hash-match. The d17
+  * test pins the headline property — prefix filtering is EXACT (the
+  * banded families d2/d3 only promise recall): its output must equal the
+  * brute-force all-pairs join. Runs on sf0.001. */
+class MiningSpec extends SparkSuite {
+
+  test("globalPrefixMaxExclusive matches the single-partition window") {
+    import spark.implicits._
+    val df = Seq((5L, 10L), (1L, 7L), (3L, 2L), (4L, 9L), (2L, 7L), (6L, 1L))
+      .toDF("k", "v").repartition(3)
+    val got = Ranks.globalPrefixMaxExclusive(df, "v", Seq(col("k")), "rm")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq(
+      1L -> None, 2L -> Some(7L), 3L -> Some(7L), 4L -> Some(7L),
+      5L -> Some(9L), 6L -> Some(10L)))
+  }
+
+  test("o4 skyline equals the brute-force dominance filter") {
+    val out = graft.queries.SortSetPack.queries("o4_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = Tables.part(spark, sf)
+      .groupBy(Num.cents(col("p_retailprice")).as("p"))
+      .agg(max(col("p_size").cast("long")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = pts.filter { case (p, s) =>
+      !pts.exists { case (p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.toSet
+    assert(out == brute, s"sweep skyline must equal brute force " +
+      s"(${out.size} vs ${brute.size} points)")
+    assert(out.nonEmpty)
+  }
+
+  test("ml_linreg_normal satisfies the normal-equation residual identities") {
+    val row = graft.queries.MlPack.queries("ml_linreg_normal")(spark, sf)
+      .collect().head
+    val (b0, b1, b2) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    val res = Tables.lineitem(spark, sf).select(
+        col("l_quantity").cast("double").as("x1"),
+        floor(col("l_discount") * 100 + 0.5).as("x2"),
+        floor(col("l_extendedprice") * 100 + 0.5).as("y"))
+      .withColumn("r", col("y") - (lit(b0) + lit(b1) * col("x1") +
+        lit(b2) * col("x2")))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(col("r") * col("x1")).as("srx1"),
+        sum(col("r") * col("x2")).as("srx2"),
+        avg(abs(col("y"))).as("my"))
+      .collect().head
+    val (n, my) = (res.getLong(0), res.getDouble(4))
+    // OLS residuals are orthogonal to the design columns; allow the r6
+    // coefficient rounding (1e-6 per unit of each regressor) to leak in
+    assert(math.abs(res.getDouble(1)) / n < my * 1e-5, "sum(resid) ~ 0")
+    assert(math.abs(res.getDouble(2)) / n < my * 1e-3, "sum(resid*x1) ~ 0")
+    assert(math.abs(res.getDouble(3)) / n < my * 1e-3, "sum(resid*x2) ~ 0")
+  }
+
+  test("ml_assoc_rules outputs are internally consistent") {
+    val r = graft.queries.MlPack.queries("ml_assoc_rules")(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("brand_a") >= col("brand_b")).count() == 0)
+    assert(r.filter(col("s_ab") > least(col("s_a"), col("s_b"))).count() == 0,
+      "pair support cannot exceed either item support")
+    // confidence/lift must be the r6 of their defining ratios
+    val bad = r.filter(
+      col("confidence") =!= Num.r6(col("s_ab").cast("double") /
+        col("s_a").cast("double")))
+    assert(bad.count() == 0, "confidence = r6(s_ab / s_a)")
+    r.unpersist()
+  }
+
+  test("g7 HITS scores are bounded, normalized, and kind-partitioned") {
+    val r = graft.queries.GraphPack.queries("g7_hits")(spark, sf).cache()
+    assert(r.filter(col("score") < 0 || col("score") > 1000000L).count() == 0)
+    val maxByKind = r.groupBy("kind").agg(max(col("score")).as("mx"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(maxByKind("hub") == 1000000L,
+      "renormalization pins the round max at exactly 1e6")
+    assert(maxByKind("authority") == 1000000L)
+    val dupNodes = r.groupBy("node", "kind").count().filter(col("count") > 1)
+    assert(dupNodes.count() == 0, "one score per (node, kind)")
+    r.unpersist()
+  }
+
+  test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
+    val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
+        spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = graft.queries.DedupPack.withNearDups(spark, sf)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN size(ws) < 3 THEN array(array_join(ws, ' ')) " +
+          "ELSE array_distinct(transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
+          "element_at(ws, i + 2)))) END").as("ts"))
+    val a = sets.select(col("doc_id").as("da"), col("ts").as("ta"))
+    val b = sets.select(col("doc_id").as("db"), col("ts").as("tb"))
+    val brute = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("u", size(col("ta")) + size(col("tb")) - col("i"))
+      .filter(col("i") * 2 >= col("u"))
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute,
+      s"prefix filter must lose nothing and add nothing " +
+        s"(got ${out.size}, brute ${brute.size})")
+    assert(out.nonEmpty, "the planted near-dups guarantee qualifying pairs")
+  }
+}
