@@ -351,6 +351,16 @@ object ScaleProbe {
     // keeps cross-copy tokens disjoint, so each copy's prefix posting
     // lists match the base copy's — candidates grow linearly, d8's slope
     "d17_prefix_filter_join",
+    // tick→bar OHLC compaction: ONE keyed partial agg (map-side collapse
+    // to ≤ |series·days| rows before the exchange) — a1's slope
+    "w20_ohlc_resample",
+    // Kruskal–Wallis: the stats_mannwhitney type-table collapse with 3
+    // packed count fields and the same single prefix pass — MW's slope
+    "stats_kruskal",
+    // isotonic PAV: map-side (series, day) cell collapse + one series-
+    // keyed exchange with secondary sort; PAV state is O(blocks) — the
+    // stats_ar1_fit one-exchange-fold slope
+    "ml_isotonic",
     // dedup/ANN family: probed via operator-only variants (below) — the
     // SparkEntry frame queries embed an O(n²) ground-truth CHECKER, which
     // at 10× would measure verification cost, not the bucketed plans

@@ -1019,6 +1019,31 @@ object MlPack extends QueryPack {
             .as("confidence"),
           Num.r6((col("s_ab") * col("nb")).cast(DoubleType) /
             (col("s_a") * col("s_b")).cast(DoubleType)).as("lift"))
+    }),
+
+    // Weighted isotonic regression (pool-adjacent-violators) — the
+    // calibration primitive sklearn's IsotonicRegression/CalibratedClassifier
+    // wrap: per event-type series, fit the best L2 nondecreasing step
+    // function to the (day, daily-mean) curve. The corpus collapses
+    // map-side to (series, day) exact-integer cells (sum cents, count)
+    // BEFORE any exchange; graft.ops.Isotonic then runs the PAV stack
+    // fold per series under flatMapSortedGroups' secondary sort (the Ewm
+    // shape — O(blocks) state, block buffer bounded by the series'
+    // distinct-day count, never the corpus). Pooling decisions are exact
+    // integer cross-multiplies; the ONLY division is each final block's
+    // sum/weight. The oracle checks via the minimax identity
+    // f(i) = max_{j≤i} min_{k≥i} avg(j..k) — an independent O(days³)
+    // formulation that attains exactly the same block quotients.
+    "ml_isotonic" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type").as("key"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"),
+          Num.cents(col("value")).as("c"))
+        .groupBy("key", "x")
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("w"))
+      graft.ops.Isotonic.fit(s, cells).toDF()
+        .select(col("key").as("event_type"), col("x").as("day_x"),
+          col("w").as("n_obs"), Num.r6(col("fitted")).as("fitted_cents"))
     })
   )
 
@@ -1072,6 +1097,37 @@ object MlPack extends QueryPack {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ml_isotonic" ->
+      """WITH ev AS (
+        |  SELECT event_type AS key,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), cells AS (
+        |  SELECT key, x, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM ev GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT key, x, s, w,
+        |    CAST(sum(s) OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS cs,
+        |    CAST(sum(w) OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS cw
+        |  FROM cells
+        |), rng AS (
+        |  SELECT j.key, j.x AS jx, k.x AS kx,
+        |    CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+        |      / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS a
+        |  FROM pre j JOIN pre k ON j.key = k.key AND j.x <= k.x
+        |), mn AS (
+        |  SELECT i.key, i.x, r.jx, min(r.a) AS m
+        |  FROM pre i JOIN rng r
+        |    ON r.key = i.key AND r.jx <= i.x AND r.kx >= i.x
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT mn.key AS event_type, mn.x AS day_x,
+        |  CAST(max(p.w) AS BIGINT) AS n_obs,
+        |  floor(max(mn.m) * 1000000 + 0.5) / 1000000 AS fitted_cents
+        |FROM mn JOIN pre p ON p.key = mn.key AND p.x = mn.x
+        |GROUP BY 1, 2""".stripMargin,
     "ml_linreg_normal" ->
       """WITH li AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS x1,

@@ -113,6 +113,69 @@ object StatsTestsPack extends QueryPack {
             .as("z_score"))
     }),
 
+    // Kruskal–Wallis H ('click' / 'view' / 'purchase') — the k-sample
+    // extension of stats_mannwhitney on the SAME machinery: the corpus
+    // collapses map-side to its distinct-value type table, THREE group
+    // counts pack into one 3×21-bit long so a single globalPrefixSum
+    // range pass yields every group's cumulative count (envelope: each
+    // group < 2²¹ ≈ 2M rows — beyond that, split the prefix pass per
+    // group or widen to decimal; the require below makes the bound loud),
+    // doubled average ranks stay integer-exact through ties, rank sums
+    // accumulate in DECIMAL(38,0), and H with the tie correction is a
+    // fixed double expression over those exact sums — engine-order-free.
+    "stats_kruskal" -> ((s, dir) => {
+      val groups = Seq("click", "view", "purchase")
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin(groups: _*))
+        .select(col("event_type"), col("value"))
+      val cnts = groups.zipWithIndex.map { case (g, i) =>
+        sum(when(col("event_type") === g, 1L).otherwise(0L)).as(s"cnt$i") }
+      val types = ev.groupBy(col("value")).agg(cnts.head, cnts.tail: _*)
+      val tot = types.agg(
+          coalesce(sum(col("cnt0")), lit(0L)).as("n0"),
+          coalesce(sum(col("cnt1")), lit(0L)).as("n1"),
+          coalesce(sum(col("cnt2")), lit(0L)).as("n2"))
+        .head()
+      val ns = Seq(tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      require(ns.forall(_ > 0),
+        s"k-sample test needs every group non-empty (${groups.zip(ns)})")
+      require(ns.forall(_ < (1L << 21)),
+        s"group sizes $ns exceed the 3×21-bit packing envelope; split " +
+          "the prefix pass per group or widen to a decimal accumulator")
+      val packed = types.withColumn("packed",
+        col("cnt0") * (1L << 42) + col("cnt1") * (1L << 21) + col("cnt2"))
+      val mask = lit((1L << 21) - 1)
+      val cum = graft.Ranks.globalPrefixSum(
+          packed, "packed", Seq(col("value")), "cum_packed")
+        .withColumn("cum_all",
+          shiftright(col("cum_packed"), 42) +
+            shiftright(col("cum_packed"), 21).bitwiseAND(mask) +
+            col("cum_packed").bitwiseAND(mask))
+      val t = col("cnt0") + col("cnt1") + col("cnt2")
+      val r2 = (col("cum_all") - t) * 2 + t + 1
+      val td = t.cast(DecimalType(38, 0))
+      val agg = cum.agg(
+        sum(col("cnt0").cast(DecimalType(38, 0)) * r2).as("r2s0"),
+        sum(col("cnt1").cast(DecimalType(38, 0)) * r2).as("r2s1"),
+        sum(col("cnt2").cast(DecimalType(38, 0)) * r2).as("r2s2"),
+        sum(td * td * td - td).as("tie_term"))
+      val nD = ns.sum.toDouble
+      def rg(c: String, n: Long): Column = {
+        val r = col(c).cast(DoubleType) / 2.0
+        r * r / lit(n.toDouble)
+      }
+      val hRaw = lit(12.0) / (lit(nD) * (lit(nD) + 1.0)) *
+        (rg("r2s0", ns(0)) + rg("r2s1", ns(1)) + rg("r2s2", ns(2))) -
+        lit(3.0) * (lit(nD) + 1.0)
+      val corr = lit(1.0) - col("tie_term").cast(DoubleType) /
+        (lit(nD) * lit(nD) * lit(nD) - lit(nD))
+      agg.select(
+        lit(ns(0)).as("n_click"), lit(ns(1)).as("n_view"),
+        lit(ns(2)).as("n_purchase"),
+        Num.r6(hRaw).as("h"),
+        Num.r6(hRaw / corr).as("h_corrected"))
+    }),
+
     // Kolmogorov–Smirnov two-sample ('click' vs 'purchase'): the ECDF
     // gap maximized in cross-multiplied INTEGER space — D·nA·nB =
     // max|cum_a·nB − cum_b·nA| — so the max is exact and the single
@@ -751,6 +814,52 @@ object StatsTestsPack extends QueryPack {
         |            (CAST(n.n_a + n.n_b AS DOUBLE) * CAST(n.n_a + n.n_b - 1 AS DOUBLE)))))
         |    * 1000000 + 0.5) / 1000000 AS z_score
         |FROM agg, n""".stripMargin,
+    "stats_kruskal" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')
+        |), tt AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cnt0,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cnt1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt2
+        |  FROM ev GROUP BY 1
+        |), cum AS (
+        |  SELECT cnt0, cnt1, cnt2, cnt0 + cnt1 + cnt2 AS t,
+        |    sum(cnt0 + cnt1 + cnt2) OVER (ORDER BY value) AS cum_all
+        |  FROM tt
+        |), n AS (
+        |  SELECT CAST(sum(cnt0) AS BIGINT) AS n0,
+        |    CAST(sum(cnt1) AS BIGINT) AS n1,
+        |    CAST(sum(cnt2) AS BIGINT) AS n2,
+        |    CAST(sum(cnt0) + sum(cnt1) + sum(cnt2) AS BIGINT) AS nn
+        |  FROM tt
+        |), agg AS (
+        |  SELECT
+        |    sum(cnt0 * ((cum_all - t) * 2 + t + 1)) AS r2s0,
+        |    sum(cnt1 * ((cum_all - t) * 2 + t + 1)) AS r2s1,
+        |    sum(cnt2 * ((cum_all - t) * 2 + t + 1)) AS r2s2,
+        |    sum(t * t * t - t) AS tie_term
+        |  FROM cum
+        |), h AS (
+        |  SELECT n.n0, n.n1, n.n2,
+        |    12.0 / (CAST(n.nn AS DOUBLE) * (CAST(n.nn AS DOUBLE) + 1.0)) *
+        |      ((CAST(agg.r2s0 AS DOUBLE) / 2.0) * (CAST(agg.r2s0 AS DOUBLE) / 2.0)
+        |          / CAST(n.n0 AS DOUBLE)
+        |        + (CAST(agg.r2s1 AS DOUBLE) / 2.0) * (CAST(agg.r2s1 AS DOUBLE) / 2.0)
+        |          / CAST(n.n1 AS DOUBLE)
+        |        + (CAST(agg.r2s2 AS DOUBLE) / 2.0) * (CAST(agg.r2s2 AS DOUBLE) / 2.0)
+        |          / CAST(n.n2 AS DOUBLE))
+        |      - 3.0 * (CAST(n.nn AS DOUBLE) + 1.0) AS h_raw,
+        |    1.0 - CAST(agg.tie_term AS DOUBLE)
+        |      / (CAST(n.nn AS DOUBLE) * CAST(n.nn AS DOUBLE) * CAST(n.nn AS DOUBLE)
+        |         - CAST(n.nn AS DOUBLE)) AS corr
+        |  FROM agg, n
+        |)
+        |SELECT n0 AS n_click, n1 AS n_view, n2 AS n_purchase,
+        |  floor(h_raw * 1000000 + 0.5) / 1000000 AS h,
+        |  floor((h_raw / corr) * 1000000 + 0.5) / 1000000 AS h_corrected
+        |FROM h""".stripMargin,
     "stats_ks_test" ->
       """WITH ev AS (
         |  SELECT event_type, value FROM events

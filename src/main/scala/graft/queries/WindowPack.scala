@@ -224,6 +224,34 @@ object WindowPack extends QueryPack {
         .select("event_id", "user_id", "rn", "is_train")
     }),
 
+    // OHLC bar resampling — the reference's own data GRAIN (yfinance
+    // daily OHLCV quotes, webscrapping.py:22-25), produced from ticks
+    // instead of fetched: per (series, day), open/close are SORT-FREE
+    // min/max(struct(ts, event_id, c)) argmin/argmax (the x10 recipe —
+    // no per-bar window sort, no row_number pass), high/low/volume ride
+    // the same single partial agg. ONE keyed shuffle for the whole bar
+    // table; everything is exact cents. At 100 TB this is the canonical
+    // tick→bar compaction: map-side partial aggs collapse each
+    // partition's ticks to ≤ |series·days| rows before the exchange.
+    "w20_ohlc_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          Num.cents(col("value")).as("c"))
+        .withColumn("day", to_date(col("ts")))
+      ev.groupBy("user_id", "day")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("c"))).as("f"),
+          max(struct(col("ts"), col("event_id"), col("c"))).as("l"),
+          max(col("c")).as("high_cents"),
+          min(col("c")).as("low_cents"),
+          sum(col("c")).as("volume_cents"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("user_id"), col("day"),
+          col("f.c").as("open_cents"), col("high_cents"),
+          col("low_cents"), col("l.c").as("close_cents"),
+          col("volume_cents"), col("n_ticks"))
+    }),
+
     // W12: dedup keep-first per (user_id, day), deterministic
     // (glue.py:226 + SURVEY W12 deterministic variant).
     "w12_dedup_keep_first" -> ((s, dir) => {
@@ -449,6 +477,28 @@ object WindowPack extends QueryPack {
          |  CAST(row_number() OVER w <=
          |    (count(*) OVER (PARTITION BY user_id)) * 0.8 AS INT) AS is_train
          |FROM events $oracleWindow""".stripMargin,
+    "w20_ohlc_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, day, c,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM ev
+        |)
+        |SELECT user_id, day,
+        |  CAST(max(CASE WHEN rf = 1 THEN c END) AS BIGINT) AS open_cents,
+        |  CAST(max(c) AS BIGINT) AS high_cents,
+        |  CAST(min(c) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS close_cents,
+        |  CAST(sum(c) AS BIGINT) AS volume_cents,
+        |  CAST(count(*) AS BIGINT) AS n_ticks
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "w12_dedup_keep_first" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
         |FROM events

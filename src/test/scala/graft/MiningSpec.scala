@@ -87,6 +87,76 @@ class MiningSpec extends SparkSuite {
     r.unpersist()
   }
 
+  test("stats_kruskal matches a direct driver-side rank recompute") {
+    val row = graft.queries.StatsTestsPack.queries("stats_kruskal")(spark, sf)
+      .collect().head
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = Seq("click", "view", "purchase").map(g =>
+      ev.filter(_._1 == g).map(_._2))
+    val all = groups.zipWithIndex.flatMap { case (g, i) => g.map((_, i)) }
+      .sortBy(_._1)
+    // average ranks with ties, directly
+    val ranks = Array.ofDim[Double](all.length)
+    var i = 0
+    while (i < all.length) {
+      var j = i
+      while (j < all.length && all(j)._1 == all(i)._1) j += 1
+      val r = (i + j + 1) / 2.0
+      (i until j).foreach(k => ranks(k) = r)
+      i = j
+    }
+    val n = all.length.toDouble
+    val rSums = Array.fill(3)(0.0)
+    all.zipWithIndex.foreach { case ((_, g), k) => rSums(g) += ranks(k) }
+    val h = 12.0 / (n * (n + 1)) *
+      groups.indices.map(g => rSums(g) * rSums(g) / groups(g).length).sum -
+      3 * (n + 1)
+    assert(math.abs(row.getDouble(3) - h) < 1e-6,
+      s"packed-rank H ${row.getDouble(3)} vs direct $h")
+    assert(row.getDouble(4) >= row.getDouble(3) - 1e-12,
+      "tie correction divides by C <= 1, so h_corrected >= h")
+  }
+
+  test("ml_isotonic output is monotone, bounded, and mass-preserving") {
+    val r = graft.queries.MlPack.queries("ml_isotonic")(spark, sf).cache()
+    val byKey = r.collect().groupBy(_.getString(0))
+    byKey.foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val fits = sorted.map(_.getDouble(3))
+      assert(fits.zip(fits.tail).forall { case (a, b) => a <= b },
+        s"$k: fitted values must be nondecreasing in x")
+    }
+    // PAV preserves the weighted mass per series: sum(w*fit) = sum(s)
+    val mass = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(sum(Num.cents(col("value"))).as("s"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    byKey.foreach { case (k, rows) =>
+      val fitMass = rows.map(x => x.getLong(2) * x.getDouble(3)).sum
+      assert(math.abs(fitMass - mass(k)) / mass(k) < 1e-6,
+        s"$k: weighted fitted mass must equal the raw mass")
+    }
+    r.unpersist()
+  }
+
+  test("w20 OHLC bars are internally consistent and tick-complete") {
+    val bars = graft.queries.WindowPack.queries("w20_ohlc_resample")(spark, sf)
+      .cache()
+    assert(bars.filter(
+      col("high_cents") < col("open_cents") ||
+      col("high_cents") < col("close_cents") ||
+      col("low_cents") > col("open_cents") ||
+      col("low_cents") > col("close_cents")).count() == 0,
+      "high/low must bound open/close")
+    val total = bars.agg(sum(col("n_ticks"))).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count(),
+      "every tick lands in exactly one bar")
+    bars.unpersist()
+  }
+
   test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
     val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
         spark, sf).select("doc_a", "doc_b")
