@@ -354,6 +354,12 @@ object ScaleProbe {
     // tick→bar OHLC compaction: ONE keyed partial agg (map-side collapse
     // to ≤ |series·days| rows before the exchange) — a1's slope
     "w20_ohlc_resample",
+    // containment join: d17's shape with an asymmetric prefix (contained
+    // side only) against the full posting index — d17's slope with a
+    // larger candidate constant (the container side indexes everything)
+    "d18_containment_join",
+    // per-key hash reservoir: TopKPerKey bounded heaps — sc5's slope
+    "p15_reservoir_per_key",
     // Kruskal–Wallis: the stats_mannwhitney type-table collapse with 3
     // packed count fields and the same single prefix pass — MW's slope
     "stats_kruskal",

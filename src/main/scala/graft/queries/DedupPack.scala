@@ -14,6 +14,38 @@ object DedupPack extends QueryPack {
   /** documents ∪ synthetic near-duplicates: every 20th doc re-appears with
     * doc_id+1,000,000 and its last two tokens dropped — a deterministic
     * near-dup population so the LSH queries have recall to demonstrate. */
+  /** (doc_id, w): the withNearDups corpus exploded to its distinct w=3
+    * shingle strings — the d2 similarity universe as a token stream,
+    * shared by the exact-join family (d17 prefix filter, d18
+    * containment). At corpus scale these would shuffle as 8-byte Fnv64
+    * digests (d8's economics); strings keep the DuckDB oracle replayable
+    * on the exact same keys. */
+  private def shingleToks(s: SparkSession, dir: String): DataFrame =
+    withNearDups(s, dir)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) < 3 THEN array(array_join(ws, ' ')) " +
+          "ELSE array_distinct(transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
+          "element_at(ws, i + 2)))) END")).as("w"))
+
+  /** Per-doc shingle arrays sorted by ASCENDING global document frequency
+    * (rarest first) with their size `m` — the prefix-filter layout: one
+    * vocabulary shuffle for df, one doc-keyed build. Cached: each
+    * consumer reads it three ways (prefix explode + both verify sides) —
+    * uncached, the explode/df-join/collect_list chain re-derives per
+    * reference (the d3/m3 signature-recompute lesson). */
+  private def dfOrderedShingleSets(s: SparkSession, dir: String): DataFrame = {
+    val toks = shingleToks(s, dir)
+    val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "w")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, w))), x -> x.w)")
+        .as("ts"))
+      .withColumn("m", size(col("ts")).cast("long"))
+      .cache()
+  }
+
   private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dups = d.filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -547,27 +579,30 @@ object DedupPack extends QueryPack {
     // d8's economics; strings are kept here so the DuckDB oracle can
     // replay the exact same keys.)
     "d17_prefix_filter_join" -> ((s, dir) => {
-      val toks = withNearDups(s, dir)
-        .withColumn("ws", split(trim(col("text")), "\\s+"))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(ws) < 3 THEN array(array_join(ws, ' ')) " +
-            "ELSE array_distinct(transform(sequence(1, size(ws) - 2), " +
-            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
-            "element_at(ws, i + 2)))) END")).as("w"))
-      val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
-      val sets = toks.join(dfreq, "w")
-        .groupBy("doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(df, w))), x -> x.w)")
-          .as("ts"))
-        .withColumn("m", size(col("ts")).cast("long"))
-      // prefix length m − ⌈τ·m⌉ + 1 with τ = 1/2: m − ⌈m/2⌉ + 1
-      val pref = sets.select(col("doc_id"),
-        explode(expr(
+      val sets = dfOrderedShingleSets(s, dir)
+      // prefix length m − ⌈τ·m⌉ + 1 with τ = 1/2: m − ⌈m/2⌉ + 1; the
+      // 1-based prefix POSITION rides along for the position filter
+      val pref = sets.select(col("doc_id"), col("m"),
+        posexplode(expr(
           "slice(ts, 1, CAST(m - CAST(ceil(m / 2.0) AS BIGINT) + 1 AS INT))"))
-          .as("w"))
-      val cand = pref.select(col("doc_id").as("doc_a"), col("w"))
-        .join(pref.select(col("doc_id").as("doc_b"), col("w")), "w")
+          .as(Seq("pos0", "w")))
+        .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"), col("w"))
+      // PPJoin's two candidate prunes, both BEFORE the distinct (they cut
+      // the join's output stream map-side, which is where the volume is):
+      //  - LENGTH filter: J ≥ ½ forces 2·min(mₐ,m_b) ≥ max(mₐ,m_b)
+      //  - POSITION filter: at the pair's FIRST shared prefix token
+      //    (positions pₐ, p_b) the intersection is ≤ min(mₐ−pₐ, m_b−p_b)+1,
+      //    and J ≥ ½ ⇔ 3·i ≥ mₐ+m_b — a qualifying pair always passes at
+      //    its first shared token, so OR-ing over occurrences is complete
+      val a = pref.select(col("doc_id").as("doc_a"), col("m").as("ma"),
+        col("pos").as("pa"), col("w"))
+      val b = pref.select(col("doc_id").as("doc_b"), col("m").as("mb"),
+        col("pos").as("pb"), col("w"))
+      val cand = a.join(b, "w")
         .filter(col("doc_a") < col("doc_b"))
+        .filter(least(col("ma"), col("mb")) * 2 >= greatest(col("ma"), col("mb")))
+        .filter((least(col("ma") - col("pa"), col("mb") - col("pb")) + 1) * 3 >=
+          col("ma") + col("mb"))
         .select("doc_a", "doc_b").distinct()
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
@@ -580,6 +615,41 @@ object DedupPack extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
           Num.r6(col("inter").cast("double") / col("uni").cast("double"))
             .as("jaccard"))
+    }),
+
+    // EXACT containment join C(A→B) = |A∩B|/|A| ≥ 4/5 — the ASYMMETRIC
+    // similarity dedup pipelines need where Jaccard goes blind: a short
+    // doc fully embedded in a long one has tiny Jaccard but containment
+    // ≈ 1 (sub-document duplication, quote farms, template expansion).
+    // Prefix filtering asymmetrizes cleanly (Xiao et al.'s containment
+    // variant): only the CONTAINED side emits a prefix — by pigeonhole,
+    // |A\B| ≤ m−⌈τm⌉ < prefix length, so any qualifying A shares a
+    // prefix token with B regardless of order — while the container side
+    // indexes all tokens; rare-first ordering keeps those full posting
+    // lists off the hot shingles. Verification and the τ = 4/5 test are
+    // exact integers (inter·5 ≥ 4·|A|). Same three-shuffle scale shape
+    // as d17; the all-pairs scan lives only in the oracle.
+    "d18_containment_join" -> ((s, dir) => {
+      val sets = dfOrderedShingleSets(s, dir)
+      // contained-side prefix length m − ⌈4m/5⌉ + 1 (⌈4m/5⌉ = (4m+4) div 5)
+      val prefA = sets.select(col("doc_id").as("doc_a"),
+        explode(expr("slice(ts, 1, CAST(m - (4 * m + 4) DIV 5 + 1 AS INT))"))
+          .as("w"))
+      val full = shingleToks(s, dir).select(col("doc_id").as("doc_b"), col("w"))
+      val cand = prefA.join(full, "w")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+          col("m").as("ma")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
+          "doc_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .filter(col("inter") * 5 >= col("ma") * 4)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("ma").as("size_a"),
+          Num.r6(col("inter").cast("double") / col("ma").cast("double"))
+            .as("containment"))
     })
   )
 
@@ -849,6 +919,17 @@ object DedupPack extends QueryPack {
          |SELECT doc_a, doc_b, inter, uni,
          |  floor((CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) * 1000000 + 0.5)
          |    / 1000000 AS jaccard
-         |FROM pr WHERE inter * 2 >= uni""".stripMargin
+         |FROM pr WHERE inter * 2 >= uni""".stripMargin,
+    "d18_containment_join" ->
+      s"""$shinglePrefixCtes, pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |    CAST(len(a.s) AS BIGINT) AS size_a
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |)
+         |SELECT doc_a, doc_b, inter, size_a,
+         |  floor((CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE))
+         |    * 1000000 + 0.5) / 1000000 AS containment
+         |FROM pr WHERE inter * 5 >= size_a * 4""".stripMargin
   )
 }

@@ -144,10 +144,38 @@ object ProjectionPack extends QueryPack {
           when(col("l_discount") > 0.05, col("l_discount")).otherwise(lit(0.0)))
         .withColumn("loss",
           when(col("l_discount") <= 0.05, -col("l_discount")).otherwise(lit(0.0)))
-        .select("l_orderkey", "l_linenumber", "l_discount", "gain", "loss"))
+        .select("l_orderkey", "l_linenumber", "l_discount", "gain", "loss")),
+
+    // Per-key reservoir sample, exactly k per group — the per-STRATUM
+    // twin of p14's global exact-k: rank each row by a deterministic
+    // md5-derived key (the seeded-uniform stand-in, the stats_bootstrap
+    // hash) and keep each group's top 5 through graft.plans.TopK's
+    // bounded-heap exec: partial per-partition heaps → shuffle of ≤ k
+    // survivors per (partition, key) → final merge. No per-group window
+    // sort, no full shuffle of the corpus — the reservoir-sampling plan
+    // shape at any group cardinality or skew.
+    "p15_reservoir_per_key" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("h",
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+      graft.plans.TopK.perKey(ev, keyCols = Seq("user_id"), scoreCol = "h",
+        tieCols = Seq("event_id"), k = 5)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "p15_reservoir_per_key" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value, h FROM ev
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY h DESC, event_id) <= 5""".stripMargin,
     "p1_select_reorder" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
         |       l_extendedprice FROM lineitem""".stripMargin,

@@ -101,6 +101,11 @@ object StreamingPack extends QueryPack {
     // open streaming aggregate, so production splits exactly here.
     "st14_stream_topk" -> ((s, dir) => Streams.dailyTopK(s, dir)),
 
+    // Streaming tick→OHLC bars — w20's streaming twin: open/close are the
+    // same sort-free min/max(struct) argmin/argmax, merged per
+    // micro-batch as ordinary agg state (O(bars), never O(ticks)).
+    "st16_stream_ohlc" -> ((s, dir) => Streams.streamOhlc(s, dir)),
+
     // session_window (30-min gap) in batch mode — the built-in session
     // assignment; agrees with the composed lag/running-sum sessionization
     // (tj3), which is what the oracle expresses. Boundary semantics: an
@@ -162,6 +167,30 @@ object StreamingPack extends QueryPack {
         |FROM documents
         |WHERE md5(text) NOT IN (
         |  SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0)""".stripMargin,
+    // the 1-day tumbling window is UTC-midnight-aligned, so window.start
+    // = CAST(ts AS DATE) and the oracle is exactly the batch w20 SQL
+    "st16_stream_ohlc" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, day, c,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM ev
+        |)
+        |SELECT user_id, day,
+        |  CAST(max(CASE WHEN rf = 1 THEN c END) AS BIGINT) AS open_cents,
+        |  CAST(max(c) AS BIGINT) AS high_cents,
+        |  CAST(min(c) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS close_cents,
+        |  CAST(sum(c) AS BIGINT) AS volume_cents,
+        |  CAST(count(*) AS BIGINT) AS n_ticks
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "st14_stream_topk" ->
       """WITH c AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

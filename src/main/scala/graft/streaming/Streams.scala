@@ -488,6 +488,33 @@ object Streams {
     runToTable(agg, spark, "graft_stream_agg", "complete")
   }
 
+  /** Streaming tick→OHLC bar maintenance — w20_ohlc_resample's streaming
+    * twin: per (series, 1-day tumbling window), open/close ride the same
+    * sort-free min/max(struct(ts, event_id, cents)) argmin/argmax that
+    * the batch bar build uses (they're plain aggregates, so the state
+    * store merges them per micro-batch like any other agg buffer —
+    * O(bars) state, never O(ticks)); high/low/volume share the buffer.
+    * Bounded input ⇒ the final bar table equals the batch w20 GROUP BY,
+    * which IS the oracle. */
+  def streamOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val bars = eventStream(spark, sfDir)
+      .withColumn("c",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .withWatermark("ts", "10 days")
+      .groupBy(col("user_id"), window(col("ts"), "1 day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("c"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("c"))).as("l"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        sum(col("c")).as("volume_cents"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("user_id"), col("window.start").cast("date").as("day"),
+        col("f.c").as("open_cents"), col("high_cents"), col("low_cents"),
+        col("l.c").as("close_cents"), col("volume_cents"), col("n_ticks"))
+    runToTable(bars, spark, "graft_stream_ohlc", "complete")
+  }
+
   /** Streaming trending-items: a per-(day, type) count aggregation
     * maintained by the stream in COMPLETE mode, then top-3-per-day
     * ranked DOWNSTREAM over the materialized sink — the production

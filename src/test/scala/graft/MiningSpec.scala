@@ -157,6 +157,57 @@ class MiningSpec extends SparkSuite {
     bars.unpersist()
   }
 
+  test("d18 containment join is EXACT: equals the brute-force all-pairs scan") {
+    val out = graft.queries.DedupPack.queries("d18_containment_join")(
+        spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = graft.queries.DedupPack.withNearDups(spark, sf)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN size(ws) < 3 THEN array(array_join(ws, ' ')) " +
+          "ELSE array_distinct(transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
+          "element_at(ws, i + 2)))) END").as("ts"))
+    val brute = sets.select(col("doc_id").as("da"), col("ts").as("ta"))
+      .crossJoin(sets.select(col("doc_id").as("db"), col("ts").as("tb")))
+      .filter(col("da") =!= col("db"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("i") * 5 >= size(col("ta")).cast("long") * 4)
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute,
+      s"containment prefix filter must be lossless (got ${out.size}, " +
+        s"brute ${brute.size})")
+    assert(out.nonEmpty, "planted near-dups are contained in their originals")
+  }
+
+  test("p15 reservoir keeps exactly min(k, group size) rows per key, deterministically") {
+    val q = graft.queries.ProjectionPack.queries("p15_reservoir_per_key")
+    val s1 = q(spark, sf).cache()
+    val sizes = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = s1.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet, "every key is sampled")
+    got.foreach { case (u, n) =>
+      assert(n == math.min(5L, sizes(u)), s"user $u: $n of ${sizes(u)}")
+    }
+    val s2 = q(spark, sf)
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0,
+      "hash-reservoir selection must be deterministic")
+    s1.unpersist()
+  }
+
+  test("st16 streaming OHLC equals the batch w20 bar table") {
+    val streamBars = graft.queries.StreamingPack.queries("st16_stream_ohlc")(
+      spark, sf).collect().map(_.toSeq).toSet
+    val batchBars = graft.queries.WindowPack.queries("w20_ohlc_resample")(
+      spark, sf).collect().map(_.toSeq).toSet
+    assert(streamBars == batchBars,
+      "bounded-input streaming bars must equal the batch GROUP BY")
+    assert(streamBars.nonEmpty)
+  }
+
   test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
     val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
         spark, sf).select("doc_a", "doc_b")

@@ -756,4 +756,37 @@ class PlanAuditSpec extends SparkSuite {
     // the decile cumulative is the single bounded window
     assert("Window ".r.findAllIn(lg).size <= 1, lg)
   }
+
+  test("w20: OHLC bars are one keyed agg exchange — no window, no join") {
+    val plan = executedString("w20_ohlc_resample")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(plan.contains("partial"), plan) // map-side combine before it
+  }
+
+  test("ml_linreg_normal: one 9-moment agg pass, no join, no window") {
+    val plan = executedString("ml_linreg_normal")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("ml_assoc_rules: dim attach broadcasts; basket stream is cached once") {
+    val plan = executedString("ml_assoc_rules")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
+  test("p15: reservoir rides the bounded-heap TopKPerKey exec, no window sort") {
+    val plan = executedString("p15_reservoir_per_key")
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("ml_isotonic: the PAV fold sees ONE exchange with an in-exchange sort") {
+    val plan = executedString("ml_isotonic")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"cell collapse + series exchange only:\n$plan")
+    assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"), plan)
+  }
 }
