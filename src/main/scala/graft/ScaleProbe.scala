@@ -360,6 +360,17 @@ object ScaleProbe {
     "d18_containment_join",
     // per-key hash reservoir: TopKPerKey bounded heaps — sc5's slope
     "p15_reservoir_per_key",
+    // CUSUM changepoint: map-side cell collapse + bounded-table windows
+    // — the c6 per-series slope
+    "stats_changepoint",
+    // token entropy: explode + (doc, token) count + per-doc agg — two
+    // corpus-linear keyed shuffles, t5's bigram-freq band
+    "t27_token_entropy",
+    // NOT probed: c18_fellegi_sunter — it rides c14's blocking join, and
+    // the replica reuses the same 64 part names per copy, so Σ|block|²
+    // grows quadratically BY CONSTRUCTION (the c14 NOT-probed artifact;
+    // a fair probe needs per-copy name perturbation). The weights table
+    // itself is |fields|-sized at any scale.
     // Kruskal–Wallis: the stats_mannwhitney type-table collapse with 3
     // packed count fields and the same single prefix pass — MW's slope
     "stats_kruskal",

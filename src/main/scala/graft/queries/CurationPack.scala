@@ -74,6 +74,58 @@ object CurationPack extends QueryPack {
           col("m.dist").cast("long").as("dist"))
     }),
 
+    // Fellegi–Sunter match/unmatch weights (Fellegi & Sunter 1969) — the
+    // LEARNING half of record linkage c14 only scores: over the blocked
+    // candidate pairs, estimate per-comparison-field agreement
+    // probabilities among true matches (m) and non-matches (u), and emit
+    // the log-likelihood agreement weight ln(m/u) a production linker
+    // sums per field. Ground truth is free on this population (a planted
+    // dirty twin matches iff dirty_id − 1e6 = clean_id), counts are
+    // exact integers with Laplace (+1/+2) smoothing so no zero ratio,
+    // and the single ln per field rides the repo's 1e-6 quantization.
+    // Scale shape: c14's blocked join (Σ|block|² bounded by the blocking
+    // key) + ONE map-side-combined agg over 3 fields — the weights table
+    // is |fields|-sized at any corpus.
+    "c18_fellegi_sunter" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val clean = p.select(
+        col("p_partkey").as("clean_id"), col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_brand").as("brand_c"), col("p_size").as("size_c"),
+        floor(col("p_retailprice") / 100.0).cast("long").as("pb_c"))
+      val dirty = clean.filter(pmod(col("clean_id"), lit(10)) === 0)
+        .select((col("clean_id") + 1000000L).as("dirty_id"),
+          col("blk"), col("brand_c").as("brand_d"),
+          col("size_c").as("size_d"), col("pb_c").as("pb_d"))
+      val cand = dirty.join(clean, "blk")
+        .withColumn("is_match",
+          (col("dirty_id") - 1000000L === col("clean_id")).cast("long"))
+      val fields = cand.select(col("is_match"), explode(array(
+          struct(lit("brand").as("field"),
+            (col("brand_d") === col("brand_c")).cast("long").as("agree")),
+          struct(lit("size").as("field"),
+            (col("size_d") === col("size_c")).cast("long").as("agree")),
+          struct(lit("price_bucket").as("field"),
+            (col("pb_d") === col("pb_c")).cast("long").as("agree"))))
+          .as("f"))
+        .select(col("is_match"), col("f.field"), col("f.agree"))
+      fields.groupBy(col("field"))
+        .agg(
+          sum(col("is_match")).as("n_match"),
+          sum(lit(1L) - col("is_match")).as("n_nonmatch"),
+          sum(col("agree") * col("is_match")).as("a_match"),
+          sum(col("agree") * (lit(1L) - col("is_match"))).as("a_nonmatch"))
+        .select(col("field"), col("n_match"), col("n_nonmatch"),
+          Num.r6((col("a_match") + 1L).cast("double") /
+            (col("n_match") + 2L).cast("double")).as("m_prob"),
+          Num.r6((col("a_nonmatch") + 1L).cast("double") /
+            (col("n_nonmatch") + 2L).cast("double")).as("u_prob"),
+          (expr("CAST(floor(ln(((a_match + 1) / CAST(n_match + 2 AS DOUBLE)) " +
+            "/ ((a_nonmatch + 1) / CAST(n_nonmatch + 2 AS DOUBLE))) " +
+            "* 1000000 + 0.5) AS BIGINT)").cast("double") / 1000000.0)
+            .as("agreement_weight"))
+    }),
+
     // Source-mix rebalancing (the DoReMi-style downsampling step): bring
     // every source to the uniform target share by hash-thresholded keep
     // decisions. keep_rate(s) = min(1, target/actual) becomes an exact
@@ -669,6 +721,50 @@ object CurationPack extends QueryPack {
         |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "c18_fellegi_sunter" ->
+      """WITH clean AS (
+        |  SELECT p_partkey AS clean_id, split_part(p_name, ' ', 1) AS blk,
+        |    p_brand AS brand_c, p_size AS size_c,
+        |    CAST(floor(p_retailprice / 100.0) AS BIGINT) AS pb_c
+        |  FROM part
+        |), dirty AS (
+        |  SELECT clean_id + 1000000 AS dirty_id, blk, brand_c AS brand_d,
+        |    size_c AS size_d, pb_c AS pb_d
+        |  FROM clean WHERE clean_id % 10 = 0
+        |), cand AS (
+        |  SELECT d.dirty_id, c.clean_id,
+        |    CASE WHEN d.dirty_id - 1000000 = c.clean_id THEN 1 ELSE 0 END
+        |      AS is_match,
+        |    d.brand_d, c.brand_c, d.size_d, c.size_c, d.pb_d, c.pb_c
+        |  FROM dirty d JOIN clean c USING (blk)
+        |), fields AS (
+        |  SELECT is_match, 'brand' AS field,
+        |    CASE WHEN brand_d = brand_c THEN 1 ELSE 0 END AS agree FROM cand
+        |  UNION ALL
+        |  SELECT is_match, 'size',
+        |    CASE WHEN size_d = size_c THEN 1 ELSE 0 END FROM cand
+        |  UNION ALL
+        |  SELECT is_match, 'price_bucket',
+        |    CASE WHEN pb_d = pb_c THEN 1 ELSE 0 END FROM cand
+        |), agg AS (
+        |  SELECT field,
+        |    CAST(sum(is_match) AS BIGINT) AS n_match,
+        |    CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch,
+        |    CAST(sum(agree * is_match) AS BIGINT) AS a_match,
+        |    CAST(sum(agree * (1 - is_match)) AS BIGINT) AS a_nonmatch
+        |  FROM fields GROUP BY 1
+        |)
+        |SELECT field, n_match, n_nonmatch,
+        |  floor((CAST(a_match + 1 AS DOUBLE) / CAST(n_match + 2 AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS m_prob,
+        |  floor((CAST(a_nonmatch + 1 AS DOUBLE)
+        |      / CAST(n_nonmatch + 2 AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS u_prob,
+        |  CAST(CAST(floor(ln(((a_match + 1) / CAST(n_match + 2 AS DOUBLE))
+        |      / ((a_nonmatch + 1) / CAST(n_nonmatch + 2 AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS agreement_weight
+        |FROM agg""".stripMargin,
     "c14_fuzzy_linkage" ->
       """WITH clean AS (
         |  SELECT p_partkey AS clean_id, p_name AS name,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.{Num, QueryPack, Tables}
@@ -111,6 +112,42 @@ object StatsTestsPack extends QueryPack {
                 (lit((n + 1).toDouble) -
                   col("tie_term").cast(DoubleType) / (n.toDouble * (n - 1)))))
             .as("z_score"))
+    }),
+
+    // CUSUM changepoint localization per series — c6's drift signal
+    // sharpened to a POINT estimate: the day d* maximizing the absolute
+    // cumulative deviation from the series mean is the classic
+    // binary-segmentation first split (Page 1954 / Scott & Knott). All
+    // arithmetic exact: the deviation C_d = Σ_{i≤d}(s_i − n_i·μ) is
+    // rescaled by N (C'_d = N·cumS_d − S·cumN_d, a BIGINT — no rational
+    // μ ever materializes), the argmax is one max(struct) over the
+    // bounded (series, day) cell table, and the only doubles are the
+    // display normalizations. Envelope: |C'| ≤ S·N ~ 1e12 at sf0.1,
+    // 1e16 at 100× — inside BIGINT. Scale shape: map-side cell collapse,
+    // one bounded-table window, one agg.
+    "stats_changepoint" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+          Num.cents(col("value")).as("c"))
+        .groupBy("event_type", "d")
+        .agg(sum(col("c")).as("sd"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val tot = Window.partitionBy(col("event_type"))
+      val dev = cells
+        .withColumn("cum_s", sum(col("sd")).over(w))
+        .withColumn("cum_n", sum(col("nd")).over(w))
+        .withColumn("s_all", sum(col("sd")).over(tot))
+        .withColumn("n_all", sum(col("nd")).over(tot))
+        .withColumn("cprime",
+          col("cum_s") * col("n_all") - col("s_all") * col("cum_n"))
+      dev.groupBy(col("event_type"))
+        .agg(max(struct(abs(col("cprime")).as("a"), (-col("d")).as("nd"),
+          col("n_all").as("n"))).as("m"))
+        .select(col("event_type"), (-col("m.nd")).as("change_day"),
+          col("m.a").as("cusum_scaled"),
+          Num.r6(col("m.a").cast(DoubleType) /
+            (col("m.n").cast(DoubleType) * 100.0)).as("max_dev_dollars"))
     }),
 
     // Kruskal–Wallis H ('click' / 'view' / 'purchase') — the k-sample
@@ -814,6 +851,35 @@ object StatsTestsPack extends QueryPack {
         |            (CAST(n.n_a + n.n_b AS DOUBLE) * CAST(n.n_a + n.n_b - 1 AS DOUBLE)))))
         |    * 1000000 + 0.5) / 1000000 AS z_score
         |FROM agg, n""".stripMargin,
+    "stats_changepoint" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, d, CAST(sum(c) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM ev GROUP BY 1, 2
+        |), dev AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(sd) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+        |        * CAST(sum(nd) OVER (PARTITION BY event_type) AS BIGINT)
+        |      - CAST(sum(sd) OVER (PARTITION BY event_type) AS BIGINT)
+        |        * CAST(sum(nd) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+        |      AS cprime,
+        |    CAST(sum(nd) OVER (PARTITION BY event_type) AS BIGINT) AS n_all
+        |  FROM cells
+        |), r AS (
+        |  SELECT event_type, d, abs(cprime) AS a, n_all,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cprime) DESC, d) AS rk
+        |  FROM dev
+        |)
+        |SELECT event_type, d AS change_day, a AS cusum_scaled,
+        |  floor((CAST(a AS DOUBLE) / (CAST(n_all AS DOUBLE) * 100.0))
+        |    * 1000000 + 0.5) / 1000000 AS max_dev_dollars
+        |FROM r WHERE rk = 1""".stripMargin,
     "stats_kruskal" ->
       """WITH ev AS (
         |  SELECT event_type, value FROM events

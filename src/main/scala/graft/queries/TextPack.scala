@@ -840,6 +840,38 @@ object TextPack extends QueryPack {
           md5(col("clean")).as("clean_digest"))
     }),
 
+    // Per-document token Shannon entropy + type-token ratio — the
+    // lexical-diversity quality signals (low entropy = repetitive /
+    // boilerplate text; the Gopher-rule companion t2/t7 don't cover).
+    // FP discipline: H = ln(n) − (Σ c·lnq(c))/n where lnq is the
+    // repo-wide ln quantization floor(ln(x)·1e6 + 0.5) (the t13
+    // log-prob contract) — each token type contributes the exact
+    // integer c·lnq(c), the per-doc sum is exact, and the two divisions
+    // at the end are the only free doubles. Scale shape: map-side
+    // explode → (doc, token) count → per-doc agg: two keyed shuffles,
+    // both on corpus-linear streams.
+    "t27_token_entropy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("clnq",
+          col("c") * expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("clnq")).as("sum_clnq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          Num.r6(col("n_types").cast("double") /
+            col("n_tokens").cast("double")).as("ttr"),
+          Num.r6((expr(
+            "CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+              .cast("double") -
+            col("sum_clnq").cast("double") /
+              col("n_tokens").cast("double")) / 1000000.0)
+            .as("entropy_nats"))
+    }),
+
     "t25_ngram_novelty" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
@@ -1361,6 +1393,32 @@ object TextPack extends QueryPack {
         |  clean <> text AS changed,
         |  md5(clean) AS clean_digest
         |FROM c""".stripMargin,
+    "t27_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2
+        |), q AS (
+        |  SELECT doc_id, c,
+        |    c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS clnq
+        |  FROM tc
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(clnq) AS BIGINT) AS sum_clnq
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, n_types,
+        |  floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS ttr,
+        |  floor(((CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+        |          AS BIGINT) AS DOUBLE)
+        |      - CAST(sum_clnq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    / 1000000.0) * 1000000 + 0.5) / 1000000 AS entropy_nats
+        |FROM agg""".stripMargin,
     "t25_ngram_novelty" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -208,6 +208,66 @@ class MiningSpec extends SparkSuite {
     assert(streamBars.nonEmpty)
   }
 
+  test("stats_changepoint maximizes the rescaled CUSUM deviation") {
+    val rows = graft.queries.StatsTestsPack.queries("stats_changepoint")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+        Num.cents(col("value")).as("c"))
+      .groupBy("event_type", "d")
+      .agg(sum(col("c")).as("sd"), count(lit(1)).as("nd"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (tpe, day, scaled) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val series = cells(tpe).map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+        .sortBy(_._1)
+      val (sAll, nAll) = (series.map(_._2).sum, series.map(_._3).sum)
+      var (cs, cn) = (0L, 0L)
+      val devs = series.map { case (d, s, n) =>
+        cs += s; cn += n; (d, math.abs(cs * nAll - sAll * cn))
+      }
+      val best = devs.maxBy(x => (x._2, -x._1))
+      assert((best._2, best._1) == (scaled, day),
+        s"$tpe: direct argmax $best vs query ($scaled, $day)")
+    }
+  }
+
+  test("t27 entropy is bounded by ln(n_types) and zero for single-type docs") {
+    val r = graft.queries.TextPack.queries("t27_token_entropy")(spark, sf)
+      .cache()
+    assert(r.filter(col("entropy_nats") < -1e-9).count() == 0)
+    // H <= ln(n_types) (+ quantization slack)
+    val over = r.filter(col("entropy_nats") >
+      log(col("n_types").cast("double")) + 1e-4)
+    assert(over.count() == 0, "entropy cannot exceed ln(#types)")
+    assert(r.filter(col("n_types") === 1 &&
+      abs(col("entropy_nats")) > 1e-9).count() == 0)
+    assert(r.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
+    r.unpersist()
+  }
+
+  test("c18 Fellegi-Sunter weights separate matches from non-matches") {
+    val r = graft.queries.CurationPack.queries("c18_fellegi_sunter")(spark, sf)
+      .collect().map(row => row.getString(0) ->
+        (row.getDouble(3), row.getDouble(4), row.getDouble(5))).toMap
+    assert(r.size == 3)
+    // brand (25 values) and size (50 values) discriminate: random
+    // same-block pairs rarely agree, planted twins always do. Price
+    // bucket is deliberately NON-discriminative on this fixture (blocked
+    // parts share price mass) — the learner must expose that as a
+    // ~zero-or-negative weight rather than fake separation.
+    Seq("brand", "size").foreach { f =>
+      val (m, u, w) = r(f)
+      assert(m > u && w > 0, s"$f: expected m > u and positive weight, " +
+        s"got m=$m u=$u w=$w")
+    }
+    r.values.foreach { case (m, u, _) =>
+      assert(m > 0 && m <= 1 && u > 0 && u <= 1)
+    }
+  }
+
   test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
     val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
         spark, sf).select("doc_a", "doc_b")
