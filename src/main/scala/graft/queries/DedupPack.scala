@@ -29,14 +29,28 @@ object DedupPack extends QueryPack {
           "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
           "element_at(ws, i + 2)))) END")).as("w"))
 
-  /** Per-doc shingle arrays sorted by ASCENDING global document frequency
-    * (rarest first) with their size `m` — the prefix-filter layout: one
-    * vocabulary shuffle for df, one doc-keyed build. Cached: each
-    * consumer reads it three ways (prefix explode + both verify sides) —
-    * uncached, the explode/df-join/collect_list chain re-derives per
-    * reference (the d3/m3 signature-recompute lesson). */
+  /** [[shingleToks]] with each shingle collapsed to its 8-byte Fnv64
+    * digest — what the exact-join family actually shuffles and
+    * intersects (d8's economics: a 25-40-byte shingle string would
+    * quintuple every exchange and make array_intersect hash strings per
+    * pair; measured 35.9 s → 5.6 s on d18's 10× verify). Digest
+    * collisions merge shingle types — the d13 documented trade, with
+    * p ≈ n²/2⁶⁵ ≈ 1e-7 at the 100× probe's 3M types; the oracle
+    * intersects the STRINGS, so parity itself verifies collision-
+    * freeness at every checked scale. */
+  private def shingleToksHashed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fnv64.register(s)
+    shingleToks(s, dir).select(col("doc_id"), expr("graft_fnv64(w)").as("w"))
+  }
+
+  /** Per-doc hashed-shingle arrays sorted by ASCENDING global document
+    * frequency (rarest first) with their size `m` — the prefix-filter
+    * layout: one vocabulary shuffle for df, one doc-keyed build. Cached:
+    * each consumer reads it three ways (prefix explode + both verify
+    * sides) — uncached, the explode/df-join/collect_list chain
+    * re-derives per reference (the d3/m3 signature-recompute lesson). */
   private def dfOrderedShingleSets(s: SparkSession, dir: String): DataFrame = {
-    val toks = shingleToks(s, dir)
+    val toks = shingleToksHashed(s, dir)
     val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
     toks.join(dfreq, "w")
       .groupBy("doc_id")
@@ -574,10 +588,10 @@ object DedupPack extends QueryPack {
     // shingle-keyed candidate shuffle bounded by prefix postings, one
     // doc-keyed verify join; the oracle's all-pairs scan is the CHECKER,
     // never the operator. Unlike d2/d4 this returns exact pairs with NO
-    // recall loss and NO n² leg anywhere in the engine path. (At corpus
-    // scale the shingle strings would shuffle as 8-byte Fnv64 digests —
-    // d8's economics; strings are kept here so the DuckDB oracle can
-    // replay the exact same keys.)
+    // recall loss and NO n² leg anywhere in the engine path. Shingles
+    // shuffle and intersect as 8-byte Fnv64 digests (d8's economics —
+    // see shingleToksHashed); the oracle intersects the strings, so
+    // hash-parity doubles as a collision check.
     "d17_prefix_filter_join" -> ((s, dir) => {
       val sets = dfOrderedShingleSets(s, dir)
       // prefix length m − ⌈τ·m⌉ + 1 with τ = 1/2: m − ⌈m/2⌉ + 1; the
@@ -635,7 +649,8 @@ object DedupPack extends QueryPack {
       val prefA = sets.select(col("doc_id").as("doc_a"),
         explode(expr("slice(ts, 1, CAST(m - (4 * m + 4) DIV 5 + 1 AS INT))"))
           .as("w"))
-      val full = shingleToks(s, dir).select(col("doc_id").as("doc_b"), col("w"))
+      val full = shingleToksHashed(s, dir)
+        .select(col("doc_id").as("doc_b"), col("w"))
       val cand = prefA.join(full, "w")
         .filter(col("doc_a") =!= col("doc_b"))
         .select("doc_a", "doc_b").distinct()
