@@ -363,6 +363,12 @@ object ScaleProbe {
     // CUSUM changepoint: map-side cell collapse + bounded-table windows
     // — the c6 per-series slope
     "stats_changepoint",
+    // Mann–Kendall: the same cell collapse; the O(days²) pair join runs
+    // over the BOUNDED cell table — changepoint's slope
+    "stats_mann_kendall",
+    // Kaplan–Meier: one user-keyed lifetime agg, then everything on the
+    // bounded distinct-duration table — x8's cohort slope
+    "stats_kaplan_meier",
     // token entropy: explode + (doc, token) count + per-doc agg — two
     // corpus-linear keyed shuffles, t5's bigram-freq band
     "t27_token_entropy",

@@ -49,16 +49,25 @@ object DedupPack extends QueryPack {
     * each consumer reads it three ways (prefix explode + both verify
     * sides) — uncached, the explode/df-join/collect_list chain
     * re-derives per reference (the d3/m3 signature-recompute lesson). */
-  private def dfOrderedShingleSets(s: SparkSession, dir: String): DataFrame = {
-    val toks = shingleToksHashed(s, dir)
-    val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
-    toks.join(dfreq, "w")
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(df, w))), x -> x.w)")
-        .as("ts"))
-      .withColumn("m", size(col("ts")).cast("long"))
-      .cache()
-  }
+  private def dfOrderedShingleSets(s: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dataset) with cache eviction — d17 and d18
+    // share ONE cached frame per fixture instead of each invocation
+    // pinning a fresh copy (the d5 accounting); re-fingerprinting evicts
+    // and unpersists on data change
+    graft.Fingerprint.memoEvict(
+        s"d17_sets_${System.identityHashCode(s)}",
+        s"$dir/documents.parquet",
+        (df: DataFrame) => { df.unpersist(false); () }) {
+      val toks = shingleToksHashed(s, dir)
+      val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(df, w))), x -> x.w)")
+          .as("ts"))
+        .withColumn("m", size(col("ts")).cast("long"))
+        .cache()
+    }
 
   private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")

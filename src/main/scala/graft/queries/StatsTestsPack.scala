@@ -114,6 +114,105 @@ object StatsTestsPack extends QueryPack {
             .as("z_score"))
     }),
 
+    // Mann–Kendall trend test per series — the nonparametric monotone-
+    // trend companion to stats_ar1_fit's parametric slope: S counts
+    // concordant-minus-discordant day pairs of the daily-mean curve.
+    // EXACT arithmetic throughout: the mean comparison
+    // sign(m_j − m_i) = sign(sd_j·nd_i − sd_i·nd_j) never materializes a
+    // rational, ties group by the (identical-both-engines) double
+    // division, and the tie-corrected variance numerator
+    // N(N−1)(2N+5) − Σ t(t−1)(2t+5) stays integer; the z-score's sqrt is
+    // the only transcendental. Scale shape: the corpus collapses
+    // map-side to (series, day) cells; the O(days²) pair join runs over
+    // that BOUNDED table (30² rows per series), never the corpus.
+    "stats_mann_kendall" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+          Num.cents(col("value")).as("c"))
+        .groupBy("event_type", "d")
+        .agg(sum(col("c")).as("sd"), count(lit(1)).as("nd"))
+      val a = cells.select(col("event_type"), col("d").as("di"),
+        col("sd").as("si"), col("nd").as("ni"))
+      val b = cells.select(col("event_type"), col("d").as("dj"),
+        col("sd").as("sj"), col("nd").as("nj"))
+      val sStat = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .select(col("event_type"),
+          signum((col("sj") * col("ni") - col("si") * col("nj"))
+            .cast(DoubleType)).cast("long").as("sgn"))
+        .groupBy("event_type").agg(sum(col("sgn")).as("s_stat"))
+      val ties = cells
+        .groupBy(col("event_type"),
+          (col("sd").cast(DoubleType) / col("nd").cast(DoubleType)).as("m"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("tie_term"))
+      sStat.join(ties, "event_type")
+        .withColumn("var_num",
+          col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+            - col("tie_term"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var_num"),
+          Num.r6(when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast(DoubleType) /
+                sqrt(col("var_num").cast(DoubleType) / 18.0))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast(DoubleType) /
+                sqrt(col("var_num").cast(DoubleType) / 18.0))
+            .otherwise(lit(0.0))).as("z_score"))
+    }),
+
+    // Kaplan–Meier survival over user PURCHASE lifetimes — survival
+    // analysis as an engine capability (churn/retention curves at corpus
+    // scale): a user's lifetime is first→last purchase day; a user still
+    // purchasing in the final 3 days of the horizon is CENSORED, not
+    // dead. (The all-events lifetime is degenerate on this fixture —
+    // every synthetic user stays active to the horizon — purchases are
+    // sparse enough to churn.)
+    // The corpus collapses to per-user (duration, death) in one keyed
+    // agg, then every estimator quantity lives on the bounded distinct-
+    // duration table: the risk set n(t) is a suffix sum, and the
+    // product-limit estimator is maintained in LOG space as the exact
+    // prefix sum of the 1e-6-quantized ln((n−d)/n) terms (the t13
+    // contract) — no cross-engine product chains. Terms with n = d
+    // (survival hits zero) are dropped by both sides per KM convention.
+    "stats_kaplan_meier" -> ((s, dir) => {
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      val horizon = purchases
+        .agg(max(to_date(col("ts"))).as("mx")).head().getDate(0)
+      val users = purchases
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        .select(
+          datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+          (datediff(lit(horizon), col("last_d")) > 3).cast("long").as("death"))
+      val cells = users.groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_at"), sum(col("death")).as("d_at"))
+      val wDesc = Window.partitionBy(lit(1)).orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.partitionBy(lit(1)).orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // windows run over the bounded distinct-duration table (≤ horizon
+      // days of cells), not the corpus — the 1-partition spec is fine
+      // at any corpus size because the frame is calendar-bounded
+      cells
+        .withColumn("n_risk", sum(col("n_at")).over(wDesc))
+        .filter(col("d_at") > 0)
+        .filter(col("n_risk") > col("d_at"))
+        .withColumn("lnq_term", expr(
+          "CAST(floor(ln(CAST(n_risk - d_at AS DOUBLE) / " +
+            "CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+        .withColumn("cum_ln", sum(col("lnq_term")).over(wAsc))
+        .select(col("dur").as("t_days"), col("n_risk"), col("d_at"),
+          Num.r6(col("cum_ln").cast(DoubleType) / 1000000.0)
+            .as("log_survival"))
+    }),
+
     // CUSUM changepoint localization per series — c6's drift signal
     // sharpened to a POINT estimate: the day d* maximizing the absolute
     // cumulative deviation from the series mean is the classic
@@ -851,6 +950,76 @@ object StatsTestsPack extends QueryPack {
         |            (CAST(n.n_a + n.n_b AS DOUBLE) * CAST(n.n_a + n.n_b - 1 AS DOUBLE)))))
         |    * 1000000 + 0.5) / 1000000 AS z_score
         |FROM agg, n""".stripMargin,
+    "stats_mann_kendall" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, d, CAST(sum(c) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM ev GROUP BY 1, 2
+        |), s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.sd * a.nd > a.sd * b.nd THEN 1
+        |                  WHEN b.sd * a.nd < a.sd * b.nd THEN -1
+        |                  ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM cells a JOIN cells b
+        |    ON a.event_type = b.event_type AND a.d < b.d
+        |  GROUP BY 1
+        |), ties AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type,
+        |          CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE) AS m,
+        |          CAST(count(*) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), v AS (
+        |  SELECT s.event_type, ties.n_days, s.s_stat,
+        |    ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+        |      - ties.tie_term AS var_num
+        |  FROM s JOIN ties USING (event_type)
+        |)
+        |SELECT event_type, n_days, s_stat, var_num,
+        |  floor((CASE
+        |    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS z_score
+        |FROM v""".stripMargin,
+    "stats_kaplan_meier" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM p),
+        |users AS (
+        |  SELECT
+        |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+        |      AS dur,
+        |    CASE WHEN (SELECT mxd FROM mx) - max(CAST(ts AS DATE)) > 3
+        |      THEN 1 ELSE 0 END AS death
+        |  FROM p GROUP BY user_id
+        |), cells AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(death) AS BIGINT) AS d_at
+        |  FROM users GROUP BY 1
+        |), r AS (
+        |  SELECT dur, n_at, d_at,
+        |    CAST(sum(n_at) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+        |  FROM cells
+        |), t AS (
+        |  SELECT dur, n_risk, d_at,
+        |    CAST(floor(ln(CAST(n_risk - d_at AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS lnq_term
+        |  FROM r WHERE d_at > 0 AND n_risk > d_at
+        |)
+        |SELECT dur AS t_days, n_risk, d_at,
+        |  floor((CAST(CAST(sum(lnq_term) OVER (ORDER BY dur) AS BIGINT)
+        |      AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000
+        |    AS log_survival
+        |FROM t""".stripMargin,
     "stats_changepoint" ->
       """WITH ev AS (
         |  SELECT event_type,

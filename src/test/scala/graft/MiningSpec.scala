@@ -268,6 +268,47 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("stats_mann_kendall matches a direct pairwise recompute") {
+    val rows = graft.queries.StatsTestsPack.queries("stats_mann_kendall")(
+      spark, sf).collect()
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+        Num.cents(col("value")).as("c"))
+      .groupBy("event_type", "d")
+      .agg(sum(col("c")).as("sd"), count(lit(1)).as("nd"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val series = cells(r.getString(0))
+        .map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).sortBy(_._1)
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.length) {
+        val diff = series(j)._2 * series(i)._3 - series(i)._2 * series(j)._3
+        s += java.lang.Long.signum(diff)
+      }
+      assert(s == r.getLong(2), s"${r.getString(0)}: S $s vs ${r.getLong(2)}")
+      assert(r.getLong(3) >= 0, "variance numerator nonnegative")
+    }
+  }
+
+  test("stats_kaplan_meier curve is monotone and risk-consistent") {
+    val km = graft.queries.StatsTestsPack.queries("stats_kaplan_meier")(
+      spark, sf).orderBy(col("t_days")).collect()
+    assert(km.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    var prevRisk = Long.MaxValue
+    var prevLs = 0.0
+    km.foreach { r =>
+      val (risk, d, ls) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(risk <= nUsers && d > 0 && d < risk, s"risk $risk deaths $d")
+      assert(risk <= prevRisk, "risk set shrinks over time")
+      assert(ls <= prevLs + 1e-9, "log-survival is nonincreasing")
+      prevRisk = risk; prevLs = ls
+    }
+  }
+
   test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
     val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
         spark, sf).select("doc_a", "doc_b")
