@@ -369,6 +369,9 @@ object ScaleProbe {
     // Kaplan–Meier: one user-keyed lifetime agg, then everything on the
     // bounded distinct-duration table — x8's cohort slope
     "stats_kaplan_meier",
+    // MMR: a fixed-|Q|=1 brute shortlist scan (n10's linear-scan slope)
+    // + a 32×32 broadcast sim matrix + bounded driver greedy
+    "n15_mmr",
     // token entropy: explode + (doc, token) count + per-doc agg — two
     // corpus-linear keyed shuffles, t5's bigram-freq band
     "t27_token_entropy",

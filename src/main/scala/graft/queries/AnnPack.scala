@@ -339,6 +339,71 @@ object AnnPack extends QueryPack {
         Sq8Bound, "recall5_ge_060")
     }),
 
+    // MMR diversified re-rank (Carbonell & Goldstein 1998, λ = ½): the
+    // retrieval stage RAG pipelines run between ANN and the context
+    // window — greedily pick 10 of the query's top-32 neighbours
+    // maximizing rel(i) − max_{j∈selected} sim(i, j), trading relevance
+    // against redundancy. Distribution model: the DISTRIBUTED work is
+    // the corpus-wide shortlist scan (one broadcast-query pass +
+    // TakeOrdered) and the 32×32 similarity matrix (broadcast
+    // self-join); the greedy itself is inherently sequential and runs on
+    // the collected k·m-BOUNDED artifact (32 rows + 496 sims — the
+    // grid-search accounting), never on data. Determinism: relevance and
+    // similarity quantize to e6 integers via the n2-established
+    // floor(cos·1e6 + 0.5) contract, so every argmax compares exact
+    // longs with an id tie-break, and the oracle replays all ten greedy
+    // steps as unrolled CTEs.
+    "n15_mmr" -> ((s, dir) => {
+      import graft.ann.Similarity.{dot, l2norm}
+      val e = Tables.embeddings(s, dir)
+      val K = 32
+      val R = 10
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"),
+          l2norm(col("embedding")).as("q_norm"))
+      val rel = e.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("cid"), col("embedding").as("emb"),
+          floor(dot(col("q_emb"), col("emb")) / col("q_norm") /
+            l2norm(col("emb")) * 1000000d + 0.5d).cast("long").as("rel_e6"))
+      val sl = rel.orderBy(col("rel_e6").desc, col("cid")).limit(K)
+        .select(col("cid"), col("emb"), col("rel_e6")).cache()
+      val a = sl.select(col("cid").as("a"), col("emb").as("ea"))
+      val b = sl.select(col("cid").as("b"), col("emb").as("eb"))
+      val sims = a.crossJoin(broadcast(b)).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          floor(dot(col("ea"), col("eb")) / l2norm(col("ea")) /
+            l2norm(col("eb")) * 1000000d + 0.5d).cast("long").as("sim_e6"))
+      val cand = sl.select("cid", "rel_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val simMap = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      sl.unpersist(false)
+      def simOf(x: Long, y: Long): Long =
+        simMap(if (x < y) (x, y) else (y, x))
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)] // rank, cid, rel, mmr
+      val pool = scala.collection.mutable.Set(cand.map(_._1): _*)
+      val relOf = cand.toMap
+      for (t <- 1 to math.min(R, cand.length)) {
+        val pick =
+          if (selected.isEmpty) {
+            val c = cand.maxBy(x => (x._2, -x._1))
+            (c._1, c._2, c._2)
+          } else {
+            pool.toSeq.map { cid =>
+              val m = relOf(cid) -
+                selected.map(s => simOf(cid, s._2)).max
+              (cid, relOf(cid), m)
+            }.maxBy(x => (x._3, -x._1))
+          }
+        selected += ((t.toLong, pick._1, pick._2, pick._3))
+        pool -= pick._1
+      }
+      import s.implicits._
+      selected.toSeq.toDF("rank", "vec_id", "rel_e6", "mmr_e6")
+    }),
+
     // Embedding-cosine near-dup dedup (exhaustive upper-triangle baseline;
     // the scale path replaces candidate generation with the n3/d2 LSH
     // bucketing — this exact variant is what the oracle can check).
@@ -612,6 +677,52 @@ object AnnPack extends QueryPack {
     "n14_ann_binary_rerank" ->
       """SELECT count(*) AS n_queries, true AS recall5_ge_060
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // n15: the ten greedy MMR steps unrolled — step t picks, from the
+    // not-yet-selected shortlist, the max of rel − max(sim to selected)
+    // on exact e6 integers with an id tie-break.
+    "n15_mmr" -> {
+      val steps = (2 to 10).map { t =>
+        s"""p$t AS MATERIALIZED (
+           |  SELECT c.cid, c.rel_e6,
+           |    c.rel_e6 - (SELECT max(p.sim_e6) FROM pairs p
+           |      WHERE (p.a = c.cid AND p.b IN (SELECT cid FROM sel${t - 1}))
+           |         OR (p.b = c.cid AND p.a IN (SELECT cid FROM sel${t - 1})))
+           |      AS mmr_e6
+           |  FROM sl c
+           |  WHERE c.cid NOT IN (SELECT cid FROM sel${t - 1})
+           |), pick$t AS MATERIALIZED (
+           |  SELECT cid, rel_e6, mmr_e6, $t AS rk FROM p$t
+           |  ORDER BY mmr_e6 DESC, cid LIMIT 1
+           |), sel$t AS MATERIALIZED (
+           |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+         |), rel AS MATERIALIZED (
+         |  SELECT c.vec_id AS cid,
+         |    CAST(floor(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT)
+         |      AS rel_e6
+         |  FROM embeddings c, q WHERE c.vec_id <> 0
+         |), sl AS MATERIALIZED (
+         |  SELECT cid, rel_e6 FROM rel ORDER BY rel_e6 DESC, cid LIMIT 32
+         |), pairs AS MATERIALIZED (
+         |  SELECT a.cid AS a, b.cid AS b,
+         |    CAST(floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT)
+         |      AS sim_e6
+         |  FROM sl a JOIN sl b ON a.cid < b.cid
+         |  JOIN embeddings ea ON ea.vec_id = a.cid
+         |  JOIN embeddings eb ON eb.vec_id = b.cid
+         |), sel1 AS MATERIALIZED (
+         |  SELECT cid, rel_e6, rel_e6 AS mmr_e6, 1 AS rk FROM sl
+         |  ORDER BY rel_e6 DESC, cid LIMIT 1
+         |),
+         |$steps
+         |SELECT CAST(rk AS BIGINT) AS rank, cid AS vec_id, rel_e6, mmr_e6
+         |FROM sel10""".stripMargin
+    },
     // n13 is integer-exact end to end (sign → pack → XOR → popcount), so
     // the oracle replays the full top-k, not a recall frame
     "n13_ann_binary" ->

@@ -309,6 +309,43 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("n15 MMR selects a no-less-diverse set than pure relevance ranking") {
+    val mmr = graft.queries.AnnPack.queries("n15_mmr")(spark, sf)
+      .orderBy("rank").collect()
+    assert(mmr.length == 10)
+    assert(mmr.map(_.getLong(0)).toSeq == (1L to 10L),
+      "ranks are contiguous 1..10")
+    assert(mmr.map(_.getLong(1)).distinct.length == 10, "no repeats")
+    assert(mmr.head.getLong(2) == mmr.map(_.getLong(2)).max,
+      "rank 1 is the pure-relevance argmax")
+    assert(mmr.head.getLong(2) == mmr.head.getLong(3),
+      "rank 1 carries no diversity penalty")
+    // diversity: the mean pairwise cosine among the MMR picks must not
+    // exceed that of the top-10-by-relevance set (what MMR exists to do)
+    import graft.ann.Similarity.{dot, l2norm}
+    val e = Tables.embeddings(spark, sf)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val sel = e.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val selB = sel.select(col("a").as("b"), col("ea").as("eb"))
+      sel.crossJoin(selB).filter(col("a") < col("b"))
+        .select(avg(dot(col("ea"), col("eb")) / l2norm(col("ea")) /
+          l2norm(col("eb"))).as("m"))
+        .head().getDouble(0)
+    }
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"), l2norm(col("embedding")).as("qn"))
+    val topRel = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("qe"), col("embedding")) / col("qn") /
+          l2norm(col("embedding"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(meanPairSim(mmr.map(_.getLong(1)).toSeq) <=
+      meanPairSim(topRel) + 1e-9,
+      "MMR must not be less diverse than the relevance-only top-10")
+  }
+
   test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
     val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
         spark, sf).select("doc_a", "doc_b")

@@ -789,4 +789,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 2, s"cell collapse + series exchange only:\n$plan")
     assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"), plan)
   }
+
+  test("g7: score vectors broadcast into the cached edge join, never SMJ") {
+    val plan = executedString("g7_hits")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("d17/d18: every join is an equi-join — no nested-loop/cartesian leg") {
+    Seq("d17_prefix_filter_join", "d18_containment_join").foreach { q =>
+      val plan = executedString(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
 }
