@@ -372,6 +372,9 @@ object ScaleProbe {
     // MMR: a fixed-|Q|=1 brute shortlist scan (n10's linear-scan slope)
     // + a 32×32 broadcast sim matrix + bounded driver greedy
     "n15_mmr",
+    // Markov stationary: x9's lag window + (from, to) count shuffle is
+    // the corpus work; the 8 fixed-point rounds run on 25 cells
+    "x13_markov_stationary",
     // token entropy: explode + (doc, token) count + per-doc agg — two
     // corpus-linear keyed shuffles, t5's bigram-freq band
     "t27_token_entropy",

@@ -139,6 +139,46 @@ object ExtendedPack extends QueryPack {
             .as("p"))
     }),
 
+    // Stationary distribution of the behavioural Markov chain — x9's
+    // transition matrix pushed to its fixed point (where does a user
+    // session settle in the long run): the g1 fixed-point recipe on a
+    // BOUNDED state space. The corpus pays exactly x9's work (one
+    // user-keyed lag window + the (from, to) count shuffle); transition
+    // probabilities quantize to exact 1e6-scaled integers
+    // (cnt·1e6 DIV row_total), and the 8 synchronous power iterations
+    // run on the collected |types|²-bounded matrix (25 cells — the
+    // grid-search/MMR bounded-artifact accounting) with per-term
+    // truncating integer products (π_i·p_ij DIV 1e6), so every engine —
+    // and the oracle's 8 unrolled CTEs — lands on bit-identical BIGINTs.
+    "x13_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      val trans = pairs.join(marg, "from_type")
+        .select(col("from_type"), col("to_type"),
+          expr("(n * 1000000L) DIV tot").as("p_e6"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val Unit12 = 1000000000000L
+      var pi: Map[String, Long] = states.map(_ -> Unit12 / states.length).toMap
+      for (_ <- 1 to 8) {
+        pi = states.map { j =>
+          j -> trans.filter(_._2 == j)
+            .map { case (i, _, p) => pi.getOrElse(i, 0L) * p / 1000000L }
+            .sum
+        }.toMap
+      }
+      import s.implicits._
+      states.map(st => (st, pi(st))).toSeq
+        .toDF("event_type", "pi_e12")
+    }),
+
     // Marketing attribution: every purchase attributes its value to the
     // user's clicks in the trailing 7 days — first-touch, last-touch,
     // and linear (value/n per click) in ONE pass. The click⋈purchase
@@ -326,6 +366,45 @@ object ExtendedPack extends QueryPack {
         |FROM a JOIN f USING (user_id)
         |WHERE datediff('day', cohort, day) BETWEEN 0 AND 7
         |GROUP BY 1, 2""".stripMargin,
+    "x13_markov_stationary" -> {
+      val iters = (1 to 8).map { k =>
+        s"""pi$k AS MATERIALIZED (
+           |  SELECT st.s AS event_type,
+           |    CAST(coalesce(sum(p.pi * t.p_e6 // 1000000), 0) AS BIGINT)
+           |      AS pi
+           |  FROM states st
+           |  LEFT JOIN trans t ON t.to_type = st.s
+           |  LEFT JOIN pi${k - 1} p ON p.event_type = t.from_type
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT from_type, event_type AS to_type, count(*) AS n
+         |  FROM (
+         |    SELECT event_type,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS from_type
+         |    FROM events)
+         |  WHERE from_type IS NOT NULL
+         |  GROUP BY 1, 2
+         |), marg AS (
+         |  SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1
+         |), trans AS MATERIALIZED (
+         |  SELECT from_type, to_type,
+         |    CAST((n * 1000000) // tot AS BIGINT) AS p_e6
+         |  FROM pairs JOIN marg USING (from_type)
+         |), states AS MATERIALIZED (
+         |  SELECT DISTINCT s FROM (
+         |    SELECT from_type AS s FROM trans
+         |    UNION SELECT to_type AS s FROM trans)
+         |), pi0 AS MATERIALIZED (
+         |  SELECT s AS event_type,
+         |    1000000000000 // (SELECT count(*) FROM states) AS pi
+         |  FROM states
+         |),
+         |$iters
+         |SELECT event_type, pi AS pi_e12 FROM pi8""".stripMargin
+    },
     "x9_event_transitions" ->
       """WITH pairs AS (
         |  SELECT from_type, event_type AS to_type, count(*) AS n

@@ -346,6 +346,39 @@ class MiningSpec extends SparkSuite {
       "MMR must not be less diverse than the relevance-only top-10")
   }
 
+  test("x13 stationary distribution conserves mass and is near-fixed") {
+    val pi = graft.queries.ExtendedPack.queries("x13_markov_stationary")(
+      spark, sf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = pi.values.sum
+    assert(pi.values.forall(_ >= 0))
+    // mass decays by truncation twice over: row probabilities round DOWN
+    // (each row sums to ≤ 1e6, deficit ≤ ~5e-6 relative) and each
+    // iteration's per-term DIV truncates again — 8 rounds lose a few
+    // parts in 1e5, never gain
+    assert(total <= 1000000000000L && total > 1000000000000L - 100000000L,
+      s"mass $total")
+    // after 8 rounds of a 5-state ergodic chain the vector is at its
+    // fixed point: one more exact-integer step moves each state < 0.5%
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sf)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val trans = pairs.join(marg, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("(n * 1000000L) DIV tot").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    pi.keys.foreach { j =>
+      val next = trans.filter(_._2 == j)
+        .map { case (i, _, p) => pi.getOrElse(i, 0L) * p / 1000000L }.sum
+      assert(math.abs(next - pi(j)).toDouble <= 0.005 * pi(j) + 5,
+        s"$j: $next vs ${pi(j)}")
+    }
+  }
+
   test("d17 prefix filtering is EXACT: equals the brute-force all-pairs join") {
     val out = graft.queries.DedupPack.queries("d17_prefix_filter_join")(
         spark, sf).select("doc_a", "doc_b")
