@@ -161,59 +161,81 @@ object Bench {
     // suite start / middle / end, recorded in bench_full.json so any
     // consumer can detect and normalize a loaded run.
     val sortedQ = SparkEntry.queries.toSeq.sortBy(_._1)
-    val calibs = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
     // untimed probe warm-up: the probe's own codegen/JIT must not inflate
     // the start point (that would read as drift and trigger a spurious
-    // second pass — the suite start ran 2× the suite end in testing)
+    // re-run — the suite start ran 2× the suite end in testing)
     sparkProbe(spark); sparkProbe(spark); spinProbe()
-    calibs += calibrate(spark)
-    val mid = sortedQ.size / 2
-    val firstPass = sortedQ.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == mid) calibs += calibrate(spark)
-      runOnce(name, fn)
-    }
 
-    // Per-entry attribution pinning (VERDICT r6 #2): on a shared box a GC
-    // or compilation hiccup lands on whichever query happens to be running
-    // (r6 charged d8 7.07 s vs its 1.15 s isolated warm time). An entry
-    // whose first measurement exceeds max(3× the suite median, 2 s) gets
-    // ONE same-session re-run and reports the min of the two — re-timing
-    // only the outliers keeps the added wall-clock to the few genuinely
-    // slow entries, and a min can only remove noise, never invent speed.
-    val okTimes = firstPass.collect { case (_, v, true) => v }.sorted
-    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    val pinBar = math.max(3 * median, 2.0)
-    val pinned = firstPass.map {
-      case first @ (name, v, true) if median > 0 && v > pinBar =>
-        val (_, v2, ok2) = runOnce(name, SparkEntry.queries(name))
-        if (ok2 && v2 < v) (name, v2, true) else first
-      case other => other
+    /** One full calibrated suite pass. Per-entry attribution pinning
+      * (VERDICT r6 #2) runs inside each pass: on a shared box a GC or
+      * compilation hiccup lands on whichever query happens to be running
+      * (r6 charged d8 7.07 s vs its 1.15 s isolated warm time). An entry
+      * whose first measurement exceeds max(3× the suite median, 2 s) gets
+      * ONE same-session re-run and reports the min of the two — re-timing
+      * only the outliers keeps the added wall-clock to the few genuinely
+      * slow entries, and a min can only remove noise, never invent speed.
+      * Degradation verdict per pass: spin contention catches uniform
+      * external load (wall ≫ cpu at any point); spark-probe drift catches
+      * transient load landing mid-suite (median-keyed pinning is blind to
+      * both when the whole box slows — VERDICT r7 #1). */
+    case class Pass(results: Seq[(String, Double, Boolean)],
+        contention: Double, drift: Double,
+        calibs: Seq[(Double, Double, Double)]) {
+      def degraded: Boolean = contention > 1.5 || drift > 1.5
+      def score: Double = math.max(contention, drift)
     }
-
-    calibs += calibrate(spark)
-    // Degradation verdict: spin contention catches uniform external load
-    // (wall ≫ cpu at any point); spark-probe drift catches transient load
-    // landing mid-suite (median-keyed pinning is blind to both when the
-    // whole box slows — VERDICT r7 #1).
-    val contention = calibs.map { case (_, w, c) => w / c }.max
-    val sparkCal = calibs.map(_._1)
-    val drift = sparkCal.max / math.max(sparkCal.min, 1e-9)
-    val loadDegraded = contention > 1.5 || drift > 1.5
-    // On a degraded run only, a bounded full second pass: per-entry min
-    // can only strip noise, never invent speed, and the rerun happens on
-    // exactly the runs whose first-pass numbers aren't trustworthy.
-    val results =
-      if (!loadDegraded) pinned
-      else {
-        System.err.println(
-          f"[bench] load degraded (contention=$contention%.2f, drift=$drift%.2f): full second pass")
-        val second = sortedQ.map { case (name, fn) => runOnce(name, fn) }
-        pinned.zip(second).map { case ((n1, v1, ok1), (_, v2, ok2)) =>
-          if (ok1 && ok2) (n1, math.min(v1, v2), true)
-          else if (ok2) (n1, v2, true)
-          else (n1, v1, ok1)
-        }
+    def onePass(): Pass = {
+      val calibs = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+      calibs += calibrate(spark)
+      val mid = sortedQ.size / 2
+      val first = sortedQ.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == mid) calibs += calibrate(spark)
+        runOnce(name, fn)
       }
+      val okTimes = first.collect { case (_, v, true) => v }.sorted
+      val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+      val pinBar = math.max(3 * median, 2.0)
+      val pinned = first.map {
+        case f @ (name, v, true) if median > 0 && v > pinBar =>
+          val (_, v2, ok2) = runOnce(name, SparkEntry.queries(name))
+          if (ok2 && v2 < v) (name, v2, true) else f
+        case other => other
+      }
+      calibs += calibrate(spark)
+      val contention = calibs.map { case (_, w, c) => w / c }.max
+      val sparkCal = calibs.map(_._1)
+      Pass(pinned, contention, sparkCal.max / math.max(sparkCal.min, 1e-9),
+        calibs.toSeq)
+    }
+
+    // Re-run loop keeping the minimum-drift pass (VERDICT r10 next #4): a
+    // degraded pass's numbers aren't trustworthy, so run again (bounded at
+    // 3 passes total) until a pass calibrates clean; per-entry times merge
+    // by min across passes (a min can only strip noise, never invent
+    // speed) while the REPORTED load verdict is the cleanest pass's own
+    // calibration — the run record states the box state of the pass it
+    // stands on, not of the noisiest attempt.
+    val MaxPasses = 3
+    var best = onePass()
+    var merged = best.results
+    var passes = 1
+    while (best.degraded && passes < MaxPasses) {
+      System.err.println(
+        f"[bench] pass $passes degraded (contention=${best.contention}%.2f, drift=${best.drift}%.2f): re-running")
+      val next = onePass()
+      merged = merged.zip(next.results).map { case ((n1, v1, ok1), (_, v2, ok2)) =>
+        if (ok1 && ok2) (n1, math.min(v1, v2), true)
+        else if (ok2) (n1, v2, true)
+        else (n1, v1, ok1)
+      }
+      if (next.score < best.score) best = next
+      passes += 1
+    }
+    val results = merged
+    val contention = best.contention
+    val drift = best.drift
+    val loadDegraded = best.degraded
+    val calibs = best.calibs
 
     val fullMap = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -239,7 +261,7 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
 
-    val load = f"""{"degraded":$loadDegraded,"contention":$contention%.2f,"drift":$drift%.2f,"second_pass":$loadDegraded}"""
+    val load = f"""{"degraded":$loadDegraded,"contention":$contention%.2f,"drift":$drift%.2f,"passes":$passes}"""
     val calibJson = {
       def arr(xs: Seq[Double]) = xs.map(v => f"$v%.3f").mkString("[", ",", "]")
       s"""{"spark_s":${arr(calibs.map(_._1).toSeq)},"spin_wall_s":${arr(calibs.map(_._2).toSeq)},"spin_cpu_s":${arr(calibs.map(_._3).toSeq)}}"""

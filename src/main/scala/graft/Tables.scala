@@ -216,6 +216,48 @@ object Ranks {
     s.createDataFrame(out, schema)
   }
 
+  /** Multi-column [[globalPrefixSum]]: appends the running total of EACH
+    * of `valCols` (all LongType) under the one global order — the same
+    * two-pass shape (per-partition subtotal VECTORS collected, exclusive
+    * offset vectors broadcast, map-only second pass), paying ONE sort for
+    * k cumulative columns instead of k sorts. Returns the frame plus the
+    * grand totals, in `valCols` order (free from the subtotal pass — a
+    * caller needing them as scalars reads them here instead of paying a
+    * separate aggregation job). Used by c3_ks_drift, whose two-cohort KS
+    * scan needs both CDFs under the same value order. */
+  def globalPrefixSums(df: DataFrame, valCols: Seq[String],
+      order: Seq[Column], cumCols: Seq[String]): (DataFrame, Seq[Long]) = {
+    require(valCols.size == cumCols.size)
+    val s = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val idxs = valCols.map(sorted.schema.fieldIndex).toArray
+    val k = idxs.length
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = new Array[Long](k)
+      it.foreach { r =>
+        var j = 0
+        while (j < k) { acc(j) += r.getLong(idxs(j)); j += 1 }
+      }
+      Iterator.single((i, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(j => a(j) + b(j))
+    }
+    val bc = s.sparkContext.broadcast(offsets)
+    val schema = cumCols.foldLeft(sorted.schema)(
+      (sc, c) => sc.add(c, org.apache.spark.sql.types.LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = bc.value(i).clone()
+      it.map { r =>
+        var j = 0
+        while (j < k) { acc(j) += r.getLong(idxs(j)); j += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ acc.toSeq)
+      }
+    }
+    (s.createDataFrame(out, schema), offsets.last.toSeq)
+  }
+
   /** [[globalPrefixSum]] plus the grand total, which the subtotal pass
     * already computed (offsets.last) — callers needing the corpus total
     * (e.g. a budget knob) read it here instead of paying another scan. */

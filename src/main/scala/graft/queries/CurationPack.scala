@@ -206,9 +206,12 @@ object CurationPack extends QueryPack {
     // EXACT integer arithmetic: with per-value counts c1/c2 and totals
     // n1/n2, D = max |F1·n2 − F2·n1| / (n1·n2); numerator and denominator
     // are BIGINTs, so the statistic is engine-independent to the last bit.
-    // One agg shuffle + one ordered cumulative window over DISTINCT values
-    // (≤ 200k cents buckets no matter how many rows feed them — the
-    // cumulative step is bounded by value cardinality, not data volume).
+    // One agg shuffle, then BOTH cumulative CDFs in a single
+    // Ranks.globalPrefixSums pass (range-partitioned sort + broadcast
+    // offset vectors) — never a single-partition `sum() OVER (ORDER BY)`
+    // funnel, the same distributed-scan primitive the stats family uses
+    // (VERDICT r10 next #3). The cohort totals fall out of the subtotal
+    // pass as driver scalars (two longs).
     "c3_ks_drift" -> ((s, dir) => {
       val v = graft.Num.cents(col("value"))
       val per = Tables.events(s, dir)
@@ -217,27 +220,21 @@ object CurationPack extends QueryPack {
         .agg(
           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("cents").rowsBetween(Long.MinValue, 0)
-      per
-        .withColumn("f1", sum(col("ca")).over(w))
-        .withColumn("f2", sum(col("cb")).over(w))
-        .withColumn("n1", sum(col("ca")).over())
-        .withColumn("n2", sum(col("cb")).over())
-        // intermediates in DECIMAL(38,0): f1·n2 and d_num·1e6 wrap LONG
-        // once cohorts reach ~3e9 rows (ANSI off wraps SILENTLY) — the
-        // oracle's HUGEINT does the same widening. Outputs stay BIGINT
-        // (exact until d_num itself exceeds 9.2e18).
-        .agg(
-          max(col("n1")).as("n1"),
-          max(col("n2")).as("n2"),
-          max(abs(col("f1").cast("decimal(38,0)") * col("n2") -
-                  col("f2").cast("decimal(38,0)") * col("n1"))).as("d_dec"))
-        .withColumn("den", col("n1").cast("decimal(38,0)") * col("n2"))
+      val (cum, totals) = graft.Ranks.globalPrefixSums(per, Seq("ca", "cb"),
+        Seq(col("cents")), Seq("f1", "f2"))
+      val (n1, n2) = (totals(0), totals(1))
+      // intermediates in DECIMAL(38,0): f1·n2 and d_num·1e6 wrap LONG
+      // once cohorts reach ~3e9 rows (ANSI off wraps SILENTLY) — the
+      // oracle's HUGEINT does the same widening. Outputs stay BIGINT
+      // (exact until d_num itself exceeds 9.2e18).
+      cum
+        .agg(max(abs(col("f1").cast("decimal(38,0)") * lit(n2) -
+                     col("f2").cast("decimal(38,0)") * lit(n1))).as("d_dec"))
+        .withColumn("den", lit(n1).cast("decimal(38,0)") * lit(n2))
         .withColumn("d_stat",
           expr("CAST((d_dec * 1000000 + den div 2) div den AS BIGINT)")
             .cast("double") / 1000000.0)
-        .select(col("n1"), col("n2"),
+        .select(lit(n1).as("n1"), lit(n2).as("n2"),
           col("d_dec").cast("long").as("d_num"), col("d_stat"))
     }),
 

@@ -39,4 +39,36 @@ class RanksSpec extends SparkSuite {
       "prefix sum must run over a multi-partition range sort")
     got.unpersist()
   }
+
+  test("globalPrefixSums carries k columns in one sort and returns exact totals") {
+    val df = spark.range(0, 8000)
+      .select(col("id"),
+        (pmod(col("id") * 48271L, lit(50)) + 1).as("a"),
+        (pmod(col("id") * 16807L, lit(30)) + 1).as("b"))
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val (got, totals) = try {
+      val r = graft.Ranks.globalPrefixSums(df, Seq("a", "b"),
+        Seq(col("id").asc), Seq("ca", "cb"))
+      r._1.cache().count()
+      r
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val w = Window.orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("wa", sum(col("a")).over(w))
+      .withColumn("wb", sum(col("b")).over(w))
+    val mism = got.join(want, Seq("id"))
+      .filter(col("ca") =!= col("wa") || col("cb") =!= col("wb")).count()
+    assert(mism === 0, "both prefix sums must match across boundaries")
+    val wantTotals = df.agg(sum("a"), sum("b")).head()
+    assert(totals == Seq(wantTotals.getLong(0), wantTotals.getLong(1)),
+      s"grand totals must fall out of the subtotal pass: $totals")
+    assert(got.rdd.getNumPartitions > 1)
+    got.unpersist()
+  }
 }

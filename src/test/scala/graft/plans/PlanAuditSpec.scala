@@ -338,10 +338,14 @@ class PlanAuditSpec extends SparkSuite {
 
   test("g2: the edge table is built once and reused; no cartesian anywhere") {
     val plan = executedString("g2_triangle_count")
-    // degree, orientation, wedge, and closing consumers all reuse the
-    // one (sa, sb) edge exchange instead of recomputing the per-order
-    // self-join
-    assert(plan.contains("ReusedExchange"), plan)
+    // degree, orientation, wedge, and closing consumers all read the ONE
+    // memoized (sa, sb) edge artifact (r11: an InMemoryTableScan of the
+    // shared persisted graph, replacing the r10 in-plan ReusedExchange)
+    // instead of recomputing the per-order self-join
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(ok#") &&
+      !plan.contains("join(b, \"ok\")"),
+      s"the per-order self-join must not be rebuilt in-plan:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     // the closing-edge join keys on the wedge endpoints
@@ -803,5 +807,31 @@ class PlanAuditSpec extends SparkSuite {
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
+  }
+
+  test("c3: both KS CDFs ride the RDD prefix-sum path — no window at all") {
+    // the r11 reshape this pins (VERDICT r10 next #3): the cumulative
+    // step was the suite's last unpartitioned `sum() OVER (ORDER BY)`
+    // funnel; it now runs Ranks.globalPrefixSums (range sort + broadcast
+    // offset vectors), so the executed plan must contain NO WindowExec
+    // whatsoever and the prefix sums must surface as the RDD scan
+    val plan = executedString("c3_ks_drift")
+    assert(!plan.contains("Window"), s"must not use a window:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"CDFs must come from the RDD prefix-sum path:\n$plan")
+  }
+
+  test("g5: repeat invocations hold at most one run's caches") {
+    // the r11 fix this pins (VERDICT r10 wrong #1): g5 adopted the
+    // one-slot lastCaches pool, so calling it twice must not grow the
+    // persistent-RDD census beyond one run's worth (9 caches: seeds +
+    // 4×(frontier, known)) plus the memoized shared artifacts.
+    def census(): Int = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("g5_bfs_hops")(spark, sf).count()
+    val afterFirst = census()
+    SparkEntry.queries("g5_bfs_hops")(spark, sf).count()
+    SparkEntry.queries("g5_bfs_hops")(spark, sf).count()
+    assert(census() <= afterFirst,
+      s"g5 accumulates caches across invocations: $afterFirst -> ${census()}")
   }
 }
