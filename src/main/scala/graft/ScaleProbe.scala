@@ -113,6 +113,13 @@ object ScaleProbe {
     // Holt smoothing: the stats_ar1_fit plan shape exactly (one
     // exchange, secondary sort, O(1) fold) — should read its slope
     "stats_holt",
+    // seasonal AR fit: the stats_ar1_fit fold with O(s)=7 ring-buffer
+    // state instead of O(1) — same one-exchange slope
+    "stats_sar1_fit",
+    // randomized search: ml_grid_search's one-plan CV shape (range sort
+    // + broadcast candidates, fact scanned once per split) with 8
+    // sampled candidates — the sc4 range-sort slope
+    "ml_random_search",
     // two-sample rank tests: the corpus collapses map-side to its
     // distinct-VALUE type table (the replica shifts ids, not values, so
     // the type table is size-FIXED at 10× — as a real 2-decimal value

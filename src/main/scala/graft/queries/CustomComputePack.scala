@@ -205,6 +205,21 @@ object CustomComputePack extends QueryPack {
           Num.r6(col("drift")).as("drift"),
           Num.r6(col("sigma2")).as("sigma2"))),
 
+    // Seasonal AR fit — SAR(1)_7 with a non-seasonal AR(1) term and
+    // drift, per series (graft.ops.Sar1): the last visible distance to
+    // the reference's SARIMAX shape (train.py:250-291; VERDICT r10 next
+    // #5). Same one-shuffle sorted-group fold as stats_ar1_fit with O(s)
+    // state (a 7-slot circular buffer), closed-form 3×3 Cramer solve on
+    // exact integer moments; the oracle replays the identical determinant
+    // expressions on identical doubles.
+    "stats_sar1_fit" -> ((s, dir) =>
+      graft.ops.Sar1.fit(s, Tables.events(s, dir), season = 7).toDF()
+        .select(col("user_id"), col("n"),
+          Num.r6(col("drift")).as("drift"),
+          Num.r6(col("phi")).as("phi"),
+          Num.r6(col("phi_s")).as("phi_s"),
+          Num.r6(col("sigma2")).as("sigma2"))),
+
     // One-step-ahead AR(1) forecast (VERDICT r7 #7) — the engine twin of
     // the reference's predict step (lambda_predict/lambda_function.py:21-101
     // composes each ticker's fitted model into next-day ŷ): the fitted
@@ -459,6 +474,54 @@ object CustomComputePack extends QueryPack {
         |  floor((((syy - sy * sy / n) - phi * (sxy - sx * sy / n)) / (n - 2))
         |        * 1000000 + 0.5) / 1000000 AS sigma2
         |FROM est""".stripMargin,
+    // SAR(1)_7 CLS: exact-decimal moment sums cast to double once, then
+    // Cramer determinants written token-for-token as ops/Sar1.scala's
+    // double expressions — bit-identical estimates, 1e-6 rounding.
+    "stats_sar1_fit" ->
+      """WITH paired AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS yd,
+        |    CAST(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS DECIMAL(18,2)) AS ad,
+        |    CAST(lag(value, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS DECIMAL(18,2)) AS bd
+        |  FROM events
+        |), sums AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(ad) AS DOUBLE) AS sa,
+        |    CAST(sum(bd) AS DOUBLE) AS sb,
+        |    CAST(sum(yd) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(ad * ad AS DECIMAL(28,4))) AS DOUBLE) AS saa,
+        |    CAST(sum(CAST(bd * bd AS DECIMAL(28,4))) AS DOUBLE) AS sbb,
+        |    CAST(sum(CAST(ad * bd AS DECIMAL(28,4))) AS DOUBLE) AS sab,
+        |    CAST(sum(CAST(ad * yd AS DECIMAL(28,4))) AS DOUBLE) AS say,
+        |    CAST(sum(CAST(bd * yd AS DECIMAL(28,4))) AS DOUBLE) AS sby,
+        |    CAST(sum(CAST(yd * yd AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM paired WHERE ad IS NOT NULL AND bd IS NOT NULL
+        |  GROUP BY user_id
+        |), est AS (
+        |  SELECT user_id, n, sy, say, sby, syy,
+        |    n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+        |      + sb * (sa * sab - saa * sb) AS det,
+        |    sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+        |      + sb * (say * sab - saa * sby) AS det0,
+        |    n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+        |      + sb * (sa * sby - say * sb) AS det1,
+        |    n * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+        |      + sy * (sa * sab - saa * sb) AS det2
+        |  FROM sums WHERE n >= 5
+        |), sol AS (
+        |  SELECT user_id, n, sy, say, sby, syy,
+        |    det0 / det AS c0, det1 / det AS phi, det2 / det AS phi_s
+        |  FROM est WHERE det <> 0
+        |)
+        |SELECT user_id, n,
+        |  floor(c0 * 1000000 + 0.5) / 1000000 AS drift,
+        |  floor(phi * 1000000 + 0.5) / 1000000 AS phi,
+        |  floor(phi_s * 1000000 + 0.5) / 1000000 AS phi_s,
+        |  floor(((syy - c0 * sy - phi * say - phi_s * sby) / (n - 3))
+        |        * 1000000 + 0.5) / 1000000 AS sigma2
+        |FROM sol""".stripMargin,
     // Exact-rational AR(1) forecast arithmetic: all integer terms ride
     // HUGEINT (DuckDB's 128-bit exact integer ≙ Spark decimal(38,0));
     // the double division at the end mirrors the Spark op order.

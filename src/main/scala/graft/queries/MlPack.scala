@@ -523,54 +523,19 @@ object MlPack extends QueryPack {
     // rows), and the fact side is scanned once per split — the shape a
     // 100 TB sweep needs (the model grid rides the broadcast, data is
     // never re-shuffled per candidate).
-    "ml_grid_search" -> ((s, dir) => {
-      import s.implicits._
-      val d38 = DecimalType(38, 0)
-      val ranked = graft.Ranks.globalRankRows(
-          Tables.events(s, dir).select(col("ts"), col("event_id"),
-            graft.Num.cents(col("value")).as("y")),
-          "r1", Seq(col("ts"), col("event_id")))
-        .withColumn("r", col("r1") - 1)
-      val t = ranked.agg(count(lit(1)).as("n"),
-        (count(lit(1)) / lit(6)).cast("long").as("ts_sz"))
-      val folds = s.range(0, 5).toDF("fold")
-      val tagged = ranked.crossJoin(broadcast(t)).crossJoin(broadcast(folds))
-        .withColumn("start", col("n") - (lit(5) - col("fold")) * col("ts_sz"))
-      val alphas = GridAlphasPpm.toDF("alpha_ppm")
-      val coef = tagged.filter(col("r") < col("start"))
-        .groupBy("fold").agg(
-          count(lit(1)).as("n_train"),
-          sum(col("r").cast(d38)).as("sr"),
-          sum(col("y").cast(d38)).as("sy"),
-          sum((col("r").cast(d38) * col("y")).cast(d38)).as("sry"),
-          sum((col("r").cast(d38) * col("r")).cast(d38)).as("srr"))
-        .crossJoin(broadcast(alphas))
-        .withColumn("b",
-          (col("n_train").cast(d38) * col("sry") - col("sr") * col("sy")).cast(DoubleType) /
-          ((col("n_train").cast(d38) * col("srr") - col("sr") * col("sr")).cast(DoubleType) *
-            (lit(1.0) + col("alpha_ppm").cast(DoubleType) / lit(1000000.0))))
-        .withColumn("a",
-          (col("sy").cast(DoubleType) - col("b") * col("sr").cast(DoubleType)) /
-            col("n_train").cast(DoubleType))
-      val scored = tagged
-        .filter(col("r") >= col("start") && col("r") < col("start") + col("ts_sz"))
-        .join(broadcast(coef), "fold")
-        .withColumn("e",
-          (col("y").cast(DoubleType) - (col("a") + col("b") * col("r").cast(DoubleType)))
-            .cast(DecimalType(24, 6)))
-        .groupBy("fold", "alpha_ppm").agg(
-          max(col("n_train")).as("n_train"),
-          count(lit(1)).as("n_test"),
-          Num.r6(sqrt(sum((col("e") * col("e")).cast(DecimalType(38, 10)))
-            .cast(DoubleType) / count(lit(1)))).as("rmse_cents"))
-      val rk = org.apache.spark.sql.expressions.Window
-        .partitionBy("fold").orderBy(col("rmse_cents"), col("alpha_ppm"))
-      scored
-        .withColumn("rank_in_fold", row_number().over(rk))
-        .withColumn("is_best", col("rank_in_fold") === 1)
-        .select("fold", "alpha_ppm", "n_train", "n_test",
-          "rmse_cents", "rank_in_fold", "is_best")
-    }),
+    "ml_grid_search" -> ((s, dir) => ridgeCvSearch(s, dir, GridAlphasPpm)),
+
+    // Randomized hyperparameter search (m_eval cell 41's
+    // RandomizedSearchCV, VERDICT r10 next #6): the SAME one-plan CV
+    // machinery as ml_grid_search, but the candidate set is a
+    // hash-seeded random SUBSET of a 40-point cubic-spaced shrinkage
+    // space — sklearn's param sampling made deterministic (an LCG keys
+    // each candidate, the 8 smallest keys are drawn; candidate sampling
+    // is driver-side in sklearn too — it is parameter work, not data
+    // work, and the data-side plan is identical to the grid's:
+    // candidates ride a broadcast, the fact table is scanned once per
+    // split, never re-shuffled per candidate).
+    "ml_random_search" -> ((s, dir) => ridgeCvSearch(s, dir, RandomSampledPpm)),
 
     // Successive-halving search (m_eval cell 41's HalvingRandomSearchCV):
     // the same ridge-shrinkage candidates as ml_grid_search, but evaluated
@@ -1068,6 +1033,145 @@ object MlPack extends QueryPack {
   private val GridAlphasPpm =
     Seq(0L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
 
+  /** The full candidate space ml_random_search samples from: 40
+    * cubic-spaced shrinkages (0 … 29.6e6 ppm). Public to the spec. */
+  private[graft] val RandomSpacePpm: Seq[Long] =
+    (0 until 40).map(i => i.toLong * i * i * 500L)
+
+  /** RandomizedSearchCV's candidate draw, made deterministic: each
+    * candidate index is keyed by one LCG step of (seed 42, i) and the 8
+    * smallest keys are the draw — a seeded without-replacement sample,
+    * reproducible across runs/engines (the oracle SQL interpolates the
+    * same drawn set, exactly as sklearn's param sampler runs outside the
+    * data engine). Public to the spec (subset/determinism laws). */
+  private[graft] val RandomSampledPpm: Seq[Long] = {
+    val keyed = RandomSpacePpm.zipWithIndex.map { case (a, i) =>
+      ((1103515245L * (i + 42) + 12345L) % 2147483648L, i, a)
+    }
+    keyed.sortBy(k => (k._1, k._2)).take(8).map(_._3).sorted
+  }
+
+  /** The shared CV ridge-shrinkage search (ml_grid_search /
+    * ml_random_search): candidate = shrinkage of the OLS trend slope,
+    * b(α) = b_ols/(1 + α·1e-6), scored by test-span RMSE per (fold, α);
+    * the winner per fold is flagged by deterministic rank. The whole
+    * search is ONE plan: the per-fold train moments are computed once
+    * (exact decimal sums), the α set cross-joins as a broadcast constant
+    * (|folds|·|candidates| coefficient rows), and the fact side is
+    * scanned once per split — the shape a 100 TB sweep needs (the model
+    * candidates ride the broadcast, data is never re-shuffled per
+    * candidate). */
+  private def ridgeCvSearch(s: SparkSession, dir: String,
+      alphasPpm: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val ranked = graft.Ranks.globalRankRows(
+        Tables.events(s, dir).select(col("ts"), col("event_id"),
+          graft.Num.cents(col("value")).as("y")),
+        "r1", Seq(col("ts"), col("event_id")))
+      .withColumn("r", col("r1") - 1)
+    val t = ranked.agg(count(lit(1)).as("n"),
+      (count(lit(1)) / lit(6)).cast("long").as("ts_sz"))
+    val folds = s.range(0, 5).toDF("fold")
+    val tagged = ranked.crossJoin(broadcast(t)).crossJoin(broadcast(folds))
+      .withColumn("start", col("n") - (lit(5) - col("fold")) * col("ts_sz"))
+    val alphas = alphasPpm.toDF("alpha_ppm")
+    val coef = tagged.filter(col("r") < col("start"))
+      .groupBy("fold").agg(
+        count(lit(1)).as("n_train"),
+        sum(col("r").cast(d38)).as("sr"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("r").cast(d38) * col("y")).cast(d38)).as("sry"),
+        sum((col("r").cast(d38) * col("r")).cast(d38)).as("srr"))
+      .crossJoin(broadcast(alphas))
+      .withColumn("b",
+        (col("n_train").cast(d38) * col("sry") - col("sr") * col("sy")).cast(DoubleType) /
+        ((col("n_train").cast(d38) * col("srr") - col("sr") * col("sr")).cast(DoubleType) *
+          (lit(1.0) + col("alpha_ppm").cast(DoubleType) / lit(1000000.0))))
+      .withColumn("a",
+        (col("sy").cast(DoubleType) - col("b") * col("sr").cast(DoubleType)) /
+          col("n_train").cast(DoubleType))
+    val scored = tagged
+      .filter(col("r") >= col("start") && col("r") < col("start") + col("ts_sz"))
+      .join(broadcast(coef), "fold")
+      .withColumn("e",
+        (col("y").cast(DoubleType) - (col("a") + col("b") * col("r").cast(DoubleType)))
+          .cast(DecimalType(24, 6)))
+      .groupBy("fold", "alpha_ppm").agg(
+        max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        Num.r6(sqrt(sum((col("e") * col("e")).cast(DecimalType(38, 10)))
+          .cast(DoubleType) / count(lit(1)))).as("rmse_cents"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("fold").orderBy(col("rmse_cents"), col("alpha_ppm"))
+    scored
+      .withColumn("rank_in_fold", row_number().over(rk))
+      .withColumn("is_best", col("rank_in_fold") === 1)
+      .select("fold", "alpha_ppm", "n_train", "n_test",
+        "rmse_cents", "rank_in_fold", "is_best")
+  }
+
+  /** The ridgeCvSearch oracle, parameterized by the candidate list —
+    * shared by ml_grid_search (full grid) and ml_random_search (the
+    * deterministic LCG draw, interpolated as literals exactly as sklearn
+    * samples params outside the engine). IEEE op order mirrors the Spark
+    * expressions term for term. */
+  private def ridgeCvOracle(alphasPpm: Seq[Long]): String =
+    s"""WITH r0 AS (
+       |  SELECT event_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+       |    row_number() OVER (ORDER BY ts, event_id) - 1 AS r
+       |  FROM events
+       |), t AS (
+       |  SELECT count(*) AS n, count(*) // 6 AS ts_sz FROM r0
+       |), f AS (
+       |  SELECT unnest(range(0, 5)) AS fold
+       |), al AS (
+       |  SELECT unnest([${alphasPpm.mkString(", ")}]) AS alpha_ppm
+       |), tagged AS (
+       |  SELECT fold, r0.y, r0.r, ts_sz,
+       |    n - (5 - fold) * ts_sz AS fstart
+       |  FROM r0 CROSS JOIN t CROSS JOIN f
+       |), coef0 AS (
+       |  SELECT fold,
+       |    count(*) AS n_train,
+       |    sum(CAST(r AS HUGEINT)) AS sr,
+       |    sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(r AS HUGEINT) * y) AS sry,
+       |    sum(CAST(r AS HUGEINT) * r) AS srr
+       |  FROM tagged WHERE r < fstart GROUP BY fold
+       |), coef1 AS (
+       |  SELECT fold, n_train, sr, sy, alpha_ppm,
+       |    CAST(CAST(n_train AS HUGEINT) * sry - sr * sy AS DOUBLE)
+       |      / (CAST(CAST(n_train AS HUGEINT) * srr - sr * sr AS DOUBLE)
+       |         * (1.0 + CAST(alpha_ppm AS DOUBLE) / 1000000.0)) AS b
+       |  FROM coef0 CROSS JOIN al
+       |), coef AS (
+       |  SELECT fold, n_train, alpha_ppm, b,
+       |    (CAST(sy AS DOUBLE) - b * CAST(sr AS DOUBLE))
+       |      / CAST(n_train AS DOUBLE) AS a
+       |  FROM coef1
+       |), scored AS (
+       |  SELECT g.fold, c.alpha_ppm,
+       |    CAST(max(c.n_train) AS BIGINT) AS n_train,
+       |    count(*) AS n_test,
+       |    floor(sqrt(CAST(sum(CAST(
+       |        CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
+       |             AS DECIMAL(24,6))
+       |        * CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
+       |               AS DECIMAL(24,6)) AS DECIMAL(38,10))) AS DOUBLE)
+       |        / count(*)) * 1000000 + 0.5) / 1000000 AS rmse_cents
+       |  FROM tagged g JOIN coef c ON g.fold = c.fold
+       |  WHERE g.r >= g.fstart AND g.r < g.fstart + g.ts_sz
+       |  GROUP BY g.fold, c.alpha_ppm
+       |)
+       |SELECT fold, alpha_ppm, n_train, n_test, rmse_cents,
+       |  row_number() OVER (PARTITION BY fold ORDER BY rmse_cents, alpha_ppm)
+       |    AS rank_in_fold,
+       |  row_number() OVER (PARTITION BY fold ORDER BY rmse_cents, alpha_ppm) = 1
+       |    AS is_best
+       |FROM scored""".stripMargin
+
   /** One halving round as a DuckDB CTE chain: moments on the round's train
     * prefix (`r < $div`), ridge coefficients per surviving candidate
     * (`$alphaSrc`), test-span RMSE, rank. Mirrors the Spark loop body of
@@ -1544,61 +1648,8 @@ object MlPack extends QueryPack {
         |  floor(sqrt(CAST(sum(CAST(e_trend * e_trend AS DECIMAL(38,10))) AS DOUBLE)
         |             / count(*)) * 1000000 + 0.5) / 1000000 AS trend_rmse_cents
         |FROM e GROUP BY fold""".stripMargin,
-    "ml_grid_search" ->
-      s"""WITH r0 AS (
-         |  SELECT event_id, ts,
-         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
-         |    row_number() OVER (ORDER BY ts, event_id) - 1 AS r
-         |  FROM events
-         |), t AS (
-         |  SELECT count(*) AS n, count(*) // 6 AS ts_sz FROM r0
-         |), f AS (
-         |  SELECT unnest(range(0, 5)) AS fold
-         |), al AS (
-         |  SELECT unnest([${GridAlphasPpm.mkString(", ")}]) AS alpha_ppm
-         |), tagged AS (
-         |  SELECT fold, r0.y, r0.r, ts_sz,
-         |    n - (5 - fold) * ts_sz AS fstart
-         |  FROM r0 CROSS JOIN t CROSS JOIN f
-         |), coef0 AS (
-         |  SELECT fold,
-         |    count(*) AS n_train,
-         |    sum(CAST(r AS HUGEINT)) AS sr,
-         |    sum(CAST(y AS HUGEINT)) AS sy,
-         |    sum(CAST(r AS HUGEINT) * y) AS sry,
-         |    sum(CAST(r AS HUGEINT) * r) AS srr
-         |  FROM tagged WHERE r < fstart GROUP BY fold
-         |), coef1 AS (
-         |  SELECT fold, n_train, sr, sy, alpha_ppm,
-         |    CAST(CAST(n_train AS HUGEINT) * sry - sr * sy AS DOUBLE)
-         |      / (CAST(CAST(n_train AS HUGEINT) * srr - sr * sr AS DOUBLE)
-         |         * (1.0 + CAST(alpha_ppm AS DOUBLE) / 1000000.0)) AS b
-         |  FROM coef0 CROSS JOIN al
-         |), coef AS (
-         |  SELECT fold, n_train, alpha_ppm, b,
-         |    (CAST(sy AS DOUBLE) - b * CAST(sr AS DOUBLE))
-         |      / CAST(n_train AS DOUBLE) AS a
-         |  FROM coef1
-         |), scored AS (
-         |  SELECT g.fold, c.alpha_ppm,
-         |    CAST(max(c.n_train) AS BIGINT) AS n_train,
-         |    count(*) AS n_test,
-         |    floor(sqrt(CAST(sum(CAST(
-         |        CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
-         |             AS DECIMAL(24,6))
-         |        * CAST(CAST(g.y AS DOUBLE) - (c.a + c.b * CAST(g.r AS DOUBLE))
-         |               AS DECIMAL(24,6)) AS DECIMAL(38,10))) AS DOUBLE)
-         |        / count(*)) * 1000000 + 0.5) / 1000000 AS rmse_cents
-         |  FROM tagged g JOIN coef c ON g.fold = c.fold
-         |  WHERE g.r >= g.fstart AND g.r < g.fstart + g.ts_sz
-         |  GROUP BY g.fold, c.alpha_ppm
-         |)
-         |SELECT fold, alpha_ppm, n_train, n_test, rmse_cents,
-         |  row_number() OVER (PARTITION BY fold ORDER BY rmse_cents, alpha_ppm)
-         |    AS rank_in_fold,
-         |  row_number() OVER (PARTITION BY fold ORDER BY rmse_cents, alpha_ppm) = 1
-         |    AS is_best
-         |FROM scored""".stripMargin,
+    "ml_grid_search" -> ridgeCvOracle(GridAlphasPpm),
+    "ml_random_search" -> ridgeCvOracle(RandomSampledPpm),
     "ml_halving_search" ->
       s"""WITH r0 AS (
          |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,

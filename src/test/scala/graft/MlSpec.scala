@@ -165,4 +165,29 @@ class MlSpec extends SparkSuite {
         s"dim $d: ${v1(d)} vs ${w(d) / norm}")
     }
   }
+
+  test("ml_random_search: seeded draw is a proper deterministic subset of the space") {
+    val space = graft.queries.MlPack.RandomSpacePpm
+    val drawn = graft.queries.MlPack.RandomSampledPpm
+    // subset law: every drawn candidate comes from the declared space,
+    // without replacement, and the draw is a strict subsample
+    assert(drawn.size == 8 && drawn.distinct.size == 8, drawn)
+    assert(drawn.forall(space.contains), s"draw outside the space: $drawn")
+    assert(drawn.size < space.size)
+    // determinism law: re-deriving the LCG draw gives the same set (a
+    // re-run or the oracle builder can never see a different candidate
+    // list)
+    val again = space.zipWithIndex
+      .map { case (a, i) => ((1103515245L * (i + 42) + 12345L) % 2147483648L, i, a) }
+      .sortBy(k => (k._1, k._2)).take(8).map(_._3).sorted
+    assert(drawn == again, "LCG draw must be reproducible")
+    // the result frame carries exactly fold × drawn-candidate rows with
+    // one winner per fold
+    val r = graft.queries.MlPack.queries("ml_random_search")(spark, sf)
+      .cache()
+    assert(r.count() == 5L * drawn.size)
+    val best = r.filter(org.apache.spark.sql.functions.col("is_best")).collect()
+    assert(best.length == 5, "exactly one winner per fold")
+    r.unpersist()
+  }
 }
