@@ -120,6 +120,20 @@ object ScaleProbe {
     // + broadcast candidates, fact scanned once per split) with 8
     // sampled candidates — the sc4 range-sort slope
     "ml_random_search",
+    // calendar densify: one (user, day) partial agg + per-key map-side
+    // grid explode (bounded by span days) + one window ffill — the
+    // W-family per-series slope (replica shifts user ids: 10× series of
+    // unchanged span)
+    "tj5_calendar_densify",
+    // Theil–Sen: the mann_kendall bounded-cell pair join with a
+    // partitioned median rank on ≤ C(days,2) pair rows — MK's slope
+    "stats_theil_sen",
+    // winsorize: one per-type percentile agg + broadcast fences +
+    // map-only clip — the a8 broadcast-statistic slope
+    "c19_winsorize",
+    // personalized PageRank: g1's iterative band with a broadcast seed
+    // flag — messages linear in |E| per round
+    "g8_personalized_pagerank",
     // two-sample rank tests: the corpus collapses map-side to its
     // distinct-VALUE type table (the replica shifts ids, not values, so
     // the type table is size-FIXED at 10× — as a real 2-decimal value

@@ -89,4 +89,59 @@ object PageRank {
     synchronized { lastCaches = Seq(symDeg, nodes) }
     pr
   }
+
+  /** Personalized PageRank (Haveliwala 2002): the [[run]] recipe with the
+    * teleport mass restricted to a SEED set — the random surfer restarts
+    * only at seeds, so scores measure proximity TO the seeds instead of
+    * global importance (the "expand from my known-good domains" curation
+    * primitive a crawler-frontier/quality-propagation pipeline runs).
+    * Same fixed-point discipline as [[run]]: 1e12-scaled BIGINT ranks,
+    * truncating integer division, bit-identical across engines, oracle
+    * unrollable. The seed set rides a broadcast left-semi flag join
+    * (node-sized), never a shuffle of the rank vector. Seeds start with
+    * the whole mass split evenly; non-seeds start at 0 — and a node
+    * unreachable from the seeds stays EXACTLY 0 forever, which the
+    * truncating arithmetic preserves.
+    *
+    * @param seeds one `node` column; must be a subset of the graph's
+    *        nodes (rows not in the graph are ignored by the inner join).
+    */
+  def runPersonalized(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, dampPct: Int = 85): DataFrame = {
+    synchronized {
+      lastCaches.foreach(_.unpersist(false))
+      lastCaches = Nil
+    }
+    val sym = edges.select(col("src"), col("dst"))
+    val symDeg = sym.join(
+        sym.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .cache()
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .join(broadcast(seeds.select(col("node"), lit(1).as("is_seed"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .cache()
+    val nSeeds = nodes.filter(col("is_seed") === 1).count()
+    require(nSeeds > 0, "personalized PageRank needs at least one seed in-graph")
+    val restart = (Unit * (100 - dampPct) / 100) / nSeeds
+
+    var pr = nodes.select(col("node"),
+      when(col("is_seed") === 1, lit(Unit / nSeeds)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val msgs = symDeg.join(pr, symDeg("src") === pr("node"))
+        .select(col("dst"), expr("pr div outdeg").as("m"))
+        .groupBy("dst").agg(sum(col("m")).as("s"))
+        .select(col("dst").as("node"), expr(s"($dampPct * s) div 100").as("d"))
+      // every node gets the damped in-flow (0 if no messages — symmetric
+      // graphs deliver everywhere, but a zero-rank frontier sends none);
+      // ONLY seeds get the restart mass
+      pr = nodes.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("d"), lit(0L)) +
+            when(col("is_seed") === 1, lit(restart)).otherwise(lit(0L)))
+            .as("pr"))
+    }
+    synchronized { lastCaches = Seq(symDeg, nodes) }
+    pr
+  }
 }

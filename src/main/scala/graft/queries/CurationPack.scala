@@ -604,6 +604,31 @@ object CurationPack extends QueryPack {
           (col("base") +
             when(col("rk") <= col("spare"), 1L).otherwise(0L))
             .as("alloc_tokens"))
+    }),
+
+    // Per-group winsorization — clip each event's value into its own
+    // type's [p05, p95] band (the robust-preprocessing step sklearn
+    // pipelines run before scaling; the MAD gate's (c7/c16) smoothing
+    // sibling: instead of DROPPING outliers, pull them to the fence).
+    // Plan: ONE per-type exact-interpolated percentile agg (5 rows),
+    // broadcast back onto the stream, map-only clip — the a8
+    // broadcast-statistic shape; at 100 TB the corpus is scanned twice
+    // (once for the quantile agg, once for the clip) and shuffled never.
+    // Exactness: Spark `percentile` and DuckDB `quantile_cont` agree on
+    // the same interpolation (a7's proven pairing), r6-rounded before
+    // the clip so the fence is the identical double in both engines.
+    "c19_winsorize" -> ((s, dir) => {
+      val fences = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(Num.r6(expr("percentile(value, 0.05)")).as("lo"),
+          Num.r6(expr("percentile(value, 0.95)")).as("hi"))
+      Tables.events(s, dir)
+        .join(broadcast(fences), "event_type")
+        .select(col("event_id"), col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi"))
+            .as("v_winsorized"),
+          (col("value") < col("lo")).cast("int").as("clipped_low"),
+          (col("value") > col("hi")).cast("int").as("clipped_high"))
     })
   )
 
@@ -1011,6 +1036,18 @@ object CurationPack extends QueryPack {
         |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
         |  CAST(max(cum - runmin) AS BIGINT) AS cusum_max_scaled,
         |  CAST((max(cum - runmin) * 10000 + (max(n) * 100) // 2) // (max(n) * 100) AS BIGINT) / 10000.0 AS cusum_max
-        |FROM c GROUP BY user_id""".stripMargin
+        |FROM c GROUP BY user_id""".stripMargin,
+    "c19_winsorize" ->
+      """WITH fences AS (
+        |  SELECT event_type,
+        |    floor((quantile_cont(value, 0.05)) * 1000000 + 0.5) / 1000000 AS lo,
+        |    floor((quantile_cont(value, 0.95)) * 1000000 + 0.5) / 1000000 AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  least(greatest(e.value, f.lo), f.hi) AS v_winsorized,
+        |  CAST(e.value < f.lo AS INT) AS clipped_low,
+        |  CAST(e.value > f.hi AS INT) AS clipped_high
+        |FROM events e JOIN fences f USING (event_type)""".stripMargin
   )
 }

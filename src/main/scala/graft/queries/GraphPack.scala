@@ -274,10 +274,43 @@ object GraphPack extends QueryPack {
     // are bit-identical across engines and the oracle unrolls them as
     // CTEs. Each half-round is ONE shuffle on the edge key.
     "g7_hits" -> ((s, dir) =>
-      graft.ops.Hits.run(s, bipartiteCs(s, dir), iters = 3))
+      graft.ops.Hits.run(s, bipartiteCs(s, dir), iters = 3)),
+
+    // Personalized PageRank from the g5 seed suppliers over the same
+    // memoized co-occurrence graph — proximity-to-seeds instead of g1's
+    // global importance (the "expand from known-good domains" curation
+    // primitive; Haveliwala 2002). Same fixed-point integer recipe as
+    // g1, teleport mass restricted to the seed set; the oracle unrolls
+    // the same five rounds with the seed-conditional restart.
+    "g8_personalized_pagerank" -> ((s, dir) => {
+      val und = cooccurrenceEdges(s, dir, minW = 5)
+      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").cast("long").as("node"))
+      graft.ops.PageRank.runPersonalized(s, edges, seeds,
+        iters = 5, dampPct = 85)
+    })
   )
 
   def oracleSql: Map[String, String] = {
+    // g8's five personalized rounds: the g1 CTE chain with the restart
+    // mass conditioned on seed membership (and a 0-rank start off-seed)
+    val pprCtes = (1 to 5).map { k =>
+      val prev = if (k == 1) "p0" else s"q${k - 1}"
+      s"""q$k AS (
+         |  SELECT nd.node, nd.is_seed,
+         |    (CASE WHEN nd.is_seed = 1
+         |          THEN ((1000000000000 * 15) // 100) // (SELECT ns FROM sc)
+         |          ELSE 0 END)
+         |      + coalesce((85 * m.s) // 100, 0) AS pr
+         |  FROM nds nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // d.outdeg) AS s
+         |    FROM sym e JOIN deg d ON e.src = d.src JOIN $prev p ON e.src = p.node
+         |    GROUP BY e.dst) m ON nd.node = m.node
+         |)""".stripMargin
+    }.mkString(",\n")
     val iterCtes = (1 to 5).map { k =>
       val prev = if (k == 1) "p0" else s"i${k - 1}"
       s"""i$k AS (
@@ -317,6 +350,35 @@ object GraphPack extends QueryPack {
          |)""".stripMargin
     }.mkString(",\n")
     Map(
+      "g8_personalized_pagerank" ->
+        s"""WITH li AS (
+           |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid
+           |  FROM lineitem
+           |), edges AS (
+           |  SELECT a.sid AS sa, b.sid AS sb
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.sid < b.sid
+           |  GROUP BY 1, 2 HAVING count(*) >= 5
+           |), sym AS (
+           |  SELECT sa AS src, sb AS dst FROM edges
+           |  UNION ALL SELECT sb AS src, sa AS dst FROM edges
+           |), nds AS (
+           |  SELECT node, CASE WHEN node IN (
+           |      SELECT CAST(s_suppkey AS BIGINT) FROM supplier
+           |      WHERE s_suppkey % 10 = 0) THEN 1 ELSE 0 END AS is_seed
+           |  FROM (SELECT DISTINCT src AS node FROM sym)
+           |), deg AS (
+           |  SELECT src, count(*) AS outdeg FROM sym GROUP BY src
+           |), sc AS (
+           |  SELECT sum(is_seed) AS ns FROM nds
+           |), p0 AS (
+           |  SELECT node, is_seed,
+           |    CASE WHEN is_seed = 1
+           |         THEN 1000000000000 // (SELECT ns FROM sc) ELSE 0 END AS pr
+           |  FROM nds
+           |),
+           |$pprCtes
+           |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
+           |FROM q5""".stripMargin,
       "g4_kcore" ->
         s"""WITH li AS (
            |  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS sid

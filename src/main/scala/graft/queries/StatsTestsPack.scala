@@ -165,6 +165,43 @@ object StatsTestsPack extends QueryPack {
             .otherwise(lit(0.0))).as("z_score"))
     }),
 
+    // Theil–Sen slope — Mann–Kendall's companion ESTIMATOR (the robust
+    // trend magnitude to MK's trend test; Sen 1968): the median of all
+    // pairwise slopes between daily means, per series. Same scale shape
+    // as stats_mann_kendall: the corpus collapses map-side to the
+    // BOUNDED (type, day) cell table, the O(days²) pair join runs over
+    // those cells, and the median is a partitioned rank over ≤ C(days,2)
+    // pair rows — never a corpus-sized window. Exactness: daily means
+    // and slopes are IEEE doubles computed with identical op order on
+    // identical integer inputs in both engines; the even-count median
+    // averages two identical doubles (commutative), rounded at 1e-6.
+    "stats_theil_sen" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+          Num.cents(col("value")).as("c"))
+        .groupBy("event_type", "d")
+        .agg((sum(col("c")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("m"))
+      val a = cells.select(col("event_type"), col("d").as("di"), col("m").as("mi"))
+      val b = cells.select(col("event_type"), col("d").as("dj"), col("m").as("mj"))
+      val pairs = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .select(col("event_type"), col("di"), col("dj"),
+          ((col("mj") - col("mi")) /
+            (col("dj") - col("di")).cast(DoubleType)).as("slope"))
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val wr = wk.orderBy(col("slope"), col("di"), col("dj"))
+      pairs
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n_pairs", count(lit(1)).over(wk))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+          col("rn") === expr("(n_pairs + 2) div 2"))
+        .groupBy("event_type")
+        .agg(max(col("n_pairs")).as("n_pairs"),
+          Num.r6(sum(col("slope")) / count(lit(1))).as("sen_slope_cents_per_day"))
+    }),
+
     // Kaplan–Meier survival over user PURCHASE lifetimes — survival
     // analysis as an engine capability (churn/retention curves at corpus
     // scale): a user's lifetime is first→last purchase day; a user still
@@ -990,6 +1027,37 @@ object StatsTestsPack extends QueryPack {
         |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
         |    ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS z_score
         |FROM v""".stripMargin,
+    // Theil–Sen: pairwise slopes between daily means over the bounded
+    // cell table, median by partitioned rank — identical IEEE op order
+    "stats_theil_sen" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM ev GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.event_type, a.d AS di, b.d AS dj,
+        |    (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM cells a JOIN cells b
+        |    ON a.event_type = b.event_type AND a.d < b.d
+        |), ranked AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (
+        |      PARTITION BY event_type ORDER BY slope, di, dj) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_pairs
+        |  FROM pairs
+        |)
+        |SELECT event_type, max(n_pairs) AS n_pairs,
+        |  floor((sum(slope) / count(*)) * 1000000 + 0.5) / 1000000
+        |    AS sen_slope_cents_per_day
+        |FROM ranked
+        |WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+        |GROUP BY event_type""".stripMargin,
     "stats_kaplan_meier" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM p),

@@ -124,6 +124,40 @@ object TemporalPack extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
+    }),
+
+    // Calendar densification (pandas `resample('D').asfreq()` + ffill —
+    // the time-series regularization the reference's daily pipeline
+    // implies): collapse each user's events to a daily close, then fill
+    // every MISSING calendar day in the user's [min, max] span with the
+    // forward-filled close and an imputation flag. Plan: one (user, day)
+    // partial agg (close = max(struct(ts, event_id, cents)) — sort-free
+    // argmax), a per-user span agg whose `sequence()` explode generates
+    // the grid MAP-SIDE (fan-out bounded by span days, never a shuffle),
+    // one left join back on (user, day), one window ffill. At 100 TB:
+    // grids are per-key and bounded by calendar span — the explode adds
+    // O(days) rows per key, not a cross join; everything shuffles once
+    // on the (user, day) grain.
+    "tj5_calendar_densify" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          max(struct(col("ts"), col("event_id"),
+            graft.Num.cents(col("value")).as("cents"))).as("last_row"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("day"),
+          col("last_row.cents").as("close_cents"), col("n_events"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("close_cents", ffill(col("close_cents"), w))
+        .withColumn("is_imputed", col("n_events").isNull.cast("int"))
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .select("user_id", "day", "close_cents", "n_events", "is_imputed")
     })
   )
 
@@ -171,6 +205,37 @@ object TemporalPack extends QueryPack {
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // tj5: the (ts, event_id)-max close replayed via row_number DESC; the
+    // calendar grid via generate_series; ffill via IGNORE NULLS
+    "tj5_calendar_densify" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), closes AS (
+        |  SELECT user_id, day, cents AS close_cents
+        |  FROM e
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) = 1
+        |), counts AS (
+        |  SELECT user_id, day, count(*) AS n_events FROM e GROUP BY 1, 2
+        |), daily AS (
+        |  SELECT user_id, day, close_cents, n_events
+        |  FROM closes JOIN counts USING (user_id, day)
+        |), grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))
+        |         AS DATE) AS day
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.close_cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_cents,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  CAST(d.n_events IS NULL AS INT) AS is_imputed
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
   )
 }
