@@ -134,6 +134,9 @@ object ScaleProbe {
     // personalized PageRank: g1's iterative band with a broadcast seed
     // flag — messages linear in |E| per round
     "g8_personalized_pagerank",
+    // CCF: one corpus scan collapsing to two bounded daily tables; the
+    // 11-lag moment join is calendar-sized — the bounded-cell family
+    "stats_ccf",
     // two-sample rank tests: the corpus collapses map-side to its
     // distinct-VALUE type table (the replica shifts ids, not values, so
     // the type table is size-FIXED at 10× — as a real 2-decimal value

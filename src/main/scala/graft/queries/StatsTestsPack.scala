@@ -202,6 +202,51 @@ object StatsTestsPack extends QueryPack {
           Num.r6(sum(col("slope")) / count(lit(1))).as("sen_slope_cents_per_day"))
     }),
 
+    // Cross-correlation function (lead–lag): Pearson corr between the
+    // daily click-value and view-value series at every lag k ∈ [−5, 5] —
+    // the "does series X lead series Y" diagnostic a financial pipeline
+    // runs before fitting lagged exog terms (the reference's SARIMAX exog
+    // step implies exactly this question). Scale shape: the corpus
+    // collapses map-side to TWO bounded daily-total tables; the 11 lags
+    // ride a broadcast and every lag's moment row aggregates the
+    // day-matched join of the two bounded tables — the corpus is scanned
+    // once, everything after is calendar-sized. Exactness: daily totals
+    // are exact integer cents, the five moment sums are exact
+    // DECIMAL(38,0) (Σxy wraps LONG near 1e18 — decimal matches the
+    // oracle's HUGEINT), and the corr is ONE double expression with
+    // identical op order in both engines, r6-rounded.
+    "stats_ccf" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+        .agg(sum(Num.cents(col("value"))).as("sv"))
+      val x = daily.filter(col("event_type") === "click")
+        .select(col("d").as("dx"), col("sv").as("xv"))
+      val y = daily.filter(col("event_type") === "view")
+        .select(col("d").as("dy"), col("sv").as("yv"))
+      val lags = s.range(-5, 6).toDF("k")
+      x.crossJoin(broadcast(lags))
+        .join(y, col("dx") + col("k") === col("dy"))
+        .groupBy("k")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("xv").cast(d38)).as("sx"),
+          sum(col("yv").cast(d38)).as("sy"),
+          sum((col("xv").cast(d38) * col("yv")).cast(d38)).as("sxy"),
+          sum((col("xv").cast(d38) * col("xv")).cast(d38)).as("sxx"),
+          sum((col("yv").cast(d38) * col("yv")).cast(d38)).as("syy"))
+        .select(col("k"), col("n_days"),
+          Num.r6(
+            (col("n_days").cast(d38) * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+            (sqrt((col("n_days").cast(d38) * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType)) *
+             sqrt((col("n_days").cast(d38) * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType)))).as("ccf"))
+    }),
+
     // Kaplan–Meier survival over user PURCHASE lifetimes — survival
     // analysis as an engine capability (churn/retention curves at corpus
     // scale): a user's lifetime is first→last purchase day; a user still
@@ -1058,6 +1103,35 @@ object StatsTestsPack extends QueryPack {
         |FROM ranked
         |WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
         |GROUP BY event_type""".stripMargin,
+    // ccf: exact HUGEINT daily-total moments per lag, one double corr
+    // expression mirroring the Spark op order
+    "stats_ccf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS HUGEINT) AS sv
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2
+        |), x AS (
+        |  SELECT d AS dx, sv AS xv FROM daily WHERE event_type = 'click'
+        |), y AS (
+        |  SELECT d AS dy, sv AS yv FROM daily WHERE event_type = 'view'
+        |), lags AS (
+        |  SELECT unnest(range(-5, 6)) AS k
+        |), m AS (
+        |  SELECT k, count(*) AS n_days,
+        |    sum(xv) AS sx, sum(yv) AS sy,
+        |    sum(xv * yv) AS sxy, sum(xv * xv) AS sxx, sum(yv * yv) AS syy
+        |  FROM x CROSS JOIN lags JOIN y ON dx + k = dy
+        |  GROUP BY k
+        |)
+        |SELECT k, n_days,
+        |  floor((CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))))
+        |    * 1000000 + 0.5) / 1000000 AS ccf
+        |FROM m""".stripMargin,
     "stats_kaplan_meier" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM p),

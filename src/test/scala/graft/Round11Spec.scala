@@ -78,6 +78,33 @@ class Round11Spec extends SparkSuite {
     r.unpersist()
   }
 
+  test("ccf: bounded in [-1, 1] and lag 0 matches a local Pearson replay") {
+    val r = graft.queries.StatsTestsPack.queries("stats_ccf")(spark, sf)
+      .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2)))
+      .toMap
+    assert(r.keySet == (-5L to 5L).toSet)
+    r.values.foreach { case (_, c) => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9) }
+    // local replay at lag 0 from the raw daily totals
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(graft.Num.cents(col("value"))).as("sv"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(x => x.getDate(1).toString -> x.getLong(2)).toMap
+      }
+    val shared = (daily("click").keySet & daily("view").keySet).toSeq
+    val xs = shared.map(d => daily("click")(d).toDouble)
+    val ys = shared.map(d => daily("view")(d).toDouble)
+    val n = shared.size.toDouble
+    val want = (n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum) /
+      (math.sqrt(n * xs.map(v => v * v).sum - xs.sum * xs.sum) *
+        math.sqrt(n * ys.map(v => v * v).sum - ys.sum * ys.sum))
+    assert(r(0L)._1 == shared.size.toLong, "lag-0 day match count")
+    assert(math.abs(r(0L)._2 - want) < 1e-6, s"${r(0L)._2} vs $want")
+  }
+
   test("g8 ppr: nonnegative, mass bounded by the unit, seeds carry the restart") {
     val r = graft.queries.GraphPack.queries("g8_personalized_pagerank")(spark, sf)
       .cache()
