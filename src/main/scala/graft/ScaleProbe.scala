@@ -137,6 +137,12 @@ object ScaleProbe {
     // CCF: one corpus scan collapsing to two bounded daily tables; the
     // 11-lag moment join is calendar-sized — the bounded-cell family
     "stats_ccf",
+    // Bollinger / stochastic: exact integer frame moments on the shared
+    // per-series exchange+sort — w3/w15's slope
+    "w21_bollinger", "w22_stochastic",
+    // Kendall τ-b: two daily collapses + the bounded matched-day pair
+    // join — mann_kendall's bounded-cell slope
+    "stats_kendall_tau",
     // two-sample rank tests: the corpus collapses map-side to its
     // distinct-VALUE type table (the replica shifts ids, not values, so
     // the type table is size-FIXED at 10× — as a real 2-decimal value

@@ -202,6 +202,46 @@ object StatsTestsPack extends QueryPack {
           Num.r6(sum(col("slope")) / count(lit(1))).as("sen_slope_cents_per_day"))
     }),
 
+    // Kendall's τ-b between the daily click-value and view-value series —
+    // the rank-correlation companion to stats_ccf's Pearson (robust to
+    // monotone transforms; the tie-corrected τ-b variant). ALL counts are
+    // exact integers over the bounded matched-day pair table (concordant/
+    // discordant/ties from sign tests on integer cents — never a float
+    // compare), and τ-b is one double expression with mirrored op order.
+    // Same scale story as mann_kendall: the corpus pays two daily-total
+    // collapses; the O(days²) pair join runs on calendar-bounded cells.
+    "stats_kendall_tau" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+        .agg(sum(Num.cents(col("value"))).as("sv"))
+      val x = daily.filter(col("event_type") === "click")
+        .select(col("d"), col("sv").as("x"))
+      val y = daily.filter(col("event_type") === "view")
+        .select(col("d"), col("sv").as("y"))
+      val m = x.join(y, "d")
+      val a = m.select(col("d").as("di"), col("x").as("xi"), col("y").as("yi"))
+      val b = m.select(col("d").as("dj"), col("x").as("xj"), col("y").as("yj"))
+      a.join(b, col("di") < col("dj"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when((col("xi") > col("xj") && col("yi") > col("yj")) ||
+              (col("xi") < col("xj") && col("yi") < col("yj")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("xi") > col("xj") && col("yi") < col("yj")) ||
+              (col("xi") < col("xj") && col("yi") > col("yj")), 1L)
+            .otherwise(0L)).as("discordant"),
+          sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).as("ties_x"),
+          sum(when(col("yi") === col("yj"), 1L).otherwise(0L)).as("ties_y"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"),
+          Num.r6((col("concordant") - col("discordant")).cast(DoubleType) /
+            (sqrt((col("n_pairs") - col("ties_x")).cast(DoubleType)) *
+             sqrt((col("n_pairs") - col("ties_y")).cast(DoubleType))))
+            .as("tau_b"))
+    }),
+
     // Cross-correlation function (lead–lag): Pearson corr between the
     // daily click-value and view-value series at every lag k ∈ [−5, 5] —
     // the "does series X lead series Y" diagnostic a financial pipeline
@@ -1103,6 +1143,41 @@ object StatsTestsPack extends QueryPack {
         |FROM ranked
         |WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
         |GROUP BY event_type""".stripMargin,
+    // Kendall τ-b: exact integer concordance counts over the bounded
+    // matched-day pair table, one mirrored double expression
+    "stats_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS sv
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT x.d, x.sv AS x, y.sv AS y
+        |  FROM (SELECT d, sv FROM daily WHERE event_type = 'click') x
+        |  JOIN (SELECT d, sv FROM daily WHERE event_type = 'view') y
+        |    USING (d)
+        |), cnt AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN (a.x > b.x AND a.y > b.y)
+        |               OR (a.x < b.x AND a.y < b.y) THEN 1
+        |             ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (a.x > b.x AND a.y < b.y)
+        |               OR (a.x < b.x AND a.y > b.y) THEN 1
+        |             ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM m a JOIN m b ON a.d < b.d
+        |)
+        |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+        |  floor((CAST(concordant - discordant AS DOUBLE)
+        |    / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))
+        |       * sqrt(CAST(n_pairs - ties_y AS DOUBLE))))
+        |    * 1000000 + 0.5) / 1000000 AS tau_b
+        |FROM cnt""".stripMargin,
     // ccf: exact HUGEINT daily-total moments per lag, one double corr
     // expression mirroring the Spark op order
     "stats_ccf" ->

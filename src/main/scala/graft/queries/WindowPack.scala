@@ -60,6 +60,57 @@ object WindowPack extends QueryPack {
     // five frame sums run on BIGINT cents, so the only float op is the
     // final ratio, r6-rounded for cross-engine parity. Same shared
     // window spec: no extra exchange over the rest of the family.
+    // Bollinger bands (mid = 20-row trailing mean, bands at ±2 sample
+    // stddev, %B position within the band) — the indicator family the
+    // reference's rolling mean/vol feeds (preprocessing derives exactly
+    // these building blocks). EXACT integer frame moments (cents s1/s2),
+    // one double conversion with oracle-mirrored op order; shares the
+    // family's single exchange+sort. Emitted in cents (the w15/w18
+    // convention): unit choice cancels in %B anyway.
+    "w21_bollinger" -> ((s, dir) => {
+      val f = w.rowsBetween(-19, 0)
+      base(s, dir)
+        .withColumn("c", graft.Num.cents(col("value")))
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("s1", sum(col("c")).over(f))
+        .withColumn("s2", sum(col("c") * col("c")).over(f))
+        .withColumn("mid", col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("sd", when(col("n") === 20 &&
+            col("n") * col("s2") - col("s1") * col("s1") > 0,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))))
+        .select(col("event_id"), col("user_id"),
+          when(col("n") === 20, Num.r6(col("mid"))).as("mid_cents"),
+          Num.r6(col("sd")).as("sd_cents"),
+          Num.r6(when(col("sd") > 0.0,
+            (col("c").cast("double") - col("mid") + lit(2.0) * col("sd")) /
+              (lit(4.0) * col("sd")))).as("pct_b"))
+    }),
+
+    // Stochastic oscillator %K/%D (14-row trailing high/low channel;
+    // %D = 3-point mean of %K) — the RSI sibling momentum indicator.
+    // %K is one double expression over EXACT frame min/max cents; %D
+    // adds the two lagged %K values LEFT-TO-RIGHT via lag (never a
+    // window sum of doubles, whose summation-tree shape differs across
+    // engines). Same shared window spec.
+    "w22_stochastic" -> ((s, dir) => {
+      val f = w.rowsBetween(-13, 0)
+      val withK = base(s, dir)
+        .withColumn("c", graft.Num.cents(col("value")))
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("mn", min(col("c")).over(f))
+        .withColumn("mx", max(col("c")).over(f))
+        .withColumn("k", when(col("n") === 14 && col("mx") > col("mn"),
+          lit(100.0) * (col("c") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double")))
+      withK
+        .withColumn("k1", lag(col("k"), 1).over(w))
+        .withColumn("k2", lag(col("k"), 2).over(w))
+        .select(col("event_id"), col("user_id"),
+          Num.r6(col("k")).as("pct_k"),
+          Num.r6((col("k") + col("k1") + col("k2")) / lit(3.0)).as("pct_d"))
+    }),
+
     "w15_rolling_corr" -> ((s, dir) => {
       val x = graft.Num.cents(col("value"))
       val f = w.rowsBetween(-19, 0)
@@ -362,6 +413,62 @@ object WindowPack extends QueryPack {
         |      / (n - 1))) * 1000000 + 0.5) / 1000000
         |  END AS z
         |FROM ev JOIN st USING (day)""".stripMargin,
+    "w21_bollinger" ->
+      s"""WITH c AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events
+         |), m AS (
+         |  SELECT event_id, user_id, c,
+         |    count(*) OVER f AS n,
+         |    sum(c) OVER f AS s1,
+         |    sum(c * c) OVER f AS s2
+         |  FROM c
+         |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |), b AS (
+         |  SELECT event_id, user_id, c, n,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mid,
+         |    CASE WHEN n = 20 AND n * s2 - s1 * s1 > 0 THEN
+         |      sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+         |           / CAST(n * (n - 1) AS DOUBLE))
+         |    END AS sd
+         |  FROM m
+         |)
+         |SELECT event_id, user_id,
+         |  CASE WHEN n = 20
+         |    THEN floor(mid * 1000000 + 0.5) / 1000000 END AS mid_cents,
+         |  floor(sd * 1000000 + 0.5) / 1000000 AS sd_cents,
+         |  CASE WHEN sd > 0.0 THEN
+         |    floor(((CAST(c AS DOUBLE) - mid + 2.0 * sd) / (4.0 * sd))
+         |      * 1000000 + 0.5) / 1000000
+         |  END AS pct_b
+         |FROM b""".stripMargin,
+    "w22_stochastic" ->
+      s"""WITH c AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events
+         |), m AS (
+         |  SELECT event_id, user_id, ts, c,
+         |    count(*) OVER f AS n,
+         |    min(c) OVER f AS mn,
+         |    max(c) OVER f AS mx
+         |  FROM c
+         |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |), k AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN n = 14 AND mx > mn THEN
+         |      100.0 * CAST(c - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+         |    END AS k
+         |  FROM m
+         |)
+         |SELECT event_id, user_id,
+         |  floor(k * 1000000 + 0.5) / 1000000 AS pct_k,
+         |  floor(((k + lag(k, 1) OVER w + lag(k, 2) OVER w) / 3.0)
+         |    * 1000000 + 0.5) / 1000000 AS pct_d
+         |FROM k $oracleWindow""".stripMargin,
     "w15_rolling_corr" ->
       s"""WITH c AS (
          |  SELECT event_id, user_id, ts,

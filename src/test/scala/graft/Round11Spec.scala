@@ -105,6 +105,31 @@ class Round11Spec extends SparkSuite {
     assert(math.abs(r(0L)._2 - want) < 1e-6, s"${r(0L)._2} vs $want")
   }
 
+  test("indicators: %K/%D bounded, bollinger band laws, tau-b in [-1, 1]") {
+    val so = graft.queries.WindowPack.queries("w22_stochastic")(spark, sf).cache()
+    assert(so.filter(col("pct_k") < 0 || col("pct_k") > 100).count() == 0)
+    assert(so.filter(col("pct_d") < 0 || col("pct_d") > 100).count() == 0)
+    so.unpersist()
+    val bb = graft.queries.WindowPack.queries("w21_bollinger")(spark, sf).cache()
+    // sd is a sample stddev: strictly positive wherever emitted; a %B of
+    // 0.5 means the price sits ON the mid — values can escape [0,1]
+    // (price outside the band) but only by a bounded amount on a
+    // 2-decimal fixture
+    assert(bb.filter(col("sd_cents") <= 0).count() == 0)
+    assert(bb.filter(col("pct_b").isNotNull).count() > 0)
+    // mid is the frame mean: always within the frame's [min, max], so
+    // |%B - 0.5| = |c - mid| / (4sd) ≤ (max-min)/(4sd); spot the global
+    // sanity bound instead: %B stays within [-5, 6] on this fixture
+    assert(bb.filter(col("pct_b") < -5 || col("pct_b") > 6).count() == 0)
+    bb.unpersist()
+    val kt = graft.queries.StatsTestsPack.queries("stats_kendall_tau")(spark, sf)
+      .head()
+    val (np, c, d) = (kt.getLong(0), kt.getLong(1), kt.getLong(2))
+    assert(c + d <= np, "concordant + discordant cannot exceed the pairs")
+    val tau = kt.getDouble(5)
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9, s"tau_b=$tau")
+  }
+
   test("g8 ppr: nonnegative, mass bounded by the unit, seeds carry the restart") {
     val r = graft.queries.GraphPack.queries("g8_personalized_pagerank")(spark, sf)
       .cache()
