@@ -26,12 +26,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** The persisted dataset backing the PREVIOUS call's result: the result
-    * must stay cached for the caller to consume (its lineage spans every
-    * propagation round), so it can only be released when the next call
-    * starts — a one-slot pool that bounds the leak to a single labeling
-    * regardless of how many times the operator runs in a session. */
-  private var lastResultCache: Option[DataFrame] = None
+  /** Release handle for the checkpoint blocks backing the PREVIOUS call's
+    * result: the result must stay materialized for the caller to consume,
+    * so it can only be released when the next call starts — a one-slot
+    * pool that bounds the held blocks to a single labeling regardless of
+    * how many times the operator runs in a session. */
+  private var lastResultRelease: Option[() => Unit] = None
 
   /** @param edges DataFrame with two long columns `a`, `b` (undirected).
     * @return (node, component) where component = min node id reachable.
@@ -46,20 +46,26 @@ object Components {
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     synchronized {
-      lastResultCache.foreach(_.unpersist(false))
-      lastResultCache = None
+      lastResultRelease.foreach(r => r())
+      lastResultRelease = None
     }
-    // symmetrize once: propagation below only needs to look at in-edges
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetrize once, PINNED (eager localCheckpoint, graft.ops.Lineage):
+    // propagation below only needs to look at in-edges, and pinning cuts
+    // the INPUT lineage off every round's plan — when the edges come out
+    // of an LSH mining pipeline (d7/d11/d15) that lineage is hundreds of
+    // plan nodes which every per-round action would re-canonicalize
+    // (measured: 9.7 s → 1.6 s for the d11 labeling, data unchanged).
+    val (sym, symRelease) = Lineage.pin(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b"))))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-    // `cached` is the persisted dataset currently backing `labels`;
-    // re-persisting each round truncates logical-plan growth (the join
-    // tree would otherwise deepen linearly with iterations). ONE action
-    // per round: the convergence count doubles as the materializer.
-    var cached = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    // `cached` is the pinned frame currently backing `labels`; pinning
+    // each round truncates logical-plan growth (step() references its
+    // input twice, so the join tree would otherwise DOUBLE per round and
+    // every action re-pays planning over the whole history).
+    var (cached, cachedRelease) = Lineage.pin(labels)
+    labels = cached
 
     // one propagation step: min label over each node's neighborhood;
     // extra columns (the change-tracking `orig`) pass through untouched
@@ -83,24 +89,25 @@ object Components {
       // only ever decrease, so "nothing changed across the double step"
       // iff "nothing changed in its first step" — the convergence test
       // is unchanged (compared against the round's entry labels).
-      val next = step(step(labels.withColumn("orig", col("component"))))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (next, nextRelease) =
+        Lineage.pin(step(step(labels.withColumn("orig", col("component")))))
       changed = next.filter(col("component") < col("orig")).count()
-      cached.unpersist(false)
+      cachedRelease()
       cached = next
-      // cheap projection over the freshly persisted round result
+      cachedRelease = nextRelease
+      // cheap projection over the freshly pinned round result
       labels = next.select(col("node"), col("component"))
       i += 1
     }
-    sym.unpersist(false)
+    symRelease()
     if (changed > 0) {
-      cached.unpersist(false)
+      cachedRelease()
       // diameter blew the propagation budget: hand the SAME edge set to
       // the O(log²)-round star contraction rather than guessing a bigger
       // budget (or worse, returning a silently split labeling)
       return connectedComponentsStar(spark, edges)
     }
-    synchronized { lastResultCache = Some(cached) }
+    synchronized { lastResultRelease = Some(cachedRelease) }
     labels
   }
 
@@ -182,17 +189,15 @@ object Components {
 
     // fixpoint edge set is a star forest: (node → component min); roots
     // and isolated-in-canonical-form nodes label themselves
-    val labels = nodes
+    val (labels, labelsRelease) = Lineage.pin(nodes
       .join(cur.select(col("u").as("node"), col("v").as("component")),
         Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+        coalesce(col("component"), col("node")).as("component")))
     nodes.unpersist(false)
     synchronized {
-      lastResultCache.foreach(_.unpersist(false))
-      lastResultCache = Some(labels)
+      lastResultRelease.foreach(r => r())
+      lastResultRelease = Some(labelsRelease)
     }
     labels
   }

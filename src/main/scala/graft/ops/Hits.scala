@@ -34,7 +34,7 @@ object Hits {
 
   val Scale = 1000000L // 1e6 fixed-point score scale
 
-  private var lastCaches: Seq[DataFrame] = Nil
+  private var lastReleases: Seq[() => Unit] = Nil
 
   /** @param edges directed (c, p) BIGINT pairs, pre-deduplicated: hubs on
     *        the `c` side, authorities on the `p` side.
@@ -44,11 +44,11 @@ object Hits {
     *         round's max score is pinned at exactly Scale). */
   def run(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
     synchronized {
-      lastCaches.foreach(_.unpersist(false))
-      lastCaches = Nil
+      lastReleases.foreach(r => r())
+      lastReleases = Nil
     }
     val cs = edges.select(col("c"), col("p")).cache()
-    var held = Seq(cs)
+    var held = Seq(() => { cs.unpersist(false); () })
     var hub = cs.select(col("c")).distinct()
       .select(col("c"), lit(Scale).as("h"))
     var auth: DataFrame = null
@@ -59,21 +59,25 @@ object Hits {
       // measured 40% faster WITHOUT broadcasts), broadcasting the scores
       // into the edge join costs nothing extra here and keeps the cached
       // edge set from re-shuffling every half-round.
-      val ar = cs.join(broadcast(hub), "c")
-        .groupBy("p").agg(sum(col("h")).as("s")).cache()
+      // PINNED per half-round (Lineage.pin, r11): the renormalization
+      // reads each raw-sum table twice, and a cached-but-unpinned chain
+      // keeps every earlier half-round in the logical plan — each head()
+      // and the final union then re-pay planning over the whole history.
+      val (ar, arRelease) = Lineage.pin(cs.join(broadcast(hub), "c")
+        .groupBy("p").agg(sum(col("h")).as("s")))
       // the round max is ONE scalar — collect it (the PageRank n-count
       // accounting) instead of a crossJoin(broadcast(agg)): the same
       // materialization barrier either way, but no BroadcastExchange +
       // nested-loop-join stage per half-round
       val mxA = ar.agg(max(col("s"))).head().getLong(0)
       auth = ar.select(col("p"), expr(s"(s * ${Scale}L) DIV ${mxA}L").as("a"))
-      val hr = cs.join(broadcast(auth), "p")
-        .groupBy("c").agg(sum(col("a")).as("s")).cache()
+      val (hr, hrRelease) = Lineage.pin(cs.join(broadcast(auth), "p")
+        .groupBy("c").agg(sum(col("a")).as("s")))
       val mxH = hr.agg(max(col("s"))).head().getLong(0)
       hub = hr.select(col("c"), expr(s"(s * ${Scale}L) DIV ${mxH}L").as("h"))
-      held = held ++ Seq(ar, hr)
+      held = held ++ Seq(arRelease, hrRelease)
     }
-    synchronized { lastCaches = held }
+    synchronized { lastReleases = held }
     hub.select(col("c").as("node"), lit("hub").as("kind"),
         col("h").as("score"))
       .unionAll(auth.select(col("p").as("node"),

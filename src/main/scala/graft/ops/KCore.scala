@@ -45,6 +45,7 @@ object KCore {
   def run(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).cache()
     var surv: DataFrame = null // null = every node survives
+    var survRelease: () => Unit = () => ()
     def restricted: DataFrame =
       if (surv == null) edges
       else edges
@@ -52,22 +53,27 @@ object KCore {
         .join(surv.withColumnRenamed("node", "nd"),
           col("dst") === col("nd"), "left_semi")
     for (_ <- 1 to rounds) {
-      val next = restricted.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("node"))
-        .cache()
-      next.count() // pin before releasing the previous survivor set
-      if (surv != null) surv.unpersist(false)
+      // PINNED per round (Lineage.pin, r11): `restricted` references the
+      // survivor frame twice, so a cached-but-unpinned survivor chain
+      // doubles the logical plan per round and every round's action
+      // re-pays planning over the whole peel history; the pin keeps each
+      // round's plan at constant size (edges ⋈ one LogicalRDD leaf).
+      val (next, nextRelease) = Lineage.pin(
+        restricted.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("src").as("node")))
+      survRelease() // previous survivor set is dead from here on
       surv = next
+      survRelease = nextRelease
     }
     // Materialize the node-sized result with its lineage truncated, then
-    // release the two big pinned entries (the |E| edge cache and the final
+    // release the big pinned entries (the |E| edge cache and the final
     // survivor set) — otherwise every invocation (bench loops at 30×/100×)
     // permanently accumulates executor cache pressure across a session.
     val out = restricted.groupBy("src").agg(count(lit(1)).as("deg_core"))
       .select(col("src").as("node"), col("deg_core"))
       .localCheckpoint(true)
     edges.unpersist(false)
-    if (surv != null) surv.unpersist(false)
+    survRelease()
     out
   }
 }

@@ -19,9 +19,10 @@ object GraphPack extends QueryPack {
 
   private val SuppOffset = 1000000L
 
-  /** Caches backing the PREVIOUS g5 run's returned lineage — the one-slot
-    * pool from ops/PageRank.scala, released when the next run starts. */
-  private var g5LastCaches: Seq[DataFrame] = Nil
+  /** Release handles for the checkpoint blocks backing the PREVIOUS g5
+    * run's result — the one-slot pool from ops/Components.scala, released
+    * when the next run starts. */
+  private var g5LastReleases: Seq[() => Unit] = Nil
 
   /** Undirected supplier co-occurrence edges (suppliers sharing ≥ `minW`
     * orders) — the pruned graph every g2-g6 query runs on. The per-order
@@ -212,18 +213,20 @@ object GraphPack extends QueryPack {
     // recursive CTE with a min() collapse (a walk of length d exists iff
     // BFS reaches at distance ≤ d).
     "g5_bfs_hops" -> ((s, dir) => {
-      // the returned plan's lineage references every round's cached
-      // frontier/known, so this run's caches can only be released when
-      // the NEXT run starts — the PageRank/Components one-slot pool,
-      // bounding held storage to one run regardless of invocation count
-      // (VERDICT r10 wrong #1). The edge table itself is the memoized
-      // shared artifact (owned by the memo, not this query); its
-      // symmetrized view is two map-side projections, not a new cache.
+      // Per-round frontier/known state is PINNED (Lineage.pin, r11):
+      // `known` references the previous round's frontier AND known, so a
+      // cached-but-unpinned chain compounds the logical plan per round
+      // and every action re-pays planning over the whole BFS history.
+      // The final `known` is the result the caller consumes, so this
+      // run's blocks can only be released when the NEXT run starts — the
+      // Components one-slot pool (VERDICT r10 wrong #1). The edge table
+      // itself is the memoized shared artifact (owned by the memo, not
+      // this query); its symmetrized view is two map-side projections.
       GraphPack.synchronized {
-        g5LastCaches.foreach(_.unpersist(false))
-        g5LastCaches = Nil
+        g5LastReleases.foreach(r => r())
+        g5LastReleases = Nil
       }
-      val caches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
       val und = cooccurrenceEdges(s, dir, minW = 2)
       val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
         .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
@@ -231,22 +234,23 @@ object GraphPack extends QueryPack {
         .filter(col("s_suppkey") % 10 === 0)
         .select(col("s_suppkey").cast("long").as("node"),
           lit(0).as("dist"))
-      var known = seeds.cache()
-      caches += known
+      var known = seeds
       var frontier = seeds
       for (_ <- 1 to 4) {
         val cand = frontier.join(edges, frontier("node") === edges("src"))
           .select(col("dst").as("node"),
             (frontier("dist") + 1).as("dist"))
           .groupBy("node").agg(min(col("dist")).as("dist"))
-        frontier = cand.join(known.select(col("node").as("kn")),
-            cand("node") === col("kn"), "left_anti")
-          .cache()
-        caches += frontier
-        known = known.unionAll(frontier).cache()
-        caches += known
+        val (f, fRel) = graft.ops.Lineage.pin(
+          cand.join(known.select(col("node").as("kn")),
+            cand("node") === col("kn"), "left_anti"))
+        frontier = f
+        releases += fRel
+        val (k2, kRel) = graft.ops.Lineage.pin(known.unionAll(frontier))
+        known = k2
+        releases += kRel
       }
-      GraphPack.synchronized { g5LastCaches = caches.toSeq }
+      GraphPack.synchronized { g5LastReleases = releases.toSeq }
       known
     }),
 

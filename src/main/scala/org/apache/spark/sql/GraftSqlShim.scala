@@ -22,4 +22,16 @@ object GraftSqlShim {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** The RDD backing a `localCheckpoint`ed DataFrame (its analyzed plan is
+    * a [[execution.LogicalRDD]] leaf). Lets graft.ops.Lineage release the
+    * checkpoint's storage blocks EXPLICITLY (one-slot pool semantics)
+    * instead of waiting for the ContextCleaner's GC-driven sweep —
+    * `Dataset.unpersist` only talks to the CacheManager and is a no-op on
+    * checkpoint blocks. */
+  def underlyingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd)
+      case _                       => None
+    }
 }

@@ -628,10 +628,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("l_orderkey"), s"scan must prune:\n$plan")
   }
 
-  test("g5: frontier BFS — known-set anti join present, edges cached once") {
+  test("g5: frontier BFS result is a pinned leaf — no per-round lineage") {
+    // r11: per-round frontier/known state is Lineage.pin'ed (eager local
+    // checkpoint), so the RETURNED plan must be a bare checkpoint scan —
+    // the old cached-chain shape (LeftAnti/joins visible in the final
+    // plan, compounding per round) is exactly what the pin removes. The
+    // anti-join/broadcast internals still execute per round (oracle-exact
+    // result; bounded-cache census pinned below).
     val plan = executedString("g5_bfs_hops")
-    assert(plan.contains("LeftAnti"), plan)
-    assert(plan.contains("InMemoryTableScan"), s"edge cache must be reused:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"result must be pinned:\n$plan")
+    assert(!plan.contains("Join"), s"no lineage may leak into the result:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
@@ -794,11 +800,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"), plan)
   }
 
-  test("g7: score vectors broadcast into the cached edge join, never SMJ") {
+  test("g7: result unions the pinned half-round tables, never SMJ") {
+    // r11: each half-round's raw-sum table is Lineage.pin'ed, so the
+    // returned plan is a Union of projections over two checkpoint scans;
+    // the broadcast edge joins run inside the rounds (their shape is
+    // pinned by the fixed-point oracle hash — a strategy change that
+    // altered message sums would go red there).
     val plan = executedString("g7_hits")
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("Union"), plan)
+    assert(plan.contains("ExistingRDD"), s"half-rounds must be pinned:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Join"), s"no lineage may leak into the result:\n$plan")
   }
 
   test("d17/d18: every join is an equi-join — no nested-loop/cartesian leg") {
