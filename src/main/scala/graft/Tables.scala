@@ -67,6 +67,28 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Restore input parallelism for a CPU-heavy map stage (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"; §6.1 splits stop at row-group granularity). The
+    * fixture tables are single-row-group parquet files, so every scan
+    * arrives as ONE task and everything before the first exchange —
+    * shingling, signature hashing, regex scoring, edit distance — runs
+    * serially no matter how many cores the session has. `spread` is
+    * ADAPTIVE, not a constant: it round-robins to the session's default
+    * parallelism only when the scan's split count is actually starved
+    * (< cores), so on a production lake with properly sized files (or a
+    * future multi-row-group fixture) it is a no-op and no extra exchange
+    * is paid. Call it on scan-stage frames only (narrow plans, no
+    * exchanges) — `.rdd` on a post-shuffle frame would force AQE stage
+    * materialization. Only worth it where per-row compute dominates the
+    * one extra narrow-row exchange; plain column aggregates should NOT
+    * pay this (map-side partial agg over the scan is the scale-correct
+    * shape there). */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
 }
 
 /** Oracle-parity numeric helpers.

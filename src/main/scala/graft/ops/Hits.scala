@@ -63,6 +63,12 @@ object Hits {
       // reads each raw-sum table twice, and a cached-but-unpinned chain
       // keeps every earlier half-round in the logical plan — each head()
       // and the final union then re-pay planning over the whole history.
+      // (r11 also TRIED folding the pin and the max into one action —
+      // persist() + head() — so each half-round pays one job instead of
+      // two; measured warm 3.5 s → 4.5 s WORSE: without the LogicalRDD
+      // leaf every later action re-plans and re-matches the growing
+      // cached chain, which costs more than the extra tiny max job. Kept
+      // the pin.)
       val (ar, arRelease) = Lineage.pin(cs.join(broadcast(hub), "c")
         .groupBy("p").agg(sum(col("h")).as("s")))
       // the round max is ONE scalar — collect it (the PageRank n-count

@@ -89,7 +89,11 @@ object AggPack extends QueryPack {
     // the width bounds (E ≤ N/w per row, min over 4 rows).
     "a18_countmin" -> ((s, dir) => {
       graft.functions.Fnv64.register(s)
-      val toks = Tables.documents(s, dir)
+      // spread: the tokenize+4×FNV map stage otherwise runs on the one
+      // scan task the single-row-group fixture file provides (and twice —
+      // both the cells and the probes branch re-derive it; the spread
+      // exchange is reused across the two)
+      val toks = Tables.spread(Tables.documents(s, dir).select("text"))
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
       val cells = toks
         .select(explode(expr(

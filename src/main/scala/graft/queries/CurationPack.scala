@@ -51,12 +51,20 @@ object CurationPack extends QueryPack {
     // (the name's first word; at scale: zip code, soundex, sorted
     // n-gram key), so comparisons are Σ|block|² with bounded blocks —
     // never the |dirty|·|clean| cross product; the edit-distance verify
-    // (levenshtein ≤ 2, a native codegen expression in both engines)
-    // rides INSIDE the join stage, and per dirty record the best match
-    // resolves via one min(struct(dist, clean_id)) partial agg (dist
-    // asc, clean id asc — no window). Oracle: DuckDB's levenshtein is
-    // the same classic DP, so the pair set and resolution replay
-    // exactly.
+    // rides INSIDE the join stage as the THRESHOLD form
+    // levenshtein(d, n, 2) (r11, guide §1.2 "per-task work"): the banded
+    // DP costs O(k·len) instead of O(len²) and exits O(1) when the
+    // length gap alone exceeds k — the overwhelming majority of blocked
+    // candidates — where the unbanded form paid the full len² matrix on
+    // EVERY candidate (measured 4.06 s → see OPTIMIZATION_r11.md).
+    // dist ∈ {0,1,2} survivors are exact under the band, so the pair set
+    // is unchanged. Per dirty record the best match resolves via one
+    // min over (dist, clean_id) PACKED into a single BIGINT
+    // (dist·2⁴¹ + clean_id, both non-negative, dist dominant — identical
+    // order to the struct min) so the aggregate hash-aggregates with
+    // map-side partials instead of the struct-min SortAggregate + Sort
+    // pair the r10 plan carried. Oracle: DuckDB's levenshtein is the
+    // same classic DP, so the pair set and resolution replay exactly.
     "c14_fuzzy_linkage" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(
         col("p_partkey").as("clean_id"), col("p_name").as("name"),
@@ -65,13 +73,27 @@ object CurationPack extends QueryPack {
         .select((col("clean_id") + 1000000L).as("dirty_id"),
           expr("substring(name, 1, length(name) - 1)").as("dname"),
           col("blk"))
-      dirty.join(clean, "blk")
-        .withColumn("dist", levenshtein(col("dname"), col("name")))
-        .filter(col("dist") <= 2)
+      val packShift = 1L << 41 // clean_id < 2⁴¹ at any TPC-H scale factor
+      // The dirty feed arrives as ONE small parquet file ⇒ one scan
+      // partition, and since the verify work lives in the join's OUTPUT
+      // (Σ|block|² candidate pairs), the whole edit-distance pass ran on
+      // a single task (guide §2.5 input skew: "one huge unsplittable
+      // file … repartition immediately after the read"). Round-robin
+      // fan-out of the probe side to the session's parallelism spreads
+      // the candidate stream across all cores; 2k rows of (id, name,
+      // blk) is a trivial exchange. At production scale the feed is
+      // many files and this repartition coalesces to a no-op-sized
+      // shuffle of metadata-thin rows, never the registry.
+      dirty.repartition(s.sparkContext.defaultParallelism)
+        .join(clean, "blk")
+        .withColumn("dist", levenshtein(col("dname"), col("name"), 2))
+        .filter(col("dist") >= 0) // threshold form returns -1 past the band
         .groupBy(col("dirty_id"))
-        .agg(min(struct(col("dist"), col("clean_id"))).as("m"))
-        .select(col("dirty_id"), col("m.clean_id").as("matched_id"),
-          col("m.dist").cast("long").as("dist"))
+        .agg(min(col("dist").cast("long") * packShift + col("clean_id"))
+          .as("packed"))
+        .select(col("dirty_id"),
+          (col("packed") % packShift).as("matched_id"),
+          expr(s"packed div $packShift").as("dist"))
     }),
 
     // Fellegi–Sunter match/unmatch weights (Fellegi & Sunter 1969) — the
@@ -97,7 +119,10 @@ object CurationPack extends QueryPack {
         .select((col("clean_id") + 1000000L).as("dirty_id"),
           col("blk"), col("brand_c").as("brand_d"),
           col("size_c").as("size_d"), col("pb_c").as("pb_d"))
-      val cand = dirty.join(clean, "blk")
+      // same probe-side fan-out as c14: the one-file dirty feed would
+      // otherwise put the whole Σ|block|² candidate stream on one task
+      val cand = dirty.repartition(s.sparkContext.defaultParallelism)
+        .join(clean, "blk")
         .withColumn("is_match",
           (col("dirty_id") - 1000000L === col("clean_id")).cast("long"))
       val fields = cand.select(col("is_match"), explode(array(

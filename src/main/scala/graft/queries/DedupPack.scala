@@ -70,7 +70,12 @@ object DedupPack extends QueryPack {
     }
 
   private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
+    // spread (r11): every consumer of this corpus runs a CPU-heavy map
+    // stage over it (shingle FNV explodes, per-paragraph md5, signature
+    // folds) — without the fan-out all of that serialized on the one scan
+    // split the single-row-group fixture file yields. The two union
+    // branches share one reused exchange.
+    val d = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
     val dups = d.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(
         (col("doc_id") + 1000000L).as("doc_id"),
@@ -422,7 +427,9 @@ object DedupPack extends QueryPack {
     //    (the unique-gram majority dies at the semi join).
     "d8_shared_ngrams" -> ((s, dir) => {
       graft.functions.Fnv64.register(s)
-      val docs = Tables.documents(s, dir)
+      // spread: the FNV-per-5-gram explode is the heavy map stage (r11)
+      val docs = Tables.spread(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       // shuffle the 8-byte FNV of each gram, never the gram STRING — the
       // d1 digest principle applied to the index: both shuffles carry
@@ -510,7 +517,10 @@ object DedupPack extends QueryPack {
     // negatives the final is_dup EQUALS exact membership, which is what
     // the oracle recomputes (FP-envelope + no-FN laws in BloomDedupSpec).
     "d16_bloom_dedup" -> ((s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // spread: the Bloom build and the md5 probes are per-row hash map
+      // stages over the one-split fixture scan (r11)
+      val base = Tables.spread(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       val copies = base.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
       val novel = base.filter(col("doc_id") % 50 === 1)
@@ -568,7 +578,8 @@ object DedupPack extends QueryPack {
     // Word-set Jaccard between consecutive doc ids — the exact n-gram
     // similarity primitive, oracle-checked via array set algebra.
     "d4_word_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.spread(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("ws"))
       val a = d.select(col("doc_id").as("doc_a"), col("ws").as("wa"))
       val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),

@@ -396,7 +396,13 @@ object MlPack extends QueryPack {
     // ONE scan — so the scores (and the selected set) are bit-identical
     // cross-engine. k=3 of 5 lineitem features vs l_extendedprice.
     "ml_select_kbest" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // spread: 17 decimal-product aggregates per row is a CPU-dense map
+      // stage (the (28,4) products leave the long-backed fast path), and
+      // the one-split fixture scan serialized it; the fan-out carries
+      // only the 6 needed columns, and partial aggregation still collapses
+      // each partition to one row before the final exchange (r11)
+      val li = Tables.spread(Tables.lineitem(s, dir)
+        .select((KBestFeatures :+ "l_extendedprice").map(col): _*))
       val dec2 = DecimalType(18, 2)
       val dec4 = DecimalType(28, 4)
       val yd = col("l_extendedprice").cast(dec2)

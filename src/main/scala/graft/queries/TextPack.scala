@@ -265,7 +265,9 @@ object TextPack extends QueryPack {
     * t22 corpus KL). Map-only: FNV + pmod per bigram. */
   private def dsirBucketStream(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Fnv64.register(s)
-    Tables.documents(s, dir)
+    // spread: FNV-per-bigram map work off the single scan task (r11)
+    Tables.spread(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"),
         split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
@@ -321,7 +323,10 @@ object TextPack extends QueryPack {
   private def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     {
       graft.functions.Fnv64.register(s)
-      val docs = Tables.documents(s, dir)
+      // spread: the bigram-hash explode below otherwise runs serially on
+      // the fixture's one scan split (r11)
+      val docs = Tables.spread(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       val base = docs.select(col("doc_id"), size(col("words")).as("n_words"))
       // map-side: bigram hash + first-token hash, both 8-byte longs (the

@@ -129,7 +129,11 @@ object Dedup {
   private def shingledSets(docs: DataFrame, shingleW: Int): Dataset[DocShingles] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("text"))
+    // spread (r11): the FNV-per-gram shingle pass and the 64-perm
+    // signature derivation downstream both run over this frame — on the
+    // single-row-group fixture files the scan arrives as ONE split and
+    // the whole CPU-heavy signature stage serialized on one core
+    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, t) =>
         val a = shingleHashes(t, shingleW)
@@ -249,7 +253,7 @@ object Dedup {
   def bruteForcePairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
       threshold: Double): DataFrame = {
     import spark.implicits._
-    val sets = docs.select(col("doc_id"), col("text"))
+    val sets = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, t) =>
         val sh = shingleHashes(t, shingleW)
@@ -324,7 +328,9 @@ object Dedup {
     * buckets; carrying 8 extra bytes per chunk row removes all of it. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxDist: Int): Dataset[SimPair] = {
     import spark.implicits._
-    val chunks = docs.select(col("doc_id"), col("text"))
+    // spread (r11): the per-doc 64-bit SimHash fold is the CPU-heavy map
+    // stage; see shingledSets
+    val chunks = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         val s = simhash(t)
@@ -349,7 +355,7 @@ object Dedup {
     * verification harness only. */
   def simhashBruteForce(spark: SparkSession, docs: DataFrame, maxDist: Int): DataFrame = {
     import spark.implicits._
-    val sigs = docs.select(col("doc_id"), col("text"))
+    val sigs = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }
       .collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(sigs)
