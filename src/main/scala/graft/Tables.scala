@@ -85,9 +85,21 @@ object Tables {
     * one extra narrow-row exchange; plain column aggregates should NOT
     * pay this (map-side partial agg over the scan is the scale-correct
     * shape there). */
+  private val spreadProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Int]()
+
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    // the split-count probe (`.rdd`) pays one physical planning pass, so
+    // its result is memoized per (session, semantic plan): the same query
+    // shape re-probes for free on every later invocation, and a
+    // regenerated fixture at the same path keeps the same single-row-group
+    // layout (worst case a stale entry costs one redundant — or one
+    // missing — repartition of a scan-sized frame, never correctness)
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash().toLong)
+    val n = spreadProbeCache.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    if (n >= par) df else df.repartition(par)
   }
 }
 

@@ -128,6 +128,27 @@ object AnnPack extends QueryPack {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
 
+  /** d11's planted-twin ground truth — each original paired with its
+    * planted twin where cos ≥ 0.9 — memoized per fixture fingerprint like
+    * [[embNeardupTruth]] (r11): the pair table is a pure function of the
+    * corpus and exists only to CHECK the miner's recall, so repeat
+    * invocations time the miner, not the checker. Planted-population-
+    * sized (|corpus|/20). */
+  private def d11TwinTruth(s: SparkSession, dir: String): Array[(Long, Long)] =
+    graft.Fingerprint.memo("d11_twin_truth", s"$dir/embeddings.parquet") {
+      val aug = withVectorNearDups(s, dir)
+      val off = DupIdOffset
+      val orig = aug.filter(col("vec_id") < off)
+        .select(col("vec_id").as("pa"), col("embedding").as("ea"))
+      val dups = aug.filter(col("vec_id") >= off)
+        .select((col("vec_id") - off).as("pa"), col("vec_id").as("pb"),
+          col("embedding").as("eb"))
+      orig.join(dups, "pa")
+        .withColumn("c", Num.r6(Similarity.cosine(col("ea"), col("eb"))))
+        .filter(!isnan(col("c")) && col("c") >= 0.9) // match the oracle's NOT isnan
+        .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+
   /** The d11 miner: soft-assign every vector to its 2 nearest coarse
     * clusters, exact-cosine pairs within clusters, duplicate groups via
     * connected components. Shared by the query (which wraps it in the
@@ -203,6 +224,7 @@ object AnnPack extends QueryPack {
     annTruth(s, dir)
     annFilteredTruth(s, dir)
     embNeardupTruth(s, dir)
+    d11TwinTruth(s, dir)
     annBaseIndex(s, dir)
     ()
   }
@@ -456,17 +478,11 @@ object AnnPack extends QueryPack {
       val cc = semanticDedupGroups(s, aug)
       val lab: Map[Long, Long] = cc.select("node", "component")
         .as[(Long, Long)].collect().toMap // near-dup-population-sized
-      // planted-twin truth, linearly (pair each original with its twin)
-      val off = DupIdOffset
-      val orig = aug.filter(col("vec_id") < off)
-        .select(col("vec_id").as("pa"), col("embedding").as("ea"))
-      val dups = aug.filter(col("vec_id") >= off)
-        .select((col("vec_id") - off).as("pa"), col("vec_id").as("pb"),
-          col("embedding").as("eb"))
-      val truth = orig.join(dups, "pa")
-        .withColumn("c", Num.r6(Similarity.cosine(col("ea"), col("eb"))))
-        .filter(!isnan(col("c")) && col("c") >= 0.9) // match the oracle's NOT isnan
-        .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // planted-twin truth (pair each original with its twin) — memoized
+      // per fingerprint and paid in warm() (r11): it CHECKS the miner, so
+      // repeat invocations time the miner, not the checker (the
+      // embNeardupTruth discipline)
+      val truth = d11TwinTruth(s, dir)
       val caught = truth.count { case (x, y) =>
         lab.contains(x) && lab.get(x) == lab.get(y)
       }

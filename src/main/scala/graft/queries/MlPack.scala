@@ -835,7 +835,9 @@ object MlPack extends QueryPack {
     // scoring a single (doc_id, lang) shuffle. See graft.ml.NaiveBayes
     // for the full 100 TB design + exactness notes.
     "ml_naive_bayes" -> ((s, dir) =>
-      graft.ml.NaiveBayes.classify(s, Tables.documents(s, dir))),
+      // spread: training + scoring both tokenize-and-hash every doc —
+      // CPU-dense map work over the one-split fixture scan (r11)
+      graft.ml.NaiveBayes.classify(s, Tables.spread(Tables.documents(s, dir)))),
 
     // Histogram-based best-split finder — the distributed core of every
     // boosted-tree trainer (XGBoost approx / LightGBM): ONE pass over

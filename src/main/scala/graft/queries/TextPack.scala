@@ -396,7 +396,10 @@ object TextPack extends QueryPack {
     // Scale: tf shuffles on (doc_id, term); df is a vocab-sized agg; N is
     // a broadcast 1-row scalar — nothing driver-side, no corpus collect.
     "t6_tfidf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // spread: the term explode feeding the (doc_id, term) partial agg
+      // is the heavy map stage (r11)
+      val docs = Tables.spread(
+        Tables.documents(s, dir).select("doc_id", "text"))
       val tf = docs
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
