@@ -170,6 +170,10 @@ object DedupPack extends QueryPack {
     simhashTruth(s, dir)
     foundPairs(s, dir)
     mllibLshIndex(s, dir)
+    // d17/d18's shared df-ordered shingle-set artifact (r11): memoized
+    // per (session, dataset) like mllibLshIndex — pay its build here so
+    // bench passes time the joins, not the shared index construction
+    dfOrderedShingleSets(s, dir).count()
     ()
   }
 

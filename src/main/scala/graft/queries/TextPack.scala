@@ -33,7 +33,7 @@ object TextPack extends QueryPack {
     * table as a model artifact, memoized per fixture fingerprint). */
   private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, Long)] = {
     val rounds = 4
-    var words = Tables.documents(s, dir)
+    var words = Tables.spread(Tables.documents(s, dir).select("text"))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
@@ -41,6 +41,13 @@ object TextPack extends QueryPack {
       .persist()
     words.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    // ONE job per round (r11): the argmax collect over round r's pair
+    // counts is ALSO what materializes round r's lazily-persisted vocab
+    // cache, so the separate per-round `next.count()` barrier is gone.
+    // The previous round's cache is released only AFTER the collect that
+    // materialized its successor (two vocab-sized caches coexist briefly
+    // — bounded, the vocab table is tiny relative to the corpus).
+    var prev: Option[DataFrame] = None
     var r = 1
     while (r <= rounds) {
       val top = words
@@ -51,6 +58,8 @@ object TextPack extends QueryPack {
           "ELSE array() END")).as("pair"))
         .groupBy("pair").agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+      prev.foreach(_.unpersist(false))
+      prev = None
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
         merges += ((r, pair, top(0).getLong(1)))
@@ -61,12 +70,12 @@ object TextPack extends QueryPack {
         val next = words.withColumn("sym",
           trim(rewrite(rewrite(concat(lit(" "), col("sym"), lit(" "))))))
           .persist()
-        next.count()
-        words.unpersist(false)
+        prev = Some(words)
         words = next
       }
       r += 1
     }
+    prev.foreach(_.unpersist(false))
     words.unpersist(false)
     merges.toSeq
   }

@@ -81,13 +81,17 @@ object Streams {
   }
 
   /** Runs the stream to a memory sink. Stateful micro-batch operators open
-    * state stores per shuffle partition; on the fixture's state volume 8
-    * larger partitions beat core-count partitions (on a cluster: size
-    * shuffle.partitions to state volume / ~100 MB, not to cores). */
+    * (and load + commit, per batch) one state store PER shuffle partition
+    * PER stateful operator — a stream-stream join carries four stores per
+    * partition — so partitions are sized to STATE VOLUME (~100 MB/store on
+    * a cluster), never to cores: on the fixture's kilobyte state, 2
+    * partitions beat 8 (measured ~0.3–0.5 s per stream-stream-join query —
+    * 8 store instances per batch instead of 32), and 8 beat the 32
+    * core-count default before that (r10). */
   private def runToTable(df: DataFrame, spark: SparkSession, name: String,
       outputMode: String): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val (chk, chkCleanup) = freshCheckpoint()
     try {
       val q = df.writeStream.format("memory").queryName(name)
@@ -380,7 +384,7 @@ object Streams {
     // filtered from the RESULT table instead, in batch context.
     // inline runToTable so the second sentinel can land between drains
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val (chk, chkCleanup) = freshCheckpoint()
     try {
       val q = joined.writeStream.format("memory")
@@ -430,7 +434,7 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
       .select(col("user_id"), col("session_start"), col("n_events"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val (chk, chkCleanup) = freshCheckpoint()
     try {
       val q = sess.writeStream.format("memory")
