@@ -43,8 +43,16 @@ object Components {
     * count is O(log²) in component size regardless of diameter. Either
     * way the labeling returned is exact; the budget only picks the
     * algorithm. */
+  /** @param preSym OPTIONAL caller-owned ALREADY-SYMMETRIZED (a, b) edge
+    *        view, typically a cached artifact hash-partitioned on `a`
+    *        (r11): when supplied, the per-call symmetrize+pin job is
+    *        skipped (the artifact is already a bounded cached leaf), and
+    *        if it is partitioned on `a` each propagation step's
+    *        neighbor-min groupBy reuses that partitioning — with the
+    *        node-sized label side riding a broadcast the whole step runs
+    *        exchange-free. Must contain (x,y) AND (y,x) for every edge. */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, preSym: DataFrame = null): DataFrame = {
     synchronized {
       lastResultRelease.foreach(r => r())
       lastResultRelease = None
@@ -55,9 +63,11 @@ object Components {
     // of an LSH mining pipeline (d7/d11/d15) that lineage is hundreds of
     // plan nodes which every per-round action would re-canonicalize
     // (measured: 9.7 s → 1.6 s for the d11 labeling, data unchanged).
-    val (sym, symRelease) = Lineage.pin(
-      edges.select(col("a"), col("b"))
-        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    val (sym, symRelease) =
+      if (preSym != null) (preSym.select(col("a"), col("b")), () => ())
+      else Lineage.pin(
+        edges.select(col("a"), col("b"))
+          .union(edges.select(col("b").as("a"), col("a").as("b"))))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
     // `cached` is the pinned frame currently backing `labels`; pinning

@@ -39,17 +39,32 @@ object Hits {
   /** @param edges directed (c, p) BIGINT pairs, pre-deduplicated: hubs on
     *        the `c` side, authorities on the `p` side.
     * @param iters fixed synchronous round count.
+    * @param byC/byP OPTIONAL caller-owned CACHED copies of `edges`
+    *        hash-partitioned on `c` / `p` (r11, guide §2.4): the auth
+    *        half-round groups by `p` and the hub half-round by `c`, and
+    *        since the score side rides a broadcast the join preserves the
+    *        edge side's partitioning — with the right pre-partitioned
+    *        copy each half-round's edge-sized Exchange disappears
+    *        entirely. The copies are owned by the caller's memo (built in
+    *        its warm()), so no cache()/unpersist() happens here — an
+    *        unpersist of a plan-identical frame would silently drop the
+    *        shared cache entry (the KCore r11 lesson).
     * @return (node, kind, score) — kind ∈ {hub, authority}, score the
     *         1e6-scaled fixed-point value after the final round (each
     *         round's max score is pinned at exactly Scale). */
-  def run(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, iters: Int = 3,
+      byC: DataFrame = null, byP: DataFrame = null): DataFrame = {
     synchronized {
       lastReleases.foreach(r => r())
       lastReleases = Nil
     }
-    val cs = edges.select(col("c"), col("p")).cache()
-    var held = Seq(() => { cs.unpersist(false); () })
-    var hub = cs.select(col("c")).distinct()
+    val own = byC == null || byP == null
+    val cs = if (own) edges.select(col("c"), col("p")).cache() else null
+    val csByC = if (own) cs else byC.select(col("c"), col("p"))
+    val csByP = if (own) cs else byP.select(col("c"), col("p"))
+    var held: Seq[() => Unit] =
+      if (own) Seq(() => { cs.unpersist(false); () }) else Nil
+    var hub = csByC.select(col("c")).distinct()
       .select(col("c"), lit(Scale).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
@@ -69,7 +84,7 @@ object Hits {
       // leaf every later action re-plans and re-matches the growing
       // cached chain, which costs more than the extra tiny max job. Kept
       // the pin.)
-      val (ar, arRelease) = Lineage.pin(cs.join(broadcast(hub), "c")
+      val (ar, arRelease) = Lineage.pin(csByP.join(broadcast(hub), "c")
         .groupBy("p").agg(sum(col("h")).as("s")))
       // the round max is ONE scalar — collect it (the PageRank n-count
       // accounting) instead of a crossJoin(broadcast(agg)): the same
@@ -77,7 +92,7 @@ object Hits {
       // nested-loop-join stage per half-round
       val mxA = ar.agg(max(col("s"))).head().getLong(0)
       auth = ar.select(col("p"), expr(s"(s * ${Scale}L) DIV ${mxA}L").as("a"))
-      val (hr, hrRelease) = Lineage.pin(cs.join(broadcast(auth), "p")
+      val (hr, hrRelease) = Lineage.pin(csByC.join(broadcast(auth), "p")
         .groupBy("c").agg(sum(col("a")).as("s")))
       val mxH = hr.agg(max(col("s"))).head().getLong(0)
       hub = hr.select(col("c"), expr(s"(s * ${Scale}L) DIV ${mxH}L").as("h"))

